@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import Compat._
+
+/** Event-stream family over the flat `events` table: JSON extraction,
+  * time rollups, analytic windows, and batch sessionization.
+  *
+  * The reference engine is batch-only (SURVEY §2.10); the `events` table
+  * stands in for its flat event stream. Sessionization is the batch
+  * formulation of what Structured Streaming session windows would do on
+  * the same data.
+  */
+object Events {
+
+  def defs: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19)
+
+  /** JSON field extraction (scalar function family, SURVEY §2.9 date/json). */
+  val q14 = QueryDef(
+    "q14_json_extract",
+    oracle = Some("""
+      SELECT event_type,
+        COUNT(*) AS n,
+        SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""")) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+      .orderBy("event_type")
+  }
+
+  /** Daily time rollup: date bucketing + distinct users + exact value sum. */
+  val q15 = QueryDef(
+    "q15_daily_rollup",
+    oracle = Some("""
+      SELECT CAST(ts AS DATE) AS day,
+        COUNT(*) AS n_events,
+        COUNT(DISTINCT user_id) AS n_users,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1
+      ORDER BY day""")) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("ts_us").cast("date").as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        dsum(money(col("value"))).as("sum_value"))
+      .orderBy("day")
+  }
+
+  /** Running cumulative sum per user (analytic window, exact decimal). */
+  val q16 = QueryDef(
+    "q16_running_sum",
+    oracle = Some("""
+      SELECT event_id, user_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+          PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      FROM events
+      ORDER BY event_id""")) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        sum(money(col("value"))).over(w).cast("double").as("running_value"))
+      .orderBy("event_id")
+  }
+
+  /** Lag/delta per user — per-row double subtraction is bit-exact. */
+  val q17 = QueryDef(
+    "q17_lag_delta",
+    oracle = Some("""
+      SELECT * FROM (
+        SELECT event_id, user_id,
+          value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+        FROM events)
+      WHERE delta IS NOT NULL
+      ORDER BY event_id""")) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.load(s, dir, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        (col("value") - lag("value", 1).over(w)).as("delta"))
+      .filter(col("delta").isNotNull)
+      .orderBy("event_id")
+  }
+
+  /** Two-level aggregate + dense_rank over grouped totals. */
+  val q18 = QueryDef(
+    "q18_user_rank",
+    oracle = Some("""
+      SELECT user_id, total_value, rnk FROM (
+        SELECT user_id,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+          DENSE_RANK() OVER (ORDER BY SUM(CAST(value AS DECIMAL(18,4))) DESC, user_id) AS rnk
+        FROM events GROUP BY user_id)
+      WHERE rnk <= 20
+      ORDER BY rnk""")) { (s, dir) =>
+    val totals = Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .agg(sum(money(col("value"))).as("total_dec"))
+    totals
+      .withColumn("rnk", dense_rank().over(Window.orderBy(col("total_dec").desc, col("user_id"))))
+      .filter(col("rnk") <= 20)
+      .select(col("user_id"), col("total_dec").cast("double").as("total_value"), col("rnk"))
+      .orderBy("rnk")
+  }
+
+  /** Batch sessionization: 30-minute-gap sessions per user via lag + running
+    * flag sum — the batch equivalent of a streaming session window. All
+    * arithmetic on microsecond longs, matching DuckDB's epoch_us. */
+  val q19 = QueryDef(
+    "q19_sessionize",
+    oracle = Some("""
+      WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus,
+          CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    > 1800000000 THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      sessions AS (
+        SELECT user_id,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged)
+      SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions, COUNT(*) AS n_events
+      FROM sessions
+      GROUP BY user_id
+      ORDER BY user_id""")) { (s, dir) =>
+    val byUser = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
+      .withColumn("new_session",
+        when(col("tus") - lag("tus", 1).over(byUser) > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(cum))
+      .groupBy("user_id")
+      .agg(countDistinct("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+}

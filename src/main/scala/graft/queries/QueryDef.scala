@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** A registered query: Spark implementation + optional DuckDB oracle SQL.
+  *
+  * The driver hash-compares the Spark result against the oracle run on the
+  * same parquet files, sorting columns by name first — so every computed
+  * column must carry the same alias on both sides.
+  *
+  * @param bench whether Bench.scala includes it in the headline timing set
+  */
+final case class QueryDef(
+    name: String,
+    oracle: Option[String],
+    bench: Boolean = false)(
+    val fn: (SparkSession, String) => DataFrame)
+
+/** Cross-engine determinism helpers.
+  *
+  * IEEE-754 `+ - * /` and `sqrt` are correctly rounded, so per-row double
+  * arithmetic is bit-identical between Spark (JVM) and DuckDB (C++). Two
+  * things are NOT reproducible and must be routed around:
+  *
+  *   1. Aggregation order — Spark's partial aggregation sums doubles in a
+  *      different order than DuckDB's sequential scan, so `sum(double)`
+  *      differs in the last ulps. Fix: cast to decimal BEFORE summing —
+  *      decimal arithmetic is exact and order-independent — and cast the
+  *      final aggregate back to double.
+  *   2. libm transcendentals (cos/sin/atan2/ln/exp) — last-ulp differences
+  *      between JVM and libm. Fix: round to a scale far coarser than one
+  *      ulp at the value's magnitude before aggregating.
+  */
+object Compat {
+  /** Exact decimal view of a price-like double (scale 4 ≫ data's 2). */
+  def money(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Exact decimal view of a small fraction (discount/tax/rate). */
+  def frac(c: Column): Column = c.cast(DecimalType(8, 4))
+
+  /** Order-independent sum of a decimal expression, surfaced as double. */
+  def dsum(c: Column): Column = sum(c).cast("double")
+
+  /** Order-independent mean: exact decimal sum, then one double divide. */
+  def davg(c: Column): Column = sum(c).cast("double") / count(lit(1))
+
+  /** Decimal view of a libm-computed value (scale 6 absorbs ulp noise). */
+  def libm(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  // DuckDB-side SQL fragments mirroring the helpers above.
+  def moneySql(e: String) = s"CAST($e AS DECIMAL(18,4))"
+  def fracSql(e: String) = s"CAST($e AS DECIMAL(8,4))"
+  def libmSql(e: String) = s"CAST($e AS DECIMAL(18,6))"
+}

@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import Compat._
+
+/** Relational core: scans, filters, joins, aggregations, set ops, sorts.
+  *
+  * These exercise the engine mechanics that back every reference operator
+  * family (SURVEY §2.1-§2.8): pruned scans, mask application
+  * (reference: columnflow/reduction/default.py:48-59), broadcast lookup
+  * joins (reference: columnflow/calibration/cms/jets.py:40-142), grouped
+  * statistics (reference: columnflow/selection/stats.py:28-250), unions
+  * (reference: columnflow/tasks/reduction.py:253-261).
+  */
+object Relational {
+
+  def defs: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13)
+
+  /** Flagship: TPC-H Q1-style pricing summary. Single scan, map-side
+    * partial aggregation, 6-group output — the canonical "selection
+    * statistics" shape (reference: columnflow/selection/stats.py:28-250). */
+  val q1 = QueryDef(
+    "q1_pricing_summary",
+    oracle = Some("""
+      SELECT l_returnflag, l_linestatus,
+        SUM(l_quantity) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4))) * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS DOUBLE) AS sum_charge,
+        CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+        CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+    bench = true) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        dsum(money(col("l_extendedprice"))).as("sum_base_price"),
+        dsum(money(col("l_extendedprice")) * (lit(1) - frac(col("l_discount")))).as("sum_disc_price"),
+        dsum(money(col("l_extendedprice")) * (lit(1) - frac(col("l_discount"))) * (lit(1) + frac(col("l_tax")))).as("sum_charge"),
+        (sum("l_quantity").cast("double") / count(lit(1))).as("avg_qty"),
+        (dsum(money(col("l_extendedprice"))) / count(lit(1))).as("avg_price"),
+        (dsum(frac(col("l_discount"))) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Pruned scan: predicate + projection pushed to the parquet reader
+    * (reference read-set computation: columnflow/tasks/selection.py:171-176). */
+  val q2 = QueryDef(
+    "q2_scan_pushdown",
+    oracle = Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_quantity >= 48 AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      ORDER BY l_orderkey, l_linenumber""")) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 48 && col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Broadcast dimension-chain join: fact table joined to three tiny dims —
+    * the shape of every correction-table lookup in the reference
+    * (reference: columnflow/calibration/cms/jets.py:40-142). All three dims
+    * broadcast; the fact side never shuffles for the join. */
+  val q3 = QueryDef(
+    "q3_dim_join_revenue",
+    oracle = Some("""
+      SELECT r_name, n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name"""),
+    bench = true) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+    val sup = Tables.load(s, dir, "supplier")
+    val nat = Tables.load(s, dir, "nation")
+    val reg = Tables.load(s, dir, "region")
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        dsum(money(col("l_extendedprice")) * (lit(1) - frac(col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Fact-fact equi-join + grouped agg: the diff-merge shape at volume
+    * (reference diff-column zip: columnflow/columnar_util.py:905-990 via
+    * SURVEY §2.4). orders⋈lineitem shuffles on the key; customer broadcasts. */
+  val q4 = QueryDef(
+    "q4_order_customer_revenue",
+    oracle = Some("""
+      SELECT c_mktsegment, o_orderpriority,
+        COUNT(DISTINCT o_orderkey) AS n_orders,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_orderpriority
+      ORDER BY c_mktsegment, o_orderpriority"""),
+    bench = true) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+    val ord = Tables.load(s, dir, "orders")
+    val cust = Tables.load(s, dir, "customer")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(
+        countDistinct("o_orderkey").as("n_orders"),
+        dsum(money(col("l_extendedprice")) * (lit(1) - frac(col("l_discount")))).as("revenue"))
+      .orderBy("c_mktsegment", "o_orderpriority")
+  }
+
+  /** Distinct value discovery (reference: np.unique group discovery,
+    * columnflow/selection/stats.py:131-134). */
+  val q5 = QueryDef(
+    "q5_distinct",
+    oracle = Some("SELECT DISTINCT event_type FROM events ORDER BY event_type")) { (s, dir) =>
+    Tables.load(s, dir, "events").select("event_type").distinct().orderBy("event_type")
+  }
+
+  /** Group combinations via CUBE — the reference's N-way stats group
+    * combinations (reference: columnflow/selection/stats.py:102-118). Nulls
+    * from subtotal rows are labelled 'ALL' on both sides. */
+  val q6 = QueryDef(
+    "q6_cube_stats",
+    oracle = Some("""
+      SELECT COALESCE(l_returnflag, 'ALL') AS rflag, COALESCE(l_linestatus, 'ALL') AS lstatus,
+        COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+      FROM lineitem
+      GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY rflag, lstatus""")) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("rflag", "lstatus")
+  }
+
+  /** Union + distinct (reference chunk/file union:
+    * columnflow/tasks/reduction.py:253-261, SURVEY §2.8). */
+  val q7 = QueryDef(
+    "q7_union",
+    oracle = Some("""
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 250000
+      UNION
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      ORDER BY o_orderkey""")) { (s, dir) =>
+    val ord = Tables.load(s, dir, "orders")
+    ord.filter(col("o_totalprice") > 250000).select("o_orderkey")
+      .union(ord.filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey"))
+      .distinct()
+      .orderBy("o_orderkey")
+  }
+
+  /** Top-k per group via ranking window — the "leading object" selection
+    * generalized (reference `Jet.pt[:,0]` slice routes:
+    * columnflow/columnar_util.py:203-244, SURVEY §2.6). */
+  val q8 = QueryDef(
+    "q8_topk_per_group",
+    oracle = Some("""
+      SELECT l_returnflag, rnk, l_orderkey, l_linenumber, l_extendedprice
+      FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk
+        FROM lineitem)
+      WHERE rnk <= 3
+      ORDER BY l_returnflag, rnk""")) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables.load(s, dir, "lineitem")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("l_returnflag", "rnk", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_returnflag", "rnk")
+  }
+
+  /** Scalar math family over a grouped reduce (reference transverse sums:
+    * columnflow/calibration/util.py:42-57). libm results go through the
+    * decimal guard (see Compat.libm) before the order-independent sum. */
+  val q9 = QueryDef(
+    "q9_scalar_math",
+    oracle = Some("""
+      SELECT l_returnflag,
+        CAST(SUM(CAST(cos(l_quantity) AS DECIMAL(18,6))) AS DOUBLE) AS sum_cos,
+        CAST(SUM(CAST(sin(l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_sin,
+        CAST(SUM(CAST(sqrt(l_extendedprice) AS DECIMAL(18,6))) AS DOUBLE) AS sum_sqrt,
+        CAST(SUM(CAST(atan2(l_quantity, l_extendedprice) AS DECIMAL(18,6))) AS DOUBLE) AS sum_atan2,
+        MAX(abs(l_quantity - 25)) AS max_absdev
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        dsum(libm(cos(col("l_quantity")))).as("sum_cos"),
+        dsum(libm(sin(col("l_discount")))).as("sum_sin"),
+        dsum(libm(sqrt(col("l_extendedprice")))).as("sum_sqrt"),
+        dsum(libm(atan2(col("l_quantity"), col("l_extendedprice")))).as("sum_atan2"),
+        max(abs(col("l_quantity") - 25)).as("max_absdev"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Conditional aggregation — masked sums, the reference's
+    * `sum(w[mask])` per-step counters (reference:
+    * columnflow/selection/stats.py:163-213). */
+  val q10 = QueryDef(
+    "q10_conditional_agg",
+    oracle = Some("""
+      SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+        COUNT(*) AS n_orders,
+        SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS n_high,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE) AS finished_value
+      FROM orders
+      GROUP BY 1
+      ORDER BY order_year""")) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("int").as("order_year"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("n_high"),
+        dsum(when(col("o_orderstatus") === "F", money(col("o_totalprice"))).otherwise(lit(0).cast("decimal(18,4)"))).as("finished_value"))
+      .orderBy("order_year")
+  }
+
+  /** Left-semi join — "keep events having a qualifying object" (reference
+    * object-mask keep semantics: columnflow/reduction/util.py:55-107). */
+  val q11 = QueryDef(
+    "q11_semi_join",
+    oracle = Some("""
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")) { (s, dir) =>
+    val ord = Tables.load(s, dir, "orders")
+    val li = Tables.load(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+    ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Left-anti join — the negated mask (reference drop semantics, SURVEY
+    * §2.3 semi/anti row). */
+  val q12 = QueryDef(
+    "q12_anti_join",
+    oracle = Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_inactive
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")) { (s, dir) =>
+    val cust = Tables.load(s, dir, "customer")
+    val ord = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 400000)
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_inactive"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Global sort + limit (top-k overall). The reference never does a global
+    * ORDER BY (SURVEY §2.7); included for engine completeness. Spark
+    * executes it as TakeOrderedAndProject — no full sort at scale. */
+  val q13 = QueryDef(
+    "q13_global_topk",
+    oracle = Some("""
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 10""")) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_totalprice")
+      .limit(10)
+  }
+}

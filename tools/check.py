@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run Verify output
+against DuckDB oracles and compare (sorting columns by name, rows by all
+columns). Usage: python3 tools/check.py <sfDir> <verifyOutDir>"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = []
+for name in sorted(os.listdir(outdir)):
+    d = os.path.join(outdir, name)
+    if not os.path.isdir(d):
+        continue
+    spark_df = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{d}/*.parquet"))])
+    if name not in oracles:
+        print(f"{name:32s} rows-only: {len(spark_df)} rows")
+        continue
+    try:
+        oracle_df = con.execute(oracles[name]).df()
+    except Exception as e:
+        print(f"{name:32s} ORACLE SQL ERROR: {e}")
+        fails.append(name)
+        continue
+    a = spark_df[sorted(spark_df.columns)].reset_index(drop=True)
+    b = oracle_df[sorted(oracle_df.columns)].reset_index(drop=True)
+    status = []
+    if list(a.columns) != list(b.columns):
+        status.append(f"SCHEMA MISMATCH {list(a.columns)} vs {list(b.columns)}")
+    elif len(a) != len(b):
+        status.append(f"ROWCOUNT {len(a)} vs {len(b)}")
+    else:
+        a = a.sort_values(list(a.columns)).reset_index(drop=True)
+        b = b.sort_values(list(b.columns)).reset_index(drop=True)
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
+                av = av.astype(float); bv = bv.astype(float)
+                if not np.array_equal(av.values, bv.values, equal_nan=True):
+                    mx = np.nanmax(np.abs(av.values - bv.values))
+                    status.append(f"col {c} float diff max={mx}")
+            else:
+                if not av.astype(str).equals(bv.astype(str)):
+                    n = (av.astype(str) != bv.astype(str)).sum()
+                    status.append(f"col {c}: {n} mismatches")
+    if status:
+        print(f"{name:32s} FAIL: {'; '.join(status)}")
+        fails.append(name)
+    else:
+        print(f"{name:32s} OK ({len(a)} rows)")
+print(f"\n{len(fails)} failures" + (f": {fails}" if fails else ""))
+sys.exit(1 if fails else 0)
