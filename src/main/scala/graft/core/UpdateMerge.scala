@@ -1,0 +1,71 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The diff-column merge — columnflow's signature dataflow join (SURVEY
+  * §2.4; reference `update_ak_array`: columnflow/columnar_util.py:905-990).
+  *
+  * Every stage emits only the columns it produced ("diffs") keyed by the
+  * stable event identity; downstream stages re-assemble the full row with
+  * an equi-join and a per-route overlap policy:
+  *   - Overwrite (default): diff value replaces the base value
+  *   - Add: numeric sum
+  *   - Concat: array concatenation along the object axis
+  *     (reference concat policy: columnflow/columnar_util.py:908-929)
+  *
+  * At scale this is a shuffle join on the key; writing both sides bucketed
+  * by the key (see `bucketedCheckpoint`) makes it shuffle-free. The driver
+  * testdata's key is a single long; event data uses
+  * (run, luminosityBlock, event).
+  */
+object UpdateMerge {
+
+  sealed trait Policy
+  object Policy {
+    case object Overwrite extends Policy
+    case object Add extends Policy
+    case object Concat extends Policy
+  }
+
+  /** Merge a diff DataFrame into a base, joined on `keys`. Columns present
+    * only in the diff are added; overlapping non-key columns follow
+    * `policies` (default Overwrite). Rows of `base` without a diff row keep
+    * their values (left join + coalesce). */
+  def merge(base: DataFrame, diff: DataFrame, keys: Seq[String],
+            policies: Map[String, Policy] = Map.empty,
+            broadcastDiff: Boolean = false): DataFrame = {
+    val d0 = if (broadcastDiff) broadcast(diff) else diff
+    // Disambiguate overlap by renaming diff columns, then fold them in.
+    val overlap = diff.columns.toSet.intersect(base.columns.toSet) -- keys
+    val diffOnly = diff.columns.toSet -- base.columns.toSet -- keys
+    val renamed = overlap.foldLeft(d0)((d, c) => d.withColumnRenamed(c, s"__diff_$c"))
+    val joined = base.join(renamed, keys, "left")
+    val merged = overlap.foldLeft(joined) { (df, c) =>
+      val b = df(c); val d = df(s"__diff_$c")
+      val v = policies.getOrElse(c, Policy.Overwrite) match {
+        case Policy.Overwrite => coalesce(d, b)
+        case Policy.Add       => coalesce(b + d, b, d)
+        case Policy.Concat    => when(d.isNull, b).otherwise(concat(b, d))
+      }
+      df.withColumn(c, v).drop(s"__diff_$c")
+    }
+    // left-join nulls for diff-only columns are legitimate (no diff row).
+    merged.select((base.columns ++ diffOnly.toSeq.sorted).map(col): _*)
+  }
+
+  /** Write a stage checkpoint bucketed by the merge key so downstream
+    * merges are co-partitioned zip-joins without a shuffle — the Spark
+    * equivalent of the reference's positionally-zipped chunk files
+    * (reference: columnflow/columnar_util.py:3446-3462). Requires a table
+    * path (saveAsTable) because plain parquet files don't carry bucket
+    * metadata. */
+  def bucketedCheckpoint(df: DataFrame, table: String, keys: Seq[String],
+                         buckets: Int = 256): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+}

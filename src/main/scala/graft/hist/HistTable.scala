@@ -1,0 +1,97 @@
+package graft.hist
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.queries.Compat
+
+/** N-dimensional weighted histograms as bin tables — the engine's central
+  * aggregate (SURVEY §2.5; reference `fill_hist`:
+  * columnflow/hist_util.py:30-142, variance-tracking storage).
+  *
+  * A histogram is a DataFrame `(<axis>_bin: int ..., sumw: double,
+  * sumw2: double)`. Fill = groupBy(bin ids).agg(sum w, sum w²) — map-side
+  * partial aggregation makes this a single shuffle of ~nBins rows per
+  * partition regardless of input size, which is why the bin-table
+  * representation scales to 100 TB where the reference's in-memory dense
+  * tensor OOMs (reference: columnflow/hist_util.py:140-142).
+  *
+  * Weights go through exact decimal arithmetic (Compat) so merged/refilled
+  * histograms are bit-reproducible and oracle-comparable.
+  */
+object HistTable {
+
+  /** Fill: one row per populated bin combination. `weight` defaults to 1.
+    * Rows with any null bin id (null value on a non-null axis) are dropped,
+    * matching the reference's masked fill. */
+  /** @param integerSumw2 floor sumw2 to whole units before the double cast:
+    *   at 1e12+ magnitudes a decimal→double conversion can differ by 1 ulp
+    *   across engines, while integers below 2^53 convert exactly — turn
+    *   this on for oracle-compared fills with large weights. (floor, not
+    *   round: DuckDB truncates decimal downcasts where Spark rounds.) */
+  def fill(df: DataFrame, axes: Seq[(Axis, Column)], weight: Column = lit(1.0),
+           integerSumw2: Boolean = false): DataFrame = {
+    val binCols = axes.map { case (ax, v) => ax.binId(v).as(s"${ax.name}_bin") }
+    val w = Compat.money(weight)
+    val sumw2 = sum(col("__w") * col("__w"))
+    df.select(binCols :+ w.as("__w"): _*)
+      .filter(axes.map(a => col(s"${a._1.name}_bin").isNotNull).reduceOption(_ && _).getOrElse(lit(true)))
+      .groupBy(axes.map(a => col(s"${a._1.name}_bin")): _*)
+      .agg(
+        sum(col("__w")).cast("double").as("sumw"),
+        (if (integerSumw2) floor(sumw2) else sumw2)
+          .cast("double").as("sumw2"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Merge histograms: union + re-aggregate (reference `sum_hists`:
+    * columnflow/hist_util.py:384-417; MergeHistograms
+    * columnflow/tasks/histograms.py:449-490). Exactness note: merging
+    * tables whose sumw came from decimal sums re-sums doubles; for
+    * bit-reproducible merges keep weights decimal until the last merge. */
+  def merge(hists: Seq[DataFrame]): DataFrame = {
+    require(hists.nonEmpty)
+    val binCols = hists.head.columns.filter(_.endsWith("_bin")).toSeq
+    hists.reduce(_ unionByName _)
+      .groupBy(binCols.map(col): _*)
+      .agg(sum("sumw").as("sumw"), sum("sumw2").as("sumw2"), sum("n").as("n"))
+  }
+
+  /** Reduce away an axis by summing over it (reference residual-axis
+    * reduction: columnflow/plotting/plot_util.py:400-446). */
+  def project(hist: DataFrame, dropAxis: String): DataFrame = {
+    val keep = hist.columns.filter(c => c.endsWith("_bin") && c != s"${dropAxis}_bin").toSeq
+    hist.groupBy(keep.map(col): _*)
+      .agg(sum("sumw").as("sumw"), sum("sumw2").as("sumw2"), sum("n").as("n"))
+  }
+
+  /** Fold under/overflow bins into the edge bins (reference flow folding:
+    * columnflow/plotting/plot_util.py:331-382). */
+  def foldFlow(hist: DataFrame, axis: Axis): DataFrame = {
+    val b = col(s"${axis.name}_bin")
+    val folded = hist.withColumn(s"${axis.name}_bin",
+      when(b === -1, 0).when(b === axis.nBins, axis.nBins - 1).otherwise(b))
+    val binCols = hist.columns.filter(_.endsWith("_bin")).toSeq
+    folded.groupBy(binCols.map(col): _*)
+      .agg(sum("sumw").as("sumw"), sum("sumw2").as("sumw2"), sum("n").as("n"))
+  }
+
+  /** Equal-factor rebin of a regular axis (reference equal-width rebin:
+    * columnflow/plotting/plot_util.py:1040-1086). Flow bins pass through. */
+  def rebin(hist: DataFrame, axis: Axis, factor: Int): DataFrame = {
+    val b = col(s"${axis.name}_bin")
+    val re = hist.withColumn(s"${axis.name}_bin",
+      when(b === -1 || b === axis.nBins, b).otherwise(floor(b / factor).cast("int")))
+    val binCols = hist.columns.filter(_.endsWith("_bin")).toSeq
+    re.groupBy(binCols.map(col): _*)
+      .agg(sum("sumw").as("sumw"), sum("sumw2").as("sumw2"), sum("n").as("n"))
+  }
+
+  /** Relabel an int-category bin axis with names from a dim table —
+    * (reference translate_hist_intcat_to_strcat:
+    * columnflow/hist_util.py:307-329). `mapping` is (id:int, name:string). */
+  def relabel(hist: DataFrame, axis: String, mapping: DataFrame,
+              idCol: String, nameCol: String): DataFrame =
+    hist.join(broadcast(mapping), hist(s"${axis}_bin") === mapping(idCol), "left")
+      .drop(s"${axis}_bin").drop(idCol)
+      .withColumnRenamed(nameCol, axis)
+}

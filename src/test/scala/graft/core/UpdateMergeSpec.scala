@@ -1,0 +1,47 @@
+package graft.core
+
+import graft.SparkSpec
+
+class UpdateMergeSpec extends SparkSpec {
+  import UpdateMerge._
+
+  private def base = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c")).toDF("event", "x", "tag")
+  }
+  private def diff = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 100.0, 7.0), (3L, 300.0, 9.0)).toDF("event", "x", "y")
+  }
+
+  test("overwrite policy: diff wins, missing rows keep base") {
+    val out = merge(base, diff, Seq("event")).orderBy("event").collect()
+    assert(out.map(_.getDouble(1)).toSeq == Seq(100.0, 20.0, 300.0))
+    assert(out.map(_.getString(2)).toSeq == Seq("a", "b", "c"))
+  }
+
+  test("diff-only columns join in as nullable") {
+    val out = merge(base, diff, Seq("event")).orderBy("event").collect()
+    assert(out(0).getDouble(3) == 7.0)
+    assert(out(1).isNullAt(3))
+  }
+
+  test("add policy sums overlap") {
+    val out = merge(base, diff, Seq("event"), Map("x" -> Policy.Add))
+      .orderBy("event").collect()
+    assert(out.map(_.getDouble(1)).toSeq == Seq(110.0, 20.0, 330.0))
+  }
+
+  test("concat policy appends arrays") {
+    val s = spark
+    import s.implicits._
+    val b = Seq((1L, Seq(1, 2)), (2L, Seq(3))).toDF("event", "ids")
+    val d = Seq((1L, Seq(9))).toDF("event", "ids")
+    val out = merge(b, d, Seq("event"), Map("ids" -> Policy.Concat))
+      .orderBy("event").collect()
+    assert(out(0).getSeq[Int](1) == Seq(1, 2, 9))
+    assert(out(1).getSeq[Int](1) == Seq(3))
+  }
+}
