@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. All pure
+  * builtin-function compositions — codegen-friendly, no UDFs, so a 100 TB
+  * document scan stays in whole-stage codegen with the parquet reader
+  * pruning to the `text` column only.
+  */
+object Text {
+
+  /** Lowercased alphanumeric tokens. ASCII-scoped regex keeps Spark (Java
+    * regex) and DuckDB (RE2) semantics identical for oracle parity. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Word-level n-gram shingles (the MinHash/Jaccard input). */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    // slide an n-window over the token array: one shingle per start index
+    filter(
+      transform(t, (_, i) =>
+        when(i <= size(t) - n,
+          concat_ws(" ", slice(t, i + 1, lit(n))))),
+      s => s.isNotNull)
+  }
+
+  /** Type-token ratio: distinct/total tokens (lexical diversity). */
+  def typeTokenRatio(text: Column): Column =
+    distinctTokenCount(text).cast("double") / tokenCount(text)
+
+  /** Fraction of tokens belonging to a stopword list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    size(filter(t, w => w.isInCollection(stopwords))).cast("double") / size(t)
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLength(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, w) => acc + length(w)).cast("double") /
+      tokenCount(text)
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+  /** Composite quality score in [0,1]: length saturation + lexical
+    * diversity + stopword plausibility — the shape of heuristic quality
+    * filters used for pretraining-corpus curation. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    lit(0.5) * least(lit(1.0), nTok / 100.0) +
+      lit(0.3) * typeTokenRatio(text) +
+      lit(0.2) * stopwordRatio(text, EnglishStopwords)
+  }
+
+  /** Per-language ASCII stopword profiles for the n-gram language-ID
+    * heuristic. Tiny on purpose: a real deployment broadcasts a bigger
+    * table; the mechanism (vectorized count + argmax) is the same. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist"),
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "es" -> Seq("el", "los", "una", "por", "que", "y"),
+    "fr" -> Seq("les", "une", "est", "avec", "dans", "et"),
+    "zh" -> Seq("shi", "bu", "wo", "ni", "hao", "ma"))
+
+  /** Language ID: argmax of per-language stopword hits, ties broken by
+    * language code ascending (profiles are pre-sorted). */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scored = LangProfiles.map { case (lang, words) =>
+      lang -> size(filter(t, w => w.isInCollection(words)))
+    }
+    // fold keeping the max; earlier (alphabetically smaller) lang wins ties
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lang).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }._1
+  }
+
+  /** Canonical document fingerprint: the k smallest distinct tokens joined —
+    * a deterministic signature for near-canonical duplicate detection
+    * (cheap alternative to content hashing that survives reordering). */
+  def fingerprint(text: Column, k: Int = 8): Column =
+    concat_ws(" ", slice(array_sort(array_distinct(tokens(text))), 1, k))
+
+  // --- SQL mirrors (DuckDB) for oracle queries ---
+
+  def tokensSql(e: String) = s"regexp_extract_all(lower($e), '[a-z0-9]+')"
+  def tokenCountSql(e: String) = s"len(${tokensSql(e)})"
+  def stopwordRatioSql(e: String, words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"(len(list_filter(${tokensSql(e)}, w -> w IN ($list)))::DOUBLE / len(${tokensSql(e)}))"
+  }
+  def typeTokenRatioSql(e: String) =
+    s"(len(list_distinct(${tokensSql(e)}))::DOUBLE / len(${tokensSql(e)}))"
+  def meanTokenLengthSql(e: String) =
+    s"(list_sum(list_transform(${tokensSql(e)}, w -> len(w)))::DOUBLE / len(${tokensSql(e)}))"
+  def qualityScoreSql(e: String): String =
+    s"(0.5 * LEAST(1.0, ${tokenCountSql(e)}::DOUBLE / 100.0) + 0.3 * ${typeTokenRatioSql(e)} + " +
+      s"0.2 * ${stopwordRatioSql(e, EnglishStopwords)})"
+  def langIdSql(e: String): String = {
+    val scores = LangProfiles.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(${tokensSql(e)}, w -> w IN ($list)))" -> lang
+    }
+    // same fold as langId: strictly-greater wins, first (alphabetical) on tie
+    val folded = scores.tail.foldLeft((s"'${scores.head._2}'", scores.head._1)) {
+      case ((bestLang, bestScore), (score, lang)) =>
+        (s"CASE WHEN $score > $bestScore THEN '$lang' ELSE $bestLang END",
+          s"GREATEST($score, $bestScore)")
+    }
+    folded._1
+  }
+  def fingerprintSql(e: String, k: Int = 8): String =
+    s"array_to_string(list_sort(list_distinct(${tokensSql(e)}))[1:$k], ' ')"
+}

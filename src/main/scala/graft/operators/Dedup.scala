@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB regime:
+  *
+  *   - exact: hash-groupBy on a content digest — one shuffle of digests,
+  *     never of document bodies.
+  *   - MinHash+LSH: shingle → k minhashes → band buckets → candidate
+  *     pairs only within buckets → exact-Jaccard verify. The candidate
+  *     join is the only quadratic step and it is quadratic per *bucket*,
+  *     not per corpus.
+  *   - SimHash: 64-bit signature, near-dup = small Hamming distance;
+  *     banding on signature bytes gives the same bucketed-join shape.
+  *   - n-gram Jaccard: the exact verifier, also usable standalone inside
+  *     explicit blocks.
+  *
+  * All hashing is xxhash64 (Spark builtin, codegen'd, deterministic across
+  * runs and partitionings — a hard requirement for reproducible dedup).
+  */
+object Dedup {
+
+  /** Content digest for exact dedup. md5 keeps DuckDB-oracle parity;
+    * xxhash64 is the cheaper production digest (collision risk 2^-64/pair). */
+  def digest(text: Column): Column = md5(text)
+
+  /** Exact duplicate groups: one row per distinct content, with the
+    * representative (minimum) id and the multiplicity. */
+  def exactGroups(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    docs.groupBy(digest(col(text)).as("content_hash"))
+      .agg(min(col(id)).as("rep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact-dedup projection: keep only the representative row per content
+    * group — the distributed `DISTINCT ON (content)`. */
+  def exactDedup(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(digest(col(text))).orderBy(col(id))
+    docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** k deterministic minhash values over a shingle array: for each seed,
+    * min over shingles of xxhash64(seed, shingle). */
+  def minhashes(shingleCol: Column, k: Int): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  /** LSH band keys: split the k minhashes into bands of `rowsPerBand` and
+    * hash each band — docs sharing any band key are candidates. */
+  def bandKeys(minhashCol: Column, k: Int, rowsPerBand: Int): Column = {
+    require(k % rowsPerBand == 0)
+    array((0 until k / rowsPerBand).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(slice(minhashCol, b * rowsPerBand + 1, rowsPerBand)).as("h"))
+    }: _*)
+  }
+
+  /** Exact Jaccard similarity of two (already distinct) arrays. Integer
+    * set sizes → exact double division, engine-independent. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * @param k          minhash count (default 64)
+    * @param rowsPerBand band size r; recall for similarity s is
+    *                   1-(1-s^r)^(k/r) — r=4,b=16 catches s≥0.8 w.p. >0.999
+    * @param threshold  exact-Jaccard acceptance threshold on shingle sets
+    *
+    * Pipeline: shingle → minhash → explode band keys → self-join per
+    * bucket (id< id dedups the pair space) → distinct pairs → verify.
+    * Only signatures and ids shuffle; document text never does.
+    */
+  def minhashLshPairs(docs: DataFrame, id: String = "doc_id", text: String = "text",
+                      shingleN: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
+                      threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(
+      col(id).as("__id"),
+      array_distinct(Text.shingles(col(text), shingleN)).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val banded = sh
+      .withColumn("__mh", minhashes(col("__sh"), k))
+      .select(col("__id"), col("__sh"),
+        explode(bandKeys(col("__mh"), k, rowsPerBand)).as("__band"))
+    val a = banded.select(col("__band").as("band_a"), col("__id").as("id_a"), col("__sh").as("sh_a"))
+    val b = banded.select(col("__band").as("band_b"), col("__id").as("id_b"), col("__sh").as("sh_b"))
+    a.join(b, col("band_a") === col("band_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= threshold)
+      .distinct()
+  }
+
+  /** 64-bit SimHash of a token array: sign-aggregate each bit of the
+    * per-token xxhash64. Computed with bit arithmetic in plain columns —
+    * one pass, no UDF. */
+  def simhash(tokensCol: Column): Column = {
+    val hashes = transform(tokensCol, t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      // count of tokens with bit i set, minus half the total → sign
+      val ones = aggregate(hashes, lit(0L),
+        (acc, h) => acc + shiftright(h, i).bitwiseAND(1L))
+      when(ones * 2 >= size(tokensCol), lit(1L)).otherwise(lit(0L)) * lit(1L << i)
+    }
+    bits.reduce(_ + _) // disjoint bit positions: sum == OR
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band the signature into 4×16-bit chunks
+    * (any pair within Hamming ≤ 3 shares at least one exact chunk —
+    * pigeonhole), bucket-join on chunks, verify by full Hamming. */
+  def simhashPairs(docs: DataFrame, id: String = "doc_id", text: String = "text",
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(
+      col(id).as("__id"),
+      simhash(Text.tokens(col(text))).as("__sig"))
+    val chunked = sigs.select(col("__id"), col("__sig"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("i"),
+          shiftright(col("__sig"), i * 16).bitwiseAND(0xFFFFL).as("c"))): _*)).as("__chunk"))
+    val a = chunked.select(col("__chunk").as("chunk_a"), col("__id").as("id_a"), col("__sig").as("sig_a"))
+    val b = chunked.select(col("__chunk").as("chunk_b"), col("__id").as("id_b"), col("__sig").as("sig_b"))
+    a.join(b, col("chunk_a") === col("chunk_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("dist"))
+      .filter(col("dist") <= maxHamming)
+      .distinct()
+  }
+
+  /** Exact n-gram-Jaccard pairs within explicit blocks (e.g. language ×
+    * source) — the blocked-dedup baseline and the oracle for the
+    * probabilistic variants. */
+  def blockedJaccardPairs(docs: DataFrame, blockCols: Seq[String],
+                          id: String = "doc_id", text: String = "text",
+                          shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(
+      (blockCols.map(col) :+ col(id).as("__id") :+
+        array_distinct(Text.shingles(col(text), shingleN)).as("__sh")): _*)
+    val a = sh.select(blockCols.map(c => col(c).as(s"${c}_a")) :+ col("__id").as("id_a") :+ col("__sh").as("sh_a"): _*)
+    val b = sh.select(blockCols.map(c => col(c).as(s"${c}_b")) :+ col("__id").as("id_b") :+ col("__sh").as("sh_b"): _*)
+    a.join(b, blockCols.map(c => col(s"${c}_a") === col(s"${c}_b")).reduce(_ && _) && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * payloads with typed metadata, plus the Spark-side plumbing for batch
+  * decode / feature-extraction.
+  *
+  * The actual codec step is STUBBED (no image/audio libraries in this
+  * environment): `decodeStub` produces deterministic fake features with
+  * the exact schema, batching and partitioning a real decoder would use —
+  * swap `fakeDecode` for a JNI/FFI call and nothing else changes.
+  *
+  * Scale design: payloads never shuffle (all derivations are map-side);
+  * metadata extraction is pure column work; the decode path is
+  * `mapPartitions` so a real implementation amortizes codec/model init
+  * per partition, the same batching contract as a pandas/Arrow UDF.
+  */
+object Multimodal {
+
+  /** Media metadata carried alongside every payload. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** Feature schema emitted by the (stub) decoder. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType),
+    StructField("first_byte", IntegerType),
+    StructField("content_digest", StringType),
+    StructField("feat", ArrayType(DoubleType))))
+
+  /** Wrap a text column as a fake media payload (testdata has no real
+    * blobs): payload = utf-8 bytes, metadata derived deterministically. */
+  def asPayload(text: Column, mediaType: Column): Column = text.cast("binary")
+
+  def syntheticMeta(nChars: Column, mediaType: Column): Column = struct(
+    mediaType.as("media_type"),
+    (pmod(nChars, lit(640)) + 1).cast("int").as("width"),
+    (pmod(nChars, lit(480)) + 1).cast("int").as("height"),
+    (pmod(nChars, lit(25)) + 1).cast("int").as("n_frames"))
+
+  /** Column-level payload inspection (no decode): byte length, digest,
+    * leading byte. Works on any binary column, stays in codegen. */
+  def payloadStats(payload: Column): Column = struct(
+    length(payload).cast("long").as("n_bytes"),
+    md5(payload).as("content_digest"))
+
+  /** Deterministic fake decode for one payload: stands in for the real
+    * codec (`???` marks the seam). Features are reproducible functions of
+    * the bytes so downstream tests are stable. */
+  def fakeDecode(bytes: Array[Byte]): (Long, Int, Array[Double]) = {
+    // real implementation: ??? (JNI decode → pixels → feature extractor)
+    val n = bytes.length.toLong
+    val first = if (bytes.isEmpty) -1 else bytes(0) & 0xff
+    val feat = Array.tabulate(4) { i =>
+      var acc = 1125899906842597L // deterministic FNV-ish fold
+      var j = i
+      while (j < bytes.length) { acc = acc * 31 + (bytes(j) & 0xff); j += 4 }
+      (acc & 0xffffL).toDouble / 65535.0
+    }
+    (n, first, feat)
+  }
+
+  /** Batch decode over partitions: the production contract. Input needs
+    * columns (id: long, payload: binary); output adds the feature struct.
+    * A real decoder initializes its codec once per partition here. */
+  def decodeBatch(df: DataFrame, id: String = "doc_id",
+                  payload: String = "payload"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(id, LongType),
+      StructField("n_bytes", LongType),
+      StructField("first_byte", IntegerType),
+      StructField("feat", ArrayType(DoubleType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(id)
+    val pIdx = df.schema.fieldIndex(payload)
+    df.mapPartitions { rows =>
+      // per-partition init happens here (codec/model load) — stubbed
+      rows.map { r =>
+        val (n, first, feat) = fakeDecode(r.getAs[Array[Byte]](pIdx))
+        Row(r.getLong(idIdx), n, first, feat.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling: slice every k-th byte window as a stand-in for video
+    * frame extraction — demonstrates ragged binary→array plumbing. */
+  def sampleFrames(payload: Column, frameSize: Int, stride: Int): Column =
+    filter(
+      transform(sequence(lit(0), floor(length(payload) / stride).cast("int")),
+        i => payload.substr((i * stride + 1).cast("int"), lit(frameSize))),
+      f => length(f) === frameSize)
+}

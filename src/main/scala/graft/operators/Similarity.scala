@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *   - Brute-force cosine top-k: broadcast the query set, one scan of the
+  *     corpus, window top-k per query. Exact; the right baseline whenever
+  *     the query set is small (the corpus never shuffles).
+  *   - Cell-partitioned (IVF-style) top-k: restrict each query's scan to
+  *     its coarse cell — here the precomputed `label` column stands in for
+  *     the quantizer assignment. At 100 TB this is the difference between
+  *     scanning the corpus and scanning one cell: partition pruning on the
+  *     cell column turns the search into a 1/nCells scan.
+  *
+  * Dot products are computed in double via zip_with + aggregate — builtin
+  * higher-order functions, inside codegen, no UDF.
+  */
+object Similarity {
+
+  /** Σ a_i·b_i in double (fixed left-to-right fold: deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbours for each query row.
+    *
+    * @param queries  (qid, qvec) — must be small enough to broadcast
+    * @param corpus   (id, vec)
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     id: String = "vec_id", vec: String = "embedding",
+                     qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+    val scored = corpus.join(broadcast(queries), col(id) =!= col(qid))
+      .select(col(qid), col(id).as("neighbor"),
+        cosine(col(qvec), col(vec)).as("cos"))
+    val w = Window.partitionBy(qid).orderBy(col("cos").desc, col("neighbor"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** IVF-style top-k: each query searches only its own cell. `cell` is the
+    * coarse-quantizer assignment column present on both sides. */
+  def cellTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+               cell: String, qcell: String,
+               id: String = "vec_id", vec: String = "embedding",
+               qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+    val scored = corpus.join(broadcast(queries),
+      col(cell) === col(qcell) && col(id) =!= col(qid))
+      .select(col(qid), col(id).as("neighbor"),
+        cosine(col(qvec), col(vec)).as("cos"))
+    val w = Window.partitionBy(qid).orderBy(col("cos").desc, col("neighbor"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Embedding near-duplicate pairs within cells: cosine ≥ threshold.
+    * The cell constraint is the blocking strategy; an unblocked variant at
+    * scale would use random-hyperplane LSH exactly like Dedup.simhash. */
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+                   cell: String, id: String = "vec_id",
+                   vec: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(cell).as("cell_a"), col(id).as("id_a"), col(vec).as("v_a"))
+    val b = corpus.select(col(cell).as("cell_b"), col(id).as("id_b"), col(vec).as("v_b"))
+    a.join(b, col("cell_a") === col("cell_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

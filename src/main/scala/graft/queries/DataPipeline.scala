@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Text
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** LLM-training-data pipeline family over `documents` and `embeddings`:
+  * text analysis, deduplication (exact / MinHash-LSH / SimHash / blocked
+  * Jaccard), similarity search (brute-force + cell-partitioned ANN,
+  * embedding near-dup), and multimodal payload plumbing.
+  */
+object DataPipeline {
+
+  def defs: Seq[QueryDef] = Seq(
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+
+  // ---- text analysis ----
+
+  /** Per-document token statistics (integer-count ratios: exact doubles). */
+  val q30 = QueryDef(
+    "q30_text_stats",
+    oracle = Some(s"""
+      SELECT doc_id,
+        ${Text.tokenCountSql("text")} AS n_tokens,
+        ${Text.typeTokenRatioSql("text")} AS ttr,
+        ${Text.meanTokenLengthSql("text")} AS mean_tok_len
+      FROM documents
+      ORDER BY doc_id""")) { (s, dir) =>
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      Text.tokenCount(col("text")).as("n_tokens"),
+      Text.typeTokenRatio(col("text")).as("ttr"),
+      Text.meanTokenLength(col("text")).as("mean_tok_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality filter + per-language survivors (min/max are order-safe). */
+  val q31 = QueryDef(
+    "q31_quality_filter",
+    oracle = Some(s"""
+      SELECT lang, COUNT(*) AS n_kept,
+        MIN(${Text.qualityScoreSql("text")}) AS min_score,
+        MAX(${Text.qualityScoreSql("text")}) AS max_score
+      FROM documents
+      WHERE ${Text.qualityScoreSql("text")} >= 0.5
+      GROUP BY lang
+      ORDER BY lang""")) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .withColumn("q", Text.qualityScore(col("text")))
+      .filter(col("q") >= 0.5)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        min("q").as("min_score"), max("q").as("max_score"))
+      .orderBy("lang")
+  }
+
+  /** Language-ID confusion matrix: declared label × heuristic prediction. */
+  val q32 = QueryDef(
+    "q32_langid",
+    oracle = Some(s"""
+      SELECT lang, ${Text.langIdSql("text")} AS pred, COUNT(*) AS n
+      FROM documents
+      GROUP BY 1, 2
+      ORDER BY lang, pred""")) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .groupBy(col("lang"), Text.langId(col("text")).as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred")
+  }
+
+  /** Canonical fingerprint collision groups (reorder-invariant signature). */
+  val q33 = QueryDef(
+    "q33_fingerprint",
+    oracle = Some(s"""
+      SELECT ${Text.fingerprintSql("text")} AS fp,
+        COUNT(*) AS n_docs, MIN(doc_id) AS rep_id
+      FROM documents
+      GROUP BY 1
+      HAVING COUNT(*) > 1
+      ORDER BY fp""")) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .groupBy(Text.fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy("fp")
+  }
+
+  // ---- deduplication ----
+
+  /** Exact dedup summary: content-digest groups (md5 matches DuckDB's). */
+  val q34 = QueryDef(
+    "q34_exact_dedup",
+    oracle = Some("""
+      SELECT COUNT(*) AS n_groups,
+        SUM(c) AS n_docs,
+        SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_docs
+      FROM (SELECT md5(text) h, COUNT(*) c FROM documents GROUP BY 1)"""),
+    bench = true) { (s, dir) =>
+    Dedup.exactGroups(Tables.load(s, dir, "documents"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum("n_copies").as("n_docs"),
+        sum(when(col("n_copies") > 1, col("n_copies")).otherwise(0L)).as("n_dup_docs"))
+  }
+
+  private val shingleSql =
+    "list_distinct(list_transform(generate_series(1, len(regexp_extract_all(lower(text),'[a-z0-9]+'))-2), " +
+      "i -> array_to_string(regexp_extract_all(lower(text),'[a-z0-9]+')[i:i+2], ' ')))"
+
+  /** Blocked exact-Jaccard near-dup pairs (block = language). Recall note:
+    * blocking trades recall for cost — cross-language duplicates are
+    * invisible by construction (the MinHash query below is unblocked). */
+  val q35 = QueryDef(
+    "q35_jaccard_blocked",
+    oracle = Some(s"""
+      WITH tok AS (SELECT doc_id, lang, $shingleSql sh FROM documents),
+      p AS (
+        SELECT a.doc_id id_a, b.doc_id id_b,
+          len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) jac
+        FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, jac FROM p WHERE jac >= 0.5
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+    Dedup.blockedJaccardPairs(
+      Tables.load(s, dir, "documents"), blockCols = Seq("lang"), threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash-LSH near-duplicates, unblocked, exact-Jaccard-verified at
+    * 0.9. Oracle is ground truth (all pairs); LSH with r=4,b=16 misses a
+    * 0.9-pair w.p. 4e-8 — the hash-match asserts perfect recall here. */
+  val q36 = QueryDef(
+    "q36_minhash_lsh",
+    oracle = Some(s"""
+      WITH tok AS (SELECT doc_id, $shingleSql sh FROM documents),
+      p AS (
+        SELECT a.doc_id id_a, b.doc_id id_b,
+          len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) jac
+        FROM tok a JOIN tok b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, jac FROM p WHERE jac >= 0.9
+      ORDER BY id_a, id_b"""),
+    bench = true) { (s, dir) =>
+    Dedup.minhashLshPairs(
+      Tables.load(s, dir, "documents"), k = 64, rowsPerBand = 4, threshold = 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash near-dup pairs. xxhash-based signatures are not expressible
+    * in the oracle dialect → rows-only check; determinism is covered by
+    * the unit suite and recall by construction (pigeonhole banding). */
+  val q37 = QueryDef(
+    "q37_simhash",
+    oracle = None,
+    bench = true) { (s, dir) =>
+    Dedup.simhashPairs(Tables.load(s, dir, "documents"), maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- similarity search ----
+
+  private val dotSql =
+    "list_sum(list_transform(list_zip(a.embedding, q.embedding), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
+  private def normSql(t: String) =
+    s"sqrt(list_sum(list_transform($t.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))"
+
+  /** Brute-force cosine top-5 for 10 query vectors. Scores rounded to 1e-6
+    * in the output (sum-order noise is ~1e-15); ranking uses raw scores. */
+  val q38 = QueryDef(
+    "q38_ann_bruteforce",
+    oracle = Some(s"""
+      WITH scored AS (
+        SELECT q.vec_id AS qid, a.vec_id AS neighbor,
+          $dotSql / (${normSql("a")} * ${normSql("q")}) AS c
+        FROM embeddings a JOIN embeddings q
+          ON q.vec_id < 10 AND a.vec_id <> q.vec_id),
+      ranked AS (
+        SELECT qid, neighbor, c,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, neighbor) AS rnk
+        FROM scored)
+      SELECT qid, rnk, neighbor, ROUND(c, 6) AS cos6
+      FROM ranked WHERE rnk <= 5
+      ORDER BY qid, rnk"""),
+    bench = true) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select(col("qid"), col("rnk"), col("neighbor"), round(col("cos"), 6).as("cos6"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Cell-partitioned (IVF-style) top-3: each query scans only its own
+    * cell — the 1/nCells-scan scale path (label = quantizer cell). */
+  val q39 = QueryDef(
+    "q39_ann_ivf",
+    oracle = Some(s"""
+      WITH scored AS (
+        SELECT q.vec_id AS qid, a.vec_id AS neighbor,
+          $dotSql / (${normSql("a")} * ${normSql("q")}) AS c
+        FROM embeddings a JOIN embeddings q
+          ON q.vec_id < 10 AND a.label = q.label AND a.vec_id <> q.vec_id),
+      ranked AS (
+        SELECT qid, neighbor, c,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, neighbor) AS rnk
+        FROM scored)
+      SELECT qid, rnk, neighbor, ROUND(c, 6) AS cos6
+      FROM ranked WHERE rnk <= 3
+      ORDER BY qid, rnk""")) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("label").as("qcell"))
+    Similarity.cellTopK(emb, queries, k = 3, cell = "label", qcell = "qcell")
+      .select(col("qid"), col("rnk"), col("neighbor"), round(col("cos"), 6).as("cos6"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Embedding-cosine near-duplicate pairs within cells. */
+  val q40 = QueryDef(
+    "q40_embedding_dedup",
+    oracle = Some(s"""
+      WITH p AS (
+        SELECT a.vec_id id_a, q.vec_id id_b,
+          $dotSql / (${normSql("a")} * ${normSql("q")}) AS c
+        FROM embeddings a JOIN embeddings q
+          ON a.label = q.label AND a.vec_id < q.vec_id)
+      SELECT id_a, id_b, ROUND(c, 6) AS cos6 FROM p WHERE c >= 0.4
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+    Similarity.nearDupPairs(
+      Tables.load(s, dir, "embeddings"), threshold = 0.4, cell = "label")
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos6"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- multimodal ----
+
+  /** Binary payload plumbing: text → payload bytes + synthetic media
+    * metadata, per-source byte accounting and digest dedup — the schema/
+    * partition shape of a real media table with the codec stubbed out. */
+  val q41 = QueryDef(
+    "q41_multimodal_meta",
+    oracle = Some("""
+      SELECT source,
+        COUNT(*) AS n_media,
+        SUM(octet_length(CAST(text AS BLOB))) AS total_bytes,
+        COUNT(DISTINCT md5(text)) AS n_distinct_payload,
+        SUM((n_chars % 640) + 1) AS sum_width
+      FROM documents
+      GROUP BY source
+      ORDER BY source""")) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+      .withColumn("payload", Multimodal.asPayload(col("text"), lit("text/plain")))
+      .withColumn("meta", Multimodal.syntheticMeta(col("n_chars"), lit("text/plain")))
+      .withColumn("stats", Multimodal.payloadStats(col("payload")))
+    docs.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("stats.n_bytes")).as("total_bytes"),
+        countDistinct(col("stats.content_digest")).as("n_distinct_payload"),
+        sum(col("meta.width").cast("long")).as("sum_width"))
+      .orderBy("source")
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+class DataPipelineSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "a"),
+      (2L, "the quick brown fox jumps over the lazy cat", "en", "a"),
+      (3L, "completely different content here now", "en", "b"),
+      (4L, "the quick brown fox jumps over the lazy dog", "en", "b"), // exact dup of 1
+      (5L, "", "en", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("tokens, shingles, fingerprint") {
+    val row = docs.filter(col("doc_id") === 1).select(
+      Text.tokenCount(col("text")),
+      size(Text.shingles(col("text"), 3)),
+      Text.fingerprint(col("text"), 3)).head
+    assert(row.getInt(0) == 9)
+    assert(row.getInt(1) == 7) // 9 tokens → 7 trigrams
+    assert(row.getString(2) == "brown dog fox") // sorted distinct, first 3
+  }
+
+  test("exact dedup keeps one representative per content") {
+    val out = Dedup.exactDedup(docs)
+    assert(out.count() == 4)
+    assert(out.filter(col("text").contains("lazy dog")).select("doc_id").head.getLong(0) == 1L)
+  }
+
+  test("minhash LSH finds the near-dup pair and the exact dup") {
+    val pairs = Dedup.minhashLshPairs(docs, k = 64, rowsPerBand = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    // docs 1,2 differ in last token: 5/9 trigrams shared → jac ≈ 0.55
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical texts → distance 0, near texts → small distance") {
+    val sigs = docs.filter(col("doc_id").isin(1, 2, 3, 4))
+      .select(col("doc_id"), Dedup.simhash(Text.tokens(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+  }
+
+  test("jaccard is exact on integer set sizes") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    assert(df.select(Dedup.jaccard(col("x"), col("y"))).head.getDouble(0) == 0.5)
+  }
+
+  test("cosine similarity and brute-force top-k") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.9f, 0.1f)), (4L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq(1.0f, 0.0f))).toDF("qid", "qvec")
+    val out = Similarity.bruteForceTopK(corpus, queries, k = 2)
+      .orderBy("rnk").collect()
+    assert(out.map(_.getAs[Long]("neighbor")).toSeq == Seq(3L, 2L))
+    assert(math.abs(out(0).getAs[Double]("cos") - 0.9 / math.sqrt(0.82)) < 1e-9)
+  }
+
+  test("multimodal: stub decode is deterministic and frame sampling slices") {
+    val s = spark
+    import s.implicits._
+    val media = docs.filter(col("doc_id").isin(1, 2))
+      .withColumn("payload", Multimodal.asPayload(col("text"), lit("text/plain")))
+    val feats = Multimodal.decodeBatch(media).orderBy("doc_id").collect()
+    assert(feats(0).getAs[Long]("n_bytes") == 43)
+    assert(feats(0).getAs[Int]("first_byte") == 't'.toInt)
+    // deterministic: same input → same features on rerun
+    val again = Multimodal.decodeBatch(media).orderBy("doc_id").collect()
+    assert(feats(0).getSeq[Double](3) == again(0).getSeq[Double](3))
+    val frames = media.select(size(Multimodal.sampleFrames(col("payload"), 8, 16))).head.getInt(0)
+    assert(frames == 3) // 43 bytes, stride 16 → offsets 0,16,32 hold full 8-byte frames
+  }
+
+  test("langId prefers profile with most hits, alphabetical on ties") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("der die das und", "the of to is", "xyzzy plugh").toDF("text")
+    val preds = df.select(Text.langId(col("text"))).collect().map(_.getString(0)).toSeq
+    assert(preds == Seq("de", "en", "de")) // no hits anywhere → first profile
+  }
+}
