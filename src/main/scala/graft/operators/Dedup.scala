@@ -41,11 +41,15 @@ object Dedup {
     docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** k deterministic minhash values over a shingle array: for each seed,
-    * min over shingles of xxhash64(seed, shingle). */
-  def minhashes(shingleCol: Column, k: Int): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
+  /** k deterministic minhash values from a PRE-HASHED shingle array
+    * (`baseHashes` = one xxhash64 per distinct shingle). Each variable-
+    * length shingle string is hashed ONCE; the k permutations re-hash the
+    * resulting fixed-width long (seeded xxhash64) — ~k× cheaper than k
+    * string-hash passes, and overflow-free under ANSI mode (a wrapping
+    * linear-congruential family would need non-ANSI multiply). */
+  def minhashes(baseHashes: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(baseHashes, h => xxhash64(lit(i), h)))
     }: _*)
 
   /** LSH band keys: split the k minhashes into bands of `rowsPerBand` and
@@ -60,9 +64,13 @@ object Dedup {
   }
 
   /** Exact Jaccard similarity of two (already distinct) arrays. Integer
-    * set sizes → exact double division, engine-independent. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    * set sizes → exact double division, engine-independent. Single
+    * intersect: |A∪B| = |A|+|B|−|A∩B| (half the set-op cost of
+    * intersect+union on the pair-verification hot path). */
+  def jaccard(a: Column, b: Column): Column = {
+    val i = size(array_intersect(a, b))
+    i.cast("double") / (size(a) + size(b) - i)
+  }
 
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     *
@@ -78,35 +86,57 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, id: String = "doc_id", text: String = "text",
                       shingleN: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
                       threshold: Double = 0.8): DataFrame = {
-    val sh = docs.select(
-      col(id).as("__id"),
-      array_distinct(Text.shingles(col(text), shingleN)).as("__sh"))
+    // 1. shingle sets + one base hash per shingle (hashed once, reused k×).
+    //    Repartition first: tokenization/hashing is CPU-bound per doc, and a
+    //    compact parquet input (one row group) would otherwise pin the whole
+    //    corpus to one task regardless of cores.
+    val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col(id).as("__id"),
+        array_distinct(Text.shingles(col(text), shingleN)).as("__sh"))
       .filter(size(col("__sh")) > 0)
+      .withColumn("__bh", transform(col("__sh"), s => xxhash64(s)))
+    // 2. band keys only — signatures and shingles do NOT ride the explode
     val banded = sh
-      .withColumn("__mh", minhashes(col("__sh"), k))
-      .select(col("__id"), col("__sh"),
-        explode(bandKeys(col("__mh"), k, rowsPerBand)).as("__band"))
-    val a = banded.select(col("__band").as("band_a"), col("__id").as("id_a"), col("__sh").as("sh_a"))
-    val b = banded.select(col("__band").as("band_b"), col("__id").as("id_b"), col("__sh").as("sh_b"))
-    a.join(b, col("band_a") === col("band_b") && col("id_a") < col("id_b"))
+      .withColumn("__mh", minhashes(col("__bh"), k))
+      .select(col("__id"), explode(bandKeys(col("__mh"), k, rowsPerBand)).as("__band"))
+    // 3. candidate pairs: bucket self-join on (band idx, band hash), then
+    //    DISTINCT before any verification — a pair sharing m bands must be
+    //    verified once, not m times
+    val a = banded.select(col("__band").as("band_a"), col("__id").as("id_a"))
+    val b = banded.select(col("__band").as("band_b"), col("__id").as("id_b"))
+    val candidates = a.join(b, col("band_a") === col("band_b") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // 4. exact-Jaccard verify on the HASHED sets: set algebra over fixed
+    //    longs instead of variable strings (same counts barring 2^-64
+    //    collisions); each document's set shuffles once per side — never
+    //    k× through the bands
+    val shA = sh.select(col("__id").as("id_a"), col("__bh").as("sh_a"))
+    val shB = sh.select(col("__id").as("id_b"), col("__bh").as("sh_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
       .filter(col("jac") >= threshold)
-      .distinct()
   }
 
   /** 64-bit SimHash of a token array: sign-aggregate each bit of the
     * per-token xxhash64. Computed with bit arithmetic in plain columns —
     * one pass, no UDF. */
-  def simhash(tokensCol: Column): Column = {
-    val hashes = transform(tokensCol, t => xxhash64(t))
+  /** NOTE: evaluates 64 bit-fold passes over `hashesCol`; pass a
+    * pre-materialized hash array (one xxhash64 per token), never an
+    * expression that re-hashes per pass. */
+  def simhashFromHashes(hashesCol: Column): Column = {
     val bits = (0 until 64).map { i =>
-      // count of tokens with bit i set, minus half the total → sign
-      val ones = aggregate(hashes, lit(0L),
+      // count of tokens with bit i set vs total → majority sign
+      val ones = aggregate(hashesCol, lit(0L),
         (acc, h) => acc + shiftright(h, i).bitwiseAND(1L))
-      when(ones * 2 >= size(tokensCol), lit(1L)).otherwise(lit(0L)) * lit(1L << i)
+      when(ones * 2 >= size(hashesCol), lit(1L)).otherwise(lit(0L)) * lit(1L << i)
     }
     bits.reduce(_ + _) // disjoint bit positions: sum == OR
   }
+
+  def simhash(tokensCol: Column): Column =
+    simhashFromHashes(transform(tokensCol, t => xxhash64(t)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -116,9 +146,15 @@ object Dedup {
     * pigeonhole), bucket-join on chunks, verify by full Hamming. */
   def simhashPairs(docs: DataFrame, id: String = "doc_id", text: String = "text",
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(
-      col(id).as("__id"),
-      simhash(Text.tokens(col(text))).as("__sig"))
+    // token hashes materialized once; the 64 bit-folds then reuse them
+    val sigs = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(id).as("__id"),
+        transform(Text.tokens(col(text)), t => xxhash64(t)).as("__th"))
+      .select(col("__id"), simhashFromHashes(col("__th")).as("__sig"))
+    // signatures are 8 bytes — carry them through the chunk explode rather
+    // than re-joining (which would recompute the 64-fold signature once per
+    // join consumer); distinct dedups pairs sharing several chunks
     val chunked = sigs.select(col("__id"), col("__sig"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("i"),

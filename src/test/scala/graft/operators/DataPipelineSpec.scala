@@ -35,7 +35,9 @@ class DataPipelineSpec extends SparkSpec {
   }
 
   test("minhash LSH finds the near-dup pair and the exact dup") {
-    val pairs = Dedup.minhashLshPairs(docs, k = 64, rowsPerBand = 4, threshold = 0.5)
+    // rowsPerBand=2: catch probability at jaccard 0.55 is 1-(1-0.55²)^32 ≈ 1
+    // (r=4 would be ~0.79 — too lossy for a deterministic assertion)
+    val pairs = Dedup.minhashLshPairs(docs, k = 64, rowsPerBand = 2, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
     // docs 1,2 differ in last token: 5/9 trigrams shared → jac ≈ 0.55
