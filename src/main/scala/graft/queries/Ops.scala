@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{Tables, UpdateMerge}
+import graft.functions.Rand
+import graft.hist.Axis
+import graft.lookup.BinnedTable
+import graft.operators.Matching
+import graft.stats.SelectionStats
+import Compat._
+
+/** Remaining reference-operator coverage: the diff-column merge, range-
+  * list filters, deterministic smearing, 2-D veto maps, selection stats
+  * over group combinations, profile summaries, and greedy matching. */
+object Ops {
+
+  def defs: Seq[QueryDef] = Seq(q51, q52, q53, q54, q55, q56, q57)
+
+  /** The diff-column merge as a query (SURVEY §2.4; reference
+    * update_ak_array: columnflow/columnar_util.py:905-990): a calibration
+    * stage emits corrected values for a subset of rows; the merge
+    * overwrites base values where a diff exists and keeps them elsewhere. */
+  val q51 = QueryDef(
+    "q51_diff_merge",
+    oracle = Some("""
+      WITH diff AS (
+        SELECT o_orderkey, o_totalprice * 1.05 AS o_totalprice, TRUE AS calibrated
+        FROM orders WHERE o_orderpriority = '1-URGENT')
+      SELECT o.o_orderpriority,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(COALESCE(d.o_totalprice, o.o_totalprice) AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        SUM(CASE WHEN d.calibrated THEN 1 ELSE 0 END) AS n_calibrated
+      FROM orders o LEFT JOIN diff d ON o.o_orderkey = d.o_orderkey
+      GROUP BY 1
+      ORDER BY o_orderpriority""")) { (s, dir) =>
+    val base = Tables.load(s, dir, "orders")
+    val diff = base.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"),
+        (col("o_totalprice") * 1.05).as("o_totalprice"),
+        lit(true).as("calibrated"))
+    UpdateMerge.merge(base, diff, Seq("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(money(col("o_totalprice"))).as("sum_price"),
+        sum(when(col("calibrated"), 1).otherwise(0)).as("n_calibrated"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Range-list membership filter — the golden-JSON run/lumi filter shape
+    * (reference: columnflow/selection/cms/json_filter.py:43-130): a
+    * broadcast map of valid id-ranges per key, `exists` over the ranges. */
+  val q52 = QueryDef(
+    "q52_range_filter",
+    oracle = Some("""
+      SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+      FROM events
+      WHERE (event_type = 'click' AND (user_id BETWEEN 0 AND 30 OR user_id BETWEEN 50 AND 80))
+         OR (event_type = 'view' AND user_id BETWEEN 10 AND 60)
+         OR (event_type = 'purchase' AND user_id BETWEEN 40 AND 99)
+      GROUP BY 1
+      ORDER BY event_type""")) { (s, dir) =>
+    // the lumi-mask analogue: key → list of inclusive ranges, shipped in
+    // the plan (a real mask would broadcast a parsed JSON payload)
+    val ranges: Map[String, Seq[(Int, Int)]] = Map(
+      "click" -> Seq((0, 30), (50, 80)),
+      "view" -> Seq((10, 60)),
+      "purchase" -> Seq((40, 99)))
+    val rangeArr = map(ranges.toSeq.flatMap { case (k, v) =>
+      Seq(lit(k), array(v.map { case (lo, hi) =>
+        struct(lit(lo).as("lo"), lit(hi).as("hi"))
+      }: _*))
+    }: _*)
+    val ev = Tables.load(s, dir, "events")
+    ev.withColumn("__ranges", element_at(rangeArr, col("event_type")))
+      .filter(col("__ranges").isNotNull &&
+        exists(col("__ranges"), r =>
+          col("user_id") >= r.getField("lo") && col("user_id") <= r.getField("hi")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+      .orderBy("event_type")
+  }
+
+  /** Deterministic per-object gaussian smearing — the JER stochastic smear
+    * (reference: columnflow/calibration/cms/jets.py:917-1224, ak_random
+    * columnflow/calibration/util.py:18-40) with the engine-portable RNG so
+    * the oracle reproduces every smeared value exactly. */
+  val q53 = QueryDef(
+    "q53_gaussian_smear",
+    oracle = Some {
+      val key = "CAST(l_orderkey AS STRING) || '|' || CAST(l_linenumber AS STRING) || '|' || CAST(l_extendedprice AS STRING)"
+      s"""
+      SELECT l_returnflag,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(ROUND(l_quantity * (1 + 0.05 * ${Rand.portableGaussianSql(key)}), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_smeared
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY l_returnflag"""
+    }) { (s, dir) =>
+    // NB: the key concatenation must produce identical strings in both
+    // engines — longs and 2-decimal doubles both print identically.
+    val key = concat_ws("|",
+      col("l_orderkey").cast("string"),
+      col("l_linenumber").cast("string"),
+      col("l_extendedprice").cast("string"))
+    val smeared = round(
+      col("l_quantity") * (lit(1) + lit(0.05) * Rand.portableGaussian(key)), 6)
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(smeared.cast("decimal(18,6)")).as("sum_smeared"))
+      .orderBy("l_returnflag")
+  }
+
+  /** 2-D binned veto map (reference jet veto maps:
+    * columnflow/selection/cms/jets.py:30-205): a literal grid over
+    * (quantity, discount), rows in flagged cells are vetoed. */
+  val q54 = QueryDef(
+    "q54_veto_map",
+    oracle = Some {
+      val lut = vetoLut
+      s"""
+      SELECT l_returnflag,
+        SUM(CASE WHEN ${lut.sql("l_quantity", "l_discount")} = 0 THEN 1 ELSE 0 END) AS n_kept,
+        SUM(CASE WHEN ${lut.sql("l_quantity", "l_discount")} = 1 THEN 1 ELSE 0 END) AS n_vetoed
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY l_returnflag"""
+    }) { (s, dir) =>
+    val lut = vetoLut
+    val flag = lut(col("l_quantity"), col("l_discount"))
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(flag === 0.0, 1).otherwise(0)).as("n_kept"),
+        sum(when(flag === 1.0, 1).otherwise(0)).as("n_vetoed"))
+      .orderBy("l_returnflag")
+  }
+
+  private def vetoLut = BinnedTable.Lookup2D(
+    Axis.Regular("qty", 5, 0.0, 50.0), Axis.Regular("disc", 5, 0.0, 0.1),
+    IndexedSeq(
+      IndexedSeq(0.0, 0.0, 0.0, 1.0, 1.0),
+      IndexedSeq(0.0, 0.0, 0.0, 0.0, 1.0),
+      IndexedSeq(0.0, 0.0, 0.0, 0.0, 0.0),
+      IndexedSeq(1.0, 0.0, 0.0, 0.0, 0.0),
+      IndexedSeq(1.0, 1.0, 0.0, 0.0, 0.0)))
+
+  /** Selection statistics over all group combinations via the library's
+    * grouping-set aggregation (reference increment_stats:
+    * columnflow/selection/stats.py:28-250, combinations :102-118). */
+  val q55 = QueryDef(
+    "q55_selection_stats",
+    oracle = Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        COUNT(*) AS num_events,
+        SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS num_events_selected,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_w,
+        CAST(SUM(CASE WHEN o_totalprice > 200000 THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_w_selected
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""")) { (s, dir) =>
+    SelectionStats.compute(
+      Tables.load(s, dir, "orders"),
+      selected = col("o_totalprice") > 200000,
+      weights = Map("w" -> col("o_totalprice")),
+      groups = Seq("o_orderstatus", "o_orderpriority"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("num_events"), col("num_events_selected"),
+        col("sum_w"), col("sum_w_selected"))
+      .orderBy("status", "priority")
+  }
+
+  /** Profile summary: mean ± σ of y per x-bin from exact moment sums
+    * (reference get_profile_width: columnflow/plotting/plot_util.py:933-954). */
+  val q56 = QueryDef(
+    "q56_profile",
+    oracle = Some {
+      val bin = Axis.Integer("qty", 1, 50).binIdSql("CAST(l_quantity AS INT)")
+      s"""
+      WITH m AS (
+        SELECT $bin AS qty_bin,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+          CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(24,4)) * CAST(l_extendedprice AS DECIMAL(14,4)))) AS DOUBLE) AS s2
+        FROM lineitem GROUP BY 1)
+      SELECT qty_bin, n, s1 / n AS mean,
+        sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd
+      FROM m WHERE n > 1
+      ORDER BY qty_bin"""
+    }) { (s, dir) =>
+    val bin = Axis.Integer("qty", 1, 50).binId(col("l_quantity").cast("int"))
+    Tables.load(s, dir, "lineitem")
+      .groupBy(bin.as("qty_bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(money(col("l_extendedprice"))).as("s1"),
+        floor(sum(col("l_extendedprice").cast("decimal(24,4)") *
+          col("l_extendedprice").cast("decimal(14,4)"))).cast("double").as("s2"))
+      .filter(col("n") > 1)
+      .select(col("qty_bin"), col("n"), (col("s1") / col("n")).as("mean"),
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("sd"))
+      .orderBy("qty_bin")
+  }
+
+  /** Greedy best-first matching with removal between two sub-collections
+    * of the event (reference delta_r_match, SURVEY §7.5 hard part #2).
+    * Sequential per event, embarrassingly parallel across events. The
+    * algorithm is not expressible in the oracle dialect → rows-only here;
+    * MatchingSpec pins the semantics against hand-computed cases. */
+  val q57 = QueryDef(
+    "q57_greedy_match",
+    oracle = None) { (s, dir) =>
+    val ev = Nested.nestedOrders(s, dir)
+    val evens = filter(col("items"), it => it.getField("l_linenumber") % 2 === 0)
+    val odds = filter(col("items"), it => it.getField("l_linenumber") % 2 === 1)
+    val pairs = Matching.candidatePairs(evens, odds,
+      (a, b) => abs(a.getField("l_extendedprice") - b.getField("l_extendedprice")))
+    val matches = Matching.greedyMatch(pairs, maxMetric = 20000.0)
+    ev.select(col("o_orderkey"), matches.as("m"))
+      .filter(size(col("m")) > 0)
+      .select(
+        col("o_orderkey"),
+        size(col("m")).cast("long").as("n_matched"),
+        round(aggregate(col("m"), lit(0.0), (acc, p) => acc + p.getField("m")), 4).as("sum_metric"))
+      .orderBy("o_orderkey")
+  }
+}

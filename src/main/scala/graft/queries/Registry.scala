@@ -4,7 +4,8 @@ package graft.queries
   * and Bench derive their maps from here so the three stay in sync. */
 object Registry {
   def all: Seq[QueryDef] =
-    Relational.defs ++ Events.defs ++ Nested.defs ++ DataPipeline.defs ++ Physics.defs
+    Relational.defs ++ Events.defs ++ Nested.defs ++ DataPipeline.defs ++
+      Physics.defs ++ Ops.defs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     all.map(q => q.name -> q.fn).toMap
