@@ -25,13 +25,18 @@ object Nested {
 
   /** orders + sorted lineitem collection, the A1-fixture analogue. Struct
     * field order starts with l_linenumber so sort_array gives the stable
-    * in-order layout the reference assumes of its collections. */
-  def nestedOrders(s: SparkSession, dir: String): DataFrame = {
+    * in-order layout the reference assumes of its collections.
+    *
+    * @param fields item-struct members to collect — callers must pass only
+    *   what they read: the collect_list shuffle carries every field for
+    *   every row, so unused fields are pure shuffle volume at scale (the
+    *   reference's read-set pruning, SURVEY §4 column pruning). */
+  def nestedOrders(s: SparkSession, dir: String,
+                   fields: Seq[String] = Seq("l_linenumber", "l_quantity",
+                     "l_extendedprice", "l_discount", "l_tax", "l_returnflag")): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
     val items = li.groupBy("l_orderkey").agg(
-      sort_array(collect_list(struct(
-        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
-        col("l_discount"), col("l_tax"), col("l_returnflag")))).as("items"))
+      sort_array(collect_list(struct(fields.map(col): _*))).as("items"))
     Tables.load(s, dir, "orders")
       .join(items, col("o_orderkey") === col("l_orderkey"), "left")
       .drop("l_orderkey")
@@ -50,7 +55,7 @@ object Nested {
       GROUP BY o_orderkey, o_orderpriority
       ORDER BY o_orderkey"""),
     bench = true) { (s, dir) =>
-    nestedOrders(s, dir).select(
+    nestedOrders(s, dir, Seq("l_linenumber", "l_quantity")).select(
       col("o_orderkey"), col("o_orderpriority"),
       size(col("items")).cast("long").as("n_items"),
       Kinematics.scalarSum(col("items.l_quantity")).as("sum_qty"))
@@ -76,7 +81,8 @@ object Nested {
       WHERE n_sel >= 2 AND o_totalprice > 100000
       ORDER BY o_orderkey"""),
     bench = true) { (s, dir) =>
-    val ev = nestedOrders(s, dir)
+    val ev = nestedOrders(s, dir,
+      Seq("l_linenumber", "l_quantity", "l_extendedprice", "l_discount"))
     // Selector: object mask over the collection + event-level steps.
     val objMask: Column => Column =
       it => it.getField("l_quantity") >= 30 && it.getField("l_discount") <= 0.05
@@ -114,7 +120,7 @@ object Nested {
       FROM orders LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
         ON o_orderkey = r.l_orderkey
       ORDER BY o_orderkey""")) { (s, dir) =>
-    val ev = nestedOrders(s, dir)
+    val ev = nestedOrders(s, dir, Seq("l_linenumber", "l_quantity", "l_extendedprice"))
     val selected = filter(col("items"), it => it.getField("l_quantity") >= 45)
     // sort by (-price, linenumber): the reference's pt-ordered indices
     // (sorted_indices_from_mask, columnflow/columnar_util.py:1134-1161).
@@ -240,7 +246,8 @@ object Nested {
       FROM pairs
       GROUP BY l_orderkey
       ORDER BY o_orderkey""")) { (s, dir) =>
-    val ev = nestedOrders(s, dir).filter(size(col("items")) >= 2)
+    val ev = nestedOrders(s, dir, Seq("l_extendedprice"))
+      .filter(size(col("items")) >= 2)
     // Identity is the array position, not l_linenumber (which is NOT unique
     // per order in the testdata) — mirrors ak.local_index
     // (reference: columnflow/production/util.py:159).

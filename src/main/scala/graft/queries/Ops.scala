@@ -215,7 +215,7 @@ object Ops {
   val q57 = QueryDef(
     "q57_greedy_match",
     oracle = None) { (s, dir) =>
-    val ev = Nested.nestedOrders(s, dir)
+    val ev = Nested.nestedOrders(s, dir, Seq("l_linenumber", "l_extendedprice"))
     val evens = filter(col("items"), it => it.getField("l_linenumber") % 2 === 0)
     val odds = filter(col("items"), it => it.getField("l_linenumber") % 2 === 1)
     val pairs = Matching.candidatePairs(evens, odds,

@@ -39,7 +39,8 @@ object Physics {
       FROM lineitem GROUP BY 2
       ORDER BY shift, o_orderkey"""),
     bench = true) { (s, dir) =>
-    val ev = nestedOrders(s, dir).filter(size(col("items")) > 0)
+    val ev = nestedOrders(s, dir, Seq("l_extendedprice", "l_discount", "l_tax"))
+      .filter(size(col("items")) > 0)
     // calibrator: nominal + up/down variations per object
     val calibrated = SchemaOps.mapCollection(ev, "items", it => {
       val nominal = it.getField("l_extendedprice") * (lit(1) - it.getField("l_discount"))

@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan assertions: these lock in the properties that make the
+  * queries survive a 100× scale-up — filters reaching the parquet scan,
+  * column pruning, broadcast (not shuffle) joins for dimension lookups.
+  * A regression here doesn't fail correctness, it fails at 100 TB.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Registry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q2: predicate pushed to parquet scan, schema pruned") {
+    val p = plan("q2_scan_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_shipdate), GreaterThanOrEqual(l_quantity,48"),
+      s"missing pushed filters in:\n$p")
+    // only the 4 selected + 2 filter columns are read, not all 11
+    assert(p.contains("ReadSchema") && !p.contains("l_returnflag"),
+      "scan reads columns the query never uses")
+  }
+
+  test("q3: all three dimension joins broadcast; fact side never shuffles for the join") {
+    val p = plan("q3_dim_join_revenue")
+    assert(p.split("BroadcastHashJoin").length - 1 == 3, s"expected 3 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dimension join fell back to a shuffle join")
+  }
+
+  test("q20: nested build reads only the columns the query needs") {
+    val p = plan("q20_nested_counts")
+    assert(!p.contains("l_extendedprice") && !p.contains("l_shipdate"),
+      "collect_list carries columns the query never uses")
+  }
+
+  test("q38: query set is broadcast, corpus side has no shuffle before scoring") {
+    val p = plan("q38_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"ANN corpus join is not broadcast:\n$p")
+  }
+
+  test("q1: aggregation is partial (map-side) before the single shuffle") {
+    val p = plan("q1_pricing_summary")
+    // HashAggregate appears twice: partial + final
+    assert(p.split("HashAggregate").length - 1 >= 2, s"no partial aggregation:\n$p")
+    assert(p.split("Exchange").length - 1 <= 2, s"too many shuffles:\n$p")
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    // codegen stages ('*(n)' prefixes) only appear in the FINAL adaptive
+    // plan, so execute before inspecting
+    val df = Registry.queries("q2_scan_pushdown")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"hot path fell out of codegen:\n$p")
+  }
+}
