@@ -13,7 +13,7 @@ import graft.operators.{Dedup, Multimodal, Similarity}
 object DataPipeline {
 
   def defs: Seq[QueryDef] = Seq(
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58)
 
   // ---- text analysis ----
 
@@ -229,6 +229,32 @@ object DataPipeline {
       Tables.load(s, dir, "embeddings"), threshold = 0.4, cell = "label")
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos6"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** Per-cell embedding centroids — the IVF coarse-quantizer training step
+    * (distributed vector mean): explode to (label, dim, component), group,
+    * exact decimal mean. One shuffle of scalar triples; at 100 TB the
+    * partial aggregation reduces each partition to nCells×dim rows before
+    * the exchange. */
+  val q58 = QueryDef(
+    "q58_embedding_centroids",
+    oracle = Some("""
+      SELECT label, pos,
+        CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE) / 10000000.0 / COUNT(*) AS centroid
+      FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY 1, 2
+      ORDER BY label, pos""")) { (s, dir) =>
+    // components quantized to an exact 1e-7 integer grid before summing:
+    // integer sums are order-free and both engines convert them to double
+    // identically (decimal casts of raw float components are NOT
+    // cross-engine reproducible — see Compat scaladoc)
+    Tables.load(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .groupBy(col("label"), (col("pos0") + 1).as("pos"))
+      .agg((sum(round(col("v").cast("double") * 10000000.0).cast("long")).cast("double") /
+        10000000.0 / count(lit(1))).as("centroid"))
+      .orderBy("label", "pos")
   }
 
   // ---- multimodal ----

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming transforms for the event-stream shape of the
+  * testdata (`events`: event_id, ts, user_id, event_type, value).
+  *
+  * The reference is batch-only (SURVEY §2.10) — this layer is part of the
+  * beyond-reference surface: the same rollup/sessionization semantics the
+  * batch queries q15/q19 verify, expressed as incremental streaming plans.
+  * State size is bounded by the watermark: late data beyond it is dropped
+  * and completed windows/sessions are evicted, which is what makes these
+  * viable as always-on jobs over an unbounded 100 TB/day firehose.
+  *
+  * All transforms take/return DataFrames, so they run identically on a
+  * `readStream` source and (for testing) on a batch frame via the same
+  * code path with `groupBy` — semantics verified in StreamingSpec with
+  * MemoryStream feeds.
+  */
+object EventStream {
+
+  /** Tumbling-window rollup per event type: the streaming twin of
+    * q15_daily_rollup. Emits one row per (window, event_type) with count
+    * and an exact decimal value sum. */
+  def windowedRollup(events: DataFrame, ts: String = "ts",
+                     windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(ts, watermark)
+      .groupBy(window(col(ts), windowLen), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+
+  /** Gap-based session windows per user: the streaming twin of
+    * q19_sessionize (30-minute inactivity gap). `session_window` keeps one
+    * state entry per open session; the watermark closes and emits them. */
+  def sessionizedActivity(events: DataFrame, ts: String = "ts",
+                          gap: String = "30 minutes",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(ts, watermark)
+      .groupBy(session_window(col(ts), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+
+  /** Streaming dedup on event identity within the watermark horizon —
+    * exactly-once semantics over an at-least-once source. */
+  def dedup(events: DataFrame, ts: String = "ts",
+            watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(ts, watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+}
