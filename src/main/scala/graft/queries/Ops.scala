@@ -14,7 +14,7 @@ import Compat._
   * over group combinations, profile summaries, and greedy matching. */
 object Ops {
 
-  def defs: Seq[QueryDef] = Seq(q51, q52, q53, q54, q55, q56, q57)
+  def defs: Seq[QueryDef] = Seq(q51, q52, q53, q54, q55, q56, q57, q59, q60)
 
   /** The diff-column merge as a query (SURVEY §2.4; reference
     * update_ak_array: columnflow/columnar_util.py:905-990): a calibration
@@ -205,6 +205,62 @@ object Ops {
       .select(col("qty_bin"), col("n"), (col("s1") / col("n")).as("mean"),
         sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("sd"))
       .orderBy("qty_bin")
+  }
+
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`); rounded to absorb the engines' different
+    * interpolation op order. At 100 TB exact percentiles need a full sort
+    * per group — `approx_percentile` (t-digest) is the scale path, used
+    * here as a sanity column bounded by the exact values. */
+  val q59 = QueryDef(
+    "q59_percentiles",
+    oracle = Some("""
+      SELECT l_returnflag,
+        ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY l_returnflag""")) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("price_p99"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Histogram merge across partial fills (reference MergeHistograms:
+    * columnflow/tasks/histograms.py:449-490): two disjoint fills union +
+    * re-aggregate to exactly the single-pass fill — the file-axis merge
+    * that lets 100 TB histogram in independent chunks. */
+  val q60 = QueryDef(
+    "q60_hist_merge",
+    oracle = Some {
+      val ax = Axis.Regular("price", 20, 0.0, 500000.0)
+      val bin = ax.binIdSql("o_totalprice")
+      s"""
+      WITH parts AS (
+        SELECT $bin AS price_bin,
+          CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS w_even,
+          CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS w_odd,
+          COUNT(*) AS n
+        FROM orders GROUP BY 1)
+      SELECT price_bin, COALESCE(w_even, 0.0) + COALESCE(w_odd, 0.0) AS sumw, n
+      FROM parts
+      ORDER BY price_bin"""
+    }) { (s, dir) =>
+    import graft.hist.HistTable
+    val ax = Axis.Regular("price", 20, 0.0, 500000.0)
+    val ord = Tables.load(s, dir, "orders")
+    val parts = Seq(0, 1).map { parity =>
+      HistTable.fill(ord.filter(pmod(col("o_orderkey"), lit(2)) === parity),
+        Seq(ax -> col("o_totalprice")), weight = col("o_totalprice"))
+    }
+    HistTable.merge(parts)
+      .select(col("price_bin"), col("sumw"), col("n"))
+      .orderBy("price_bin")
   }
 
   /** Greedy best-first matching with removal between two sub-collections
