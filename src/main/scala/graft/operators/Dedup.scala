@@ -90,6 +90,12 @@ object Dedup {
     //    Repartition first: tokenization/hashing is CPU-bound per doc, and a
     //    compact parquet input (one row group) would otherwise pin the whole
     //    corpus to one task regardless of cores.
+    //    The hash table is consumed 3× in this plan (banding + both verify
+    //    sides) — persist it so shingling/hashing runs once per document,
+    //    not once per consumer. MEMORY_AND_DISK: at corpus scale the table
+    //    spills instead of recomputing (same choice as Spark ML's
+    //    MinHashLSHModel); in a staged pipeline, checkpoint via
+    //    `Pipeline.stage` instead and drop this cache.
     val sh = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(
@@ -97,6 +103,7 @@ object Dedup {
         array_distinct(Text.shingles(col(text), shingleN)).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .withColumn("__bh", transform(col("__sh"), s => xxhash64(s)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 2. band keys only — signatures and shingles do NOT ride the explode
     val banded = sh
       .withColumn("__mh", minhashes(col("__bh"), k))
@@ -147,11 +154,14 @@ object Dedup {
   def simhashPairs(docs: DataFrame, id: String = "doc_id", text: String = "text",
                    maxHamming: Int = 3): DataFrame = {
     // token hashes materialized once; the 64 bit-folds then reuse them
+    // persist: the 64-bit-fold signature is consumed by both join sides;
+    // without the cache it is computed twice per document.
     val sigs = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(id).as("__id"),
         transform(Text.tokens(col(text)), t => xxhash64(t)).as("__th"))
       .select(col("__id"), simhashFromHashes(col("__th")).as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // signatures are 8 bytes — carry them through the chunk explode rather
     // than re-joining (which would recompute the 64-fold signature once per
     // join consumer); distinct dedups pairs sharing several chunks
