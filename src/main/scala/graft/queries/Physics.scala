@@ -49,16 +49,24 @@ object Physics {
         "price_cal_tax_up" -> nominal * (lit(1) + it.getField("l_tax")),
         "price_cal_tax_down" -> nominal * (lit(1) - it.getField("l_tax")))
     })
+    // All shifts evaluate in ONE pass over the shared calibration build:
+    // each shift's alias map names the source column it would read under
+    // the nominal name — resolve that route, aggregate every shift as a
+    // sibling expression (one scan, one shuffle), then unpivot. N
+    // systematics cost N columns, never N passes over the data.
+    val target = Route("items.price_cal")
     val shifts = Shift.Nominal +: Shift.pair("tax", "items.price_cal")
-    shifts.map { sh =>
-      val df = sh(calibrated)
-      df.select(
-        lit(sh.name).as("shift"),
-        col("o_orderkey"),
-        aggregate(col("items.price_cal"), lit(0).cast("decimal(28,6)"),
+    val entries = shifts.flatMap { sh =>
+      val src = sh.aliases.collectFirst { case (s0, `target`) => s0 }.getOrElse(target)
+      Seq(lit(sh.name),
+        aggregate(col(src.toString), lit(0).cast("decimal(28,6)"),
           (acc, x) => (acc + x.cast("decimal(18,6)")).cast("decimal(28,6)"))
-          .cast("double").as("sum_cal"))
-    }.reduce(_ unionByName _).orderBy("shift", "o_orderkey")
+          .cast("double"))
+    }
+    calibrated
+      .select(col("o_orderkey"), explode(map(entries: _*)))
+      .select(col("key").as("shift"), col("o_orderkey"), col("value").as("sum_cal"))
+      .orderBy("shift", "o_orderkey")
   }
 
   /** Transverse-sum / MET-propagation shape: per-object (pt, φ) → event
