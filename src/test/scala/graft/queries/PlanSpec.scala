@@ -48,6 +48,20 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Exchange").length - 1 <= 2, s"too many shuffles:\n$p")
   }
 
+  test("q42: all shifts share one scan — no per-shift Union of re-reads") {
+    val p = plan("q42_calibrator_shifts")
+    assert(!p.contains("Union"), s"shift family re-reads the data per shift:\n$p")
+    // one nested build (partial+final objagg), not one per shift
+    assert(p.split("collect_list").length - 1 <= 2, s"nested build duplicated:\n$p")
+  }
+
+  test("q62: envelope members partial-aggregate before the single shuffle") {
+    val p = plan("q62_scale_envelope")
+    assert(p.split("HashAggregate").length - 1 >= 2, s"no partial aggregation:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "envelope should be a pure aggregation, not a join")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // codegen stages ('*(n)' prefixes) only appear in the FINAL adaptive
     // plan, so execute before inspecting
