@@ -86,6 +86,32 @@ object HistTable {
       .agg(sum("sumw").as("sumw"), sum("sumw2").as("sumw2"), sum("n").as("n"))
   }
 
+  /** Category-bin selection over a category DAG (reference
+    * select_category_bins: columnflow/hist_util.py:418-515, ensure_bin_exists
+    * :482, merge_axis_bins :563): each requested category id prefers its own
+    * bin when the table has one (parent preference); otherwise its leaves'
+    * bins are re-summed under the parent's id. The distinct-value collect is
+    * O(nBins) on an already-tiny bin table, never on event data. */
+  def selectCategories(hist: DataFrame, axis: String, requested: Seq[Long],
+                       dag: Map[Long, Seq[Long]]): DataFrame = {
+    val bin = s"${axis}_bin"
+    val present = hist.select(col(bin).cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    def leaves(c: Long): Seq[Long] =
+      dag.get(c).filter(_.nonEmpty).map(_.flatMap(leaves)).getOrElse(Seq(c))
+    val others = hist.columns.filter(c => c.endsWith("_bin") && c != bin).toSeq
+    val slices = requested.map { c =>
+      if (present(c)) hist.filter(col(bin) === c)
+      else
+        hist.filter(col(bin).isin(leaves(c): _*))
+          .groupBy(others.map(col): _*)
+          .agg(sum("sumw").as("sumw"), sum("sumw2").as("sumw2"), sum("n").as("n"))
+          .withColumn(bin, lit(c).cast(hist.schema(bin).dataType))
+          .select(hist.columns.map(col).toSeq: _*)
+    }
+    slices.reduce(_ unionByName _)
+  }
+
   /** Relabel an int-category bin axis with names from a dim table —
     * (reference translate_hist_intcat_to_strcat:
     * columnflow/hist_util.py:307-329). `mapping` is (id:int, name:string). */

@@ -54,6 +54,32 @@ class HistTableSpec extends SparkSpec {
     assert(projected == grab(HistTable.fill(df, Seq(ax -> col("x")), col("w"))))
   }
 
+  test("selectCategories: parent preference, leaf re-sum, DAG recursion") {
+    val s = spark
+    import s.implicits._
+    // bin table over a category axis with ids 1, 2, 3 and a 2-D shape
+    val axc = Axis.Integer("catid", 0, 100)
+    val h = HistTable.fill(
+      df.withColumn("cid", when(col("cat") === "a", 1L).otherwise(2L)),
+      Seq(axc -> col("cid"), ax -> col("x")), col("w"))
+    val dag = Map(10L -> Seq(1L, 2L), 20L -> Seq(10L))
+
+    // 10 has no bin of its own → leaves 1+2 re-summed under id 10
+    val out = HistTable.selectCategories(h, "catid", Seq(10L), dag)
+      .groupBy().agg(sum("sumw"), sum("n")).head
+    assert(out.getDouble(0) == 11.0 && out.getLong(1) == 5L)
+
+    // nested DAG: 20 → 10 → (1, 2) resolves through the intermediate node
+    val nested = HistTable.selectCategories(h, "catid", Seq(20L), dag)
+      .groupBy().agg(sum("sumw")).head
+    assert(nested.getDouble(0) == 11.0)
+
+    // parent preference: a category with its own bin is passed through
+    val own = HistTable.selectCategories(h, "catid", Seq(1L), dag)
+      .groupBy().agg(sum("sumw"), sum("n")).head
+    assert(own.getDouble(0) == 6.0 && own.getLong(1) == 3L)
+  }
+
   test("relabel joins bin ids to names") {
     val s = spark
     import s.implicits._
