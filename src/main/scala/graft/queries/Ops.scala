@@ -14,7 +14,7 @@ import Compat._
   * over group combinations, profile summaries, and greedy matching. */
 object Ops {
 
-  def defs: Seq[QueryDef] = Seq(q51, q52, q53, q54, q55, q56, q57, q59, q60)
+  def defs: Seq[QueryDef] = Seq(q51, q52, q53, q54, q55, q56, q57, q59, q60, q65)
 
   /** The diff-column merge as a query (SURVEY §2.4; reference
     * update_ak_array: columnflow/columnar_util.py:905-990): a calibration
@@ -284,5 +284,42 @@ object Ops {
         size(col("m")).cast("long").as("n_matched"),
         round(aggregate(col("m"), lit(0.0), (acc, p) => acc + p.getField("m")), 4).as("sum_metric"))
       .orderBy("o_orderkey")
+  }
+
+  /** The ML evaluate boundary as a query (reference MLEvaluation:
+    * columnflow/tasks/ml.py:568 — chunked model.evaluate appending score
+    * columns): a fixed linear "model" scores each embedding partition-wise
+    * through `ml/Evaluator` — one mapPartitions, no shuffle, no driver
+    * round-trip. Decimal accumulation keeps the score order-independent;
+    * per-term rounding at 1e-9 follows the established libm/round policy. */
+  val q65 = QueryDef(
+    "q65_ml_score",
+    oracle = Some("""
+      SELECT vec_id,
+        CAST(SUM(CAST(ROUND(CAST(e AS DOUBLE) * s, 9) AS DECIMAL(18,9))) AS DOUBLE) AS score
+      FROM (SELECT vec_id, UNNEST(embedding) AS e,
+              generate_subscripts(embedding, 1) AS s FROM embeddings) u
+      GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val model = new graft.ml.Evaluator {
+      val outputSchema = StructType(Seq(StructField("score", DoubleType)))
+      def evaluate(rows: Iterator[Row]): Iterator[Row] = rows.map { r =>
+        val emb = r.getAs[scala.collection.Seq[Float]]("embedding")
+        var acc = java.math.BigDecimal.ZERO
+        var i = 0
+        while (i < emb.length) {
+          // BigDecimal.valueOf + HALF_UP == Spark's round(); weight = 1-based dim index
+          acc = acc.add(java.math.BigDecimal.valueOf(emb(i).toDouble * (i + 1))
+            .setScale(9, java.math.RoundingMode.HALF_UP))
+          i += 1
+        }
+        Row(acc.doubleValue)
+      }
+    }
+    graft.ml.Evaluator.score(
+      Tables.load(s, dir, "embeddings").select("vec_id", "embedding"), model)
+      .select("vec_id", "score")
+      .orderBy("vec_id")
   }
 }
