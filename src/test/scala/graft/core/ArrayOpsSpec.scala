@@ -63,4 +63,33 @@ class ArrayOpsSpec extends SparkSpec {
       array(lit(true), lit(true), lit(true)), key)
     assert(seqOf[Int](idx) == Seq(1, 2, 3))
   }
+
+  test("round-trip laws hold on 100 random shapes (one Spark pass)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(42)
+    val cases = (1 to 100).map { i =>
+      val n = rng.nextInt(8) // 0..7 elements
+      val mask = Vector.fill(n)(rng.nextBoolean())
+      val values = Vector.fill(mask.count(identity))(rng.nextInt(1000))
+      val key = Vector.fill(n)(rng.nextDouble())
+      val template = Vector.fill(rng.nextInt(4))(Vector.fill(rng.nextInt(4))(rng.nextInt(9)))
+      (i, mask, values, key, template)
+    }
+    val df = cases.toDF("i", "mask", "values", "key", "template")
+    val bad = df.select(
+      col("i"),
+      // law 1: scatter then gather returns the compact values
+      (filter(ArrayOps.embedWithMask(col("values"), col("mask"), lit(null)),
+        _.isNotNull) === col("values")).as("embed_rt"),
+      // law 2: indices -> mask -> same true positions, any sort key
+      (ArrayOps.maskFromIndices(
+        ArrayOps.sortedIndicesFromMask(col("mask"), col("key")),
+        size(col("mask"))) === col("mask")).as("mask_rt"),
+      // law 3: re-ragging a flattened array by its own layout is identity
+      (ArrayOps.layoutLike(flatten(col("template")), col("template"))
+        === col("template")).as("layout_rt"))
+      .filter(!col("embed_rt") || !col("mask_rt") || !col("layout_rt"))
+    assert(bad.count() == 0, s"law violations: ${bad.collect().mkString(", ")}")
+  }
 }
