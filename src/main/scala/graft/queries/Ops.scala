@@ -270,7 +270,38 @@ object Ops {
     * MatchingSpec pins the semantics against hand-computed cases. */
   val q57 = QueryDef(
     "q57_greedy_match",
-    oracle = None) { (s, dir) =>
+    // The greedy algorithm itself, restated as a recursive CTE: each step's
+    // LATERAL argmin picks the best remaining pair exactly like the fold's
+    // (m, i, j) order, so even the double accumulation order matches.
+    oracle = Some("""
+      WITH RECURSIVE items AS (
+        SELECT l_orderkey AS k, l_extendedprice AS p,
+          ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber % 2
+                             ORDER BY l_linenumber, l_extendedprice) - 1 AS idx,
+          l_linenumber % 2 AS par
+        FROM lineitem),
+      cands AS (
+        SELECT e.k, e.idx AS i, o.idx AS j, ABS(e.p - o.p) AS m
+        FROM items e JOIN items o ON e.k = o.k AND e.par = 0 AND o.par = 1
+        WHERE ABS(e.p - o.p) <= 20000.0),
+      rec AS (
+        SELECT k, CAST([] AS BIGINT[]) AS ui, CAST([] AS BIGINT[]) AS uj,
+               CAST(0.0 AS DOUBLE) AS sm, 0 AS nm
+        FROM (SELECT DISTINCT k FROM cands)
+        UNION ALL
+        SELECT r.k, list_append(r.ui, c.i), list_append(r.uj, c.j),
+               r.sm + c.m, r.nm + 1
+        FROM rec r, LATERAL (
+          SELECT i, j, m FROM cands c
+          WHERE c.k = r.k AND NOT list_contains(r.ui, c.i)
+            AND NOT list_contains(r.uj, c.j)
+          ORDER BY m, i, j LIMIT 1) c)
+      SELECT k AS o_orderkey, CAST(nm AS BIGINT) AS n_matched,
+             ROUND(sm, 4) AS sum_metric
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY nm DESC) AS rn
+            FROM rec)
+      WHERE rn = 1 AND nm > 0
+      ORDER BY o_orderkey""")) { (s, dir) =>
     val ev = Nested.nestedOrders(s, dir, Seq("l_linenumber", "l_extendedprice"))
     val evens = filter(col("items"), it => it.getField("l_linenumber") % 2 === 0)
     val odds = filter(col("items"), it => it.getField("l_linenumber") % 2 === 1)
