@@ -62,6 +62,21 @@ class PlanSpec extends SparkSpec {
       "envelope should be a pure aggregation, not a join")
   }
 
+  test("registry sweep: no query plans a cartesian product or an unexpected NLJ") {
+    // ANN/near-dup queries intentionally broadcast-NLJ a small query set
+    // against the corpus; everything else must stay equi-join shaped.
+    val nljAllowed = Set("q38_ann_bruteforce", "q39_ann_ivf", "q40_embedding_dedup")
+    val offenders = Registry.all.flatMap { q =>
+      val p =
+        try Registry.queries(q.name)(spark, dir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"${q.name} failed to plan: ${e.getMessage}") }
+      val cartesian = p.contains("CartesianProduct")
+      val nlj = p.contains("BroadcastNestedLoopJoin") && !nljAllowed(q.name)
+      if (cartesian || nlj) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian/NLJ plans: $offenders")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // codegen stages ('*(n)' prefixes) only appear in the FINAL adaptive
     // plan, so execute before inspecting
