@@ -52,4 +52,28 @@ object EventStream {
             watermark: String = "2 hours"): DataFrame =
     events.withWatermark(ts, watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Incremental histogram fill: the streaming twin of `HistTable.fill`,
+    * windowed so state stays bounded. Each emitted row is a bin-table
+    * fragment `(window, <axis>_bin…, sumw, sumw2, n)`; downstream,
+    * `HistTable.merge` (drop/project the window) re-aggregates fragments
+    * into the batch-identical histogram — the same partial-fill ≡ one-pass
+    * law q60 proves for batch. */
+  def histFill(events: DataFrame, axes: Seq[(graft.hist.Axis, Column)],
+               weight: Column = lit(1.0), ts: String = "ts",
+               windowLen: String = "1 hour",
+               watermark: String = "2 hours"): DataFrame = {
+    val binCols = axes.map { case (ax, v) => ax.binId(v).as(s"${ax.name}_bin") }
+    val w = graft.queries.Compat.money(weight)
+    events
+      .withWatermark(ts, watermark)
+      .select(col(ts) +: binCols :+ w.as("__w"): _*)
+      .filter(axes.map(a => col(s"${a._1.name}_bin").isNotNull)
+        .reduceOption(_ && _).getOrElse(lit(true)))
+      .groupBy(window(col(ts), windowLen) +: axes.map(a => col(s"${a._1.name}_bin")): _*)
+      .agg(
+        sum(col("__w")).cast("double").as("sumw"),
+        sum(col("__w") * col("__w")).cast("double").as("sumw2"),
+        count(lit(1)).as("n"))
+  }
 }

@@ -56,6 +56,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count(_.getAs[Long]("user_id") == 8L) == 1)
   }
 
+  test("streaming hist fill fragments re-merge to the batch histogram") {
+    import graft.hist.{Axis, HistTable}
+    val ax = Axis.Regular("value", 4, 0.0, 8.0)
+    val evs = Seq(
+      Ev(1, t(5), 1, "click", 1.0), Ev(2, t(20), 1, "click", 1.5), // bin 0
+      Ev(3, t(70), 1, "click", 5.0),                               // bin 2, next window
+      Ev(4, t(75), 1, "click", 99.0))                              // overflow bin
+    // no pre-watermark filter: the runStream tick must reach the watermark
+    // node to close the real windows; its own window stays open and is
+    // never emitted, so it drops out of the append-mode result naturally
+    val frags = runStream(evs,
+      df => EventStream.histFill(df, Seq(ax -> col("value")), weight = col("value")))
+    // windowed fragments collapse to the one-pass batch fill via merge
+    val s = spark
+    import s.implicits._
+    val merged = HistTable.merge(Seq(frags.map(r =>
+      (r.getAs[Int]("value_bin"), r.getAs[Double]("sumw"),
+        r.getAs[Double]("sumw2"), r.getAs[Long]("n")))
+      .toDF("value_bin", "sumw", "sumw2", "n")))
+    val batch = HistTable.fill(evs.toDF(), Seq(ax -> col("value")),
+      weight = col("value"))
+    val a = merged.orderBy("value_bin").collect().map(_.toSeq)
+    val b = batch.orderBy("value_bin").collect().map(_.toSeq)
+    assert(a.sameElements(b), s"streaming ${a.toSeq} != batch ${b.toSeq}")
+  }
+
   test("streaming dedup drops replayed event ids within the watermark") {
     val evs = Seq(
       Ev(1, t(0), 1, "click", 1.0), Ev(1, t(1), 1, "click", 1.0), // replay
