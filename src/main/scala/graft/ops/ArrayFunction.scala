@@ -25,34 +25,75 @@ trait ArrayFunction {
   /** Routes written, or other ArrayFunctions whose write set is inherited. */
   def produces: Set[Dep] = Set.empty
 
-  /** Transitive leaf read set. */
-  final def usedRoutes: Set[Route] = resolve(_.uses, Set(this.name))
-  final def producedRoutes: Set[Route] = resolve(_.produces, Set(this.name))
+  /** Transitive leaf read set (required routes only). */
+  final def usedRoutes: Set[Route] = usedRoutes(DatasetCtx.default)
+  final def usedRoutes(ctx: DatasetCtx): Set[Route] =
+    resolve(_.uses, Set(this.name), ctx, optional = false)
+  final def producedRoutes: Set[Route] = producedRoutes(DatasetCtx.default)
+  final def producedRoutes(ctx: DatasetCtx): Set[Route] =
+    resolve(_.produces, Set(this.name), ctx, optional = false)
 
-  private def resolve(sel: ArrayFunction => Set[Dep], seen: Set[String]): Set[Route] =
-    sel(this).flatMap {
-      case Dep.R(r) => Set(r)
-      case Dep.F(f) =>
-        require(!seen(f.name), s"cyclic operator dependency at ${f.name}")
-        f.resolve(sel, seen + f.name)
-    }
+  /** Optional read routes (reference optional_column:
+    * columnflow/columnar_util.py:2503): read when present, never required. */
+  final def optionalRoutes(ctx: DatasetCtx = DatasetCtx.default): Set[Route] =
+    resolve(_.uses, Set(this.name), ctx, optional = true)
 
-  /** Runtime schema validation, mirroring the reference's call-time checks. */
-  protected def checkUses(df: DataFrame): Unit = {
-    val missing = usedRoutes.filterNot(_.existsIn(df.schema))
+  /** The scan projection for a frame: required ∪ (optional ∩ present) —
+    * the reference's read-set computation (columnflow/tasks/selection.py
+    * :171-176). */
+  final def readSet(df: DataFrame, ctx: DatasetCtx = DatasetCtx.default): Set[Route] =
+    usedRoutes(ctx) ++ optionalRoutes(ctx).filter(_.existsIn(df.schema))
+
+  private def resolve(sel: ArrayFunction => Set[Dep], seen: Set[String],
+                      ctx: DatasetCtx, optional: Boolean): Set[Route] =
+    sel(this).flatMap(resolveDep(_, sel, seen, ctx, optional))
+
+  private def resolveDep(d: Dep, sel: ArrayFunction => Set[Dep], seen: Set[String],
+                         ctx: DatasetCtx, optional: Boolean): Set[Route] = d match {
+    case Dep.R(r)   => if (optional) Set.empty else Set(r)
+    case Dep.Opt(r) => if (optional) Set(r) else Set.empty
+    case Dep.If(cond, inner) =>
+      if (cond(ctx)) resolveDep(inner, sel, seen, ctx, optional) else Set.empty
+    case Dep.F(f) =>
+      require(!seen(f.name), s"cyclic operator dependency at ${f.name}")
+      f.resolve(sel, seen + f.name, ctx, optional)
+  }
+
+  /** Runtime schema validation, mirroring the reference's call-time checks
+    * (optional routes are exempt, like the reference's tagged columns). */
+  protected def checkUses(df: DataFrame, ctx: DatasetCtx = DatasetCtx.default): Unit = {
+    val missing = usedRoutes(ctx).filterNot(_.existsIn(df.schema))
     require(missing.isEmpty, s"$name: missing input routes ${missing.mkString(", ")}")
   }
-  protected def checkProduces(df: DataFrame): Unit = {
-    val missing = producedRoutes.filterNot(_.existsIn(df.schema))
+  protected def checkProduces(df: DataFrame, ctx: DatasetCtx = DatasetCtx.default): Unit = {
+    val missing = producedRoutes(ctx).filterNot(_.existsIn(df.schema))
     require(missing.isEmpty, s"$name: did not produce ${missing.mkString(", ")}")
   }
 }
 
-/** A dependency: a concrete route or a nested operator. */
+/** Dataset context for conditional column sets (reference IF_MC/IF_DATA/
+  * IF_DATASET_HAS_TAG: columnflow/columnar_util.py:2448-2462): the same
+  * operator reads different columns on data vs simulation vs tagged
+  * datasets — resolved before the plan is built, so each variant's scan
+  * reads only its own set. */
+final case class DatasetCtx(isMc: Boolean = true, tags: Set[String] = Set.empty)
+object DatasetCtx { val default: DatasetCtx = DatasetCtx() }
+
+/** A dependency: a concrete route (required or optional), a conditional
+  * wrapper, or a nested operator. */
 sealed trait Dep
 object Dep {
   final case class R(route: Route) extends Dep
+  final case class Opt(route: Route) extends Dep
+  final case class If(cond: DatasetCtx => Boolean, dep: Dep) extends Dep
   final case class F(fn: ArrayFunction) extends Dep
+
+  /** Tag shorthands mirroring the reference decorators. */
+  def optional(r: String): Dep = Opt(Route(r))
+  def ifMc(d: Dep): Dep = If(_.isMc, d)
+  def ifData(d: Dep): Dep = If(!_.isMc, d)
+  def ifTag(tag: String)(d: Dep): Dep = If(_.tags(tag), d)
+
   import scala.language.implicitConversions
   implicit def fromString(s: String): Dep = R(Route(s))
   implicit def fromRoute(r: Route): Dep = R(r)

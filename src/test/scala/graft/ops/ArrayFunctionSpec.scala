@@ -36,6 +36,34 @@ class ArrayFunctionSpec extends SparkSpec {
     assert(downstream.producedRoutes == Set(Route("ht2")))
   }
 
+  object tagged extends Producer {
+    val name = "tagged"
+    override def uses = Set[Dep](
+      Dep.R(Route("Jet.pt")),
+      Dep.optional("Jet.rawFactor"),
+      Dep.ifMc("GenJet.pt"),
+      Dep.ifData("lumiMask"),
+      Dep.ifTag("boosted")("FatJet.pt"))
+    def apply(df: DataFrame): DataFrame = df
+  }
+
+  test("tagged columns: optional, IF_MC/IF_DATA, dataset tags") {
+    val mc = DatasetCtx(isMc = true)
+    val data = DatasetCtx(isMc = false)
+    assert(tagged.usedRoutes(mc) == Set(Route("Jet.pt"), Route("GenJet.pt")))
+    assert(tagged.usedRoutes(data) == Set(Route("Jet.pt"), Route("lumiMask")))
+    assert(tagged.usedRoutes(DatasetCtx(isMc = true, tags = Set("boosted"))) ==
+      Set(Route("Jet.pt"), Route("GenJet.pt"), Route("FatJet.pt")))
+    // optional routes never appear in the required set...
+    assert(tagged.optionalRoutes() == Set(Route("Jet.rawFactor")))
+    // ...but join the scan projection when the schema has them
+    assert(tagged.readSet(df, data) == Set(Route("Jet.pt"), Route("lumiMask")))
+    val withRaw = df.withColumn("Jet",
+      transform(col("Jet"), j => struct(j.getField("pt").as("pt"), lit(1.0).as("rawFactor"))))
+    assert(tagged.readSet(withRaw, data) ==
+      Set(Route("Jet.pt"), Route("lumiMask"), Route("Jet.rawFactor")))
+  }
+
   test("checked apply validates read and write sets") {
     val out = ptProducer.applyChecked(df)
     assert(out.orderBy("event").collect().map(_.getDouble(2)).toSeq == Seq(30.0, 0.0))
