@@ -55,6 +55,44 @@ object BinnedTable {
     }
   }
 
+  /** Piecewise-linear interpolation over ascending knots with edge
+    * clamping — correctionlib's "linear" node semantics, used by the
+    * smooth correction payloads (JER profiles, pileup weights; SURVEY
+    * §2.9 lookup/interp). Knots are plan literals like the binned tables;
+    * the segment search is an O(knots) fold, knot counts are tiny. */
+  final case class Interp1D(xs: IndexedSeq[Double], ys: IndexedSeq[Double]) {
+    require(xs.size == ys.size && xs.size >= 2, "need matching knot arrays")
+    require(xs.sliding(2).forall(p => p(0) < p(1)), "knots must be ascending")
+    private val n = xs.size
+
+    def apply(x: Column): Column = {
+      val xArr = array(xs.map(lit): _*)
+      val yArr = array(ys.map(lit): _*)
+      // 1-based left-knot index of the segment containing x
+      val k = aggregate(xArr, lit(0), (acc, e) => acc + when(x >= e, 1).otherwise(0))
+      val s = least(greatest(k, lit(1)), lit(n - 1))
+      val x0 = element_at(xArr, s); val x1 = element_at(xArr, s + 1)
+      val y0 = element_at(yArr, s); val y1 = element_at(yArr, s + 1)
+      when(x <= xs.head, ys.head)
+        .when(x >= xs.last, ys.last)
+        .otherwise(y0 + (x - x0) * (y1 - y0) / (x1 - x0))
+    }
+
+    /** DuckDB mirror with the same arithmetic shape. Note: DuckDB may
+      * fuse/fold the lerp differently (measured 1-ulp divergence), so
+      * oracle comparisons should round the result (libm policy). */
+    def sql(e: String): String = {
+      val kTerms = xs.map(x0 => s"(CASE WHEN $e >= $x0 THEN 1 ELSE 0 END)").mkString(" + ")
+      val xsL = xs.mkString("[", ", ", "]")
+      val ysL = ys.mkString("[", ", ", "]")
+      val s = s"LEAST(GREATEST($kTerms, 1), ${n - 1})"
+      s"""CASE WHEN $e <= ${xs.head} THEN ${ys.head}
+          WHEN $e >= ${xs.last} THEN ${ys.last}
+          ELSE ($ysL)[$s] + ($e - ($xsL)[$s]) * (($ysL)[$s + 1] - ($ysL)[$s]) / (($xsL)[$s + 1] - ($xsL)[$s])
+          END"""
+    }
+  }
+
   private def clampBin(id: Column, n: Int): Column =
     least(greatest(id, lit(0)), lit(n - 1))
 }

@@ -14,7 +14,28 @@ import Compat._
   * over group combinations, profile summaries, and greedy matching. */
 object Ops {
 
-  def defs: Seq[QueryDef] = Seq(q51, q52, q53, q54, q55, q56, q57, q59, q60, q65)
+  def defs: Seq[QueryDef] = Seq(q51, q52, q53, q54, q55, q56, q57, q59, q60, q65, q66)
+
+  /** Piecewise-linear payload interpolation (reference correctionlib
+    * "linear" evaluators behind JER/pileup profiles: ak_evaluate
+    * columnflow/calibration/cms/jets.py:93-142): knots ship as plan
+    * literals. DuckDB evaluates the lerp with fused/eager-folded
+    * arithmetic (measured 1-ulp differences vs strict IEEE order), so the
+    * result follows the libm policy: round at 1e-9, far above ulp noise. */
+  val q66 = {
+    val interp = BinnedTable.Interp1D(
+      xs = IndexedSeq(0.0, 10.0, 50.0, 100.0, 500.0),
+      ys = IndexedSeq(1.1, 1.05, 0.98, 0.9, 0.85))
+    QueryDef(
+      "q66_interp_lookup",
+      oracle = Some(s"""
+        SELECT event_id, ROUND(${interp.sql("value")}, 9) AS corr
+        FROM events ORDER BY event_id""")) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), round(interp(col("value")), 9).as("corr"))
+        .orderBy("event_id")
+    }
+  }
 
   /** The diff-column merge as a query (SURVEY §2.4; reference
     * update_ak_array: columnflow/columnar_util.py:905-990): a calibration
