@@ -58,8 +58,19 @@ object Compat {
   /** Decimal view of a libm-computed value (scale 6 absorbs ulp noise). */
   def libm(c: Column): Column = c.cast(DecimalType(18, 6))
 
+  /** Normalize a money×fraction product to scale 6 BEFORE summing. The
+    * product of 2-decimal money and 2-decimal rates has ≤ 6 decimal
+    * digits, so this cast never rounds — but it caps the SUM's scale at 6
+    * instead of the 8–12 the multiply rules produce. That matters because
+    * DuckDB converts decimal→double as double(unscaled)/double(10^scale),
+    * which double-rounds once the unscaled sum exceeds 2^53 (scale 12 puts
+    * ~1e7 sums at ~1e19); at scale 6 the unscaled value stays exact and
+    * both engines' conversions are correctly rounded. */
+  def norm6(c: Column): Column = c.cast(DecimalType(18, 6))
+
   // DuckDB-side SQL fragments mirroring the helpers above.
   def moneySql(e: String) = s"CAST($e AS DECIMAL(18,4))"
   def fracSql(e: String) = s"CAST($e AS DECIMAL(8,4))"
   def libmSql(e: String) = s"CAST($e AS DECIMAL(18,6))"
+  def norm6Sql(e: String) = s"CAST($e AS DECIMAL(18,6))"
 }

@@ -27,8 +27,8 @@ object Relational {
       SELECT l_returnflag, l_linestatus,
         SUM(l_quantity) AS sum_qty,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc_price,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4))) * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4))) * (1 + CAST(l_tax AS DECIMAL(8,4))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
         CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
         CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -44,8 +44,8 @@ object Relational {
       .agg(
         sum("l_quantity").as("sum_qty"),
         dsum(money(col("l_extendedprice"))).as("sum_base_price"),
-        dsum(money(col("l_extendedprice")) * (lit(1) - frac(col("l_discount")))).as("sum_disc_price"),
-        dsum(money(col("l_extendedprice")) * (lit(1) - frac(col("l_discount"))) * (lit(1) + frac(col("l_tax")))).as("sum_charge"),
+        dsum(norm6(money(col("l_extendedprice")) * (lit(1) - frac(col("l_discount"))))).as("sum_disc_price"),
+        dsum(norm6(money(col("l_extendedprice")) * (lit(1) - frac(col("l_discount"))) * (lit(1) + frac(col("l_tax"))))).as("sum_charge"),
         (sum("l_quantity").cast("double") / count(lit(1))).as("avg_qty"),
         (dsum(money(col("l_extendedprice"))) / count(lit(1))).as("avg_price"),
         (dsum(frac(col("l_discount"))) / count(lit(1))).as("avg_disc"),
@@ -76,7 +76,7 @@ object Relational {
     "q3_dim_join_revenue",
     oracle = Some("""
       SELECT r_name, n_name,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
         COUNT(*) AS n_items
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
@@ -94,7 +94,7 @@ object Relational {
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(
-        dsum(money(col("l_extendedprice")) * (lit(1) - frac(col("l_discount")))).as("revenue"),
+        dsum(norm6(money(col("l_extendedprice")) * (lit(1) - frac(col("l_discount"))))).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
@@ -107,7 +107,7 @@ object Relational {
     oracle = Some("""
       SELECT c_mktsegment, o_orderpriority,
         COUNT(DISTINCT o_orderkey) AS n_orders,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -122,7 +122,7 @@ object Relational {
       .groupBy("c_mktsegment", "o_orderpriority")
       .agg(
         countDistinct("o_orderkey").as("n_orders"),
-        dsum(money(col("l_extendedprice")) * (lit(1) - frac(col("l_discount")))).as("revenue"))
+        dsum(norm6(money(col("l_extendedprice")) * (lit(1) - frac(col("l_discount"))))).as("revenue"))
       .orderBy("c_mktsegment", "o_orderpriority")
   }
 
