@@ -30,6 +30,11 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
+      } finally {
+        // operators that persist intermediates must not leak them into
+        // later queries — accumulated caches turn into GC pauses that
+        // land on whichever query runs next
+        spark.catalog.clearCache()
       }
       (System.nanoTime() - t0) / 1e9
     }
@@ -39,10 +44,6 @@ object Bench {
     // generated methods (minhash, simhash) cost seconds on first run and
     // are one-time costs irrelevant to steady-state throughput at scale.
     names.foreach(runOnce)
-    // Drop caches the warmup left behind (operators that persist
-    // intermediates would otherwise serve the timed run from memory —
-    // the timed numbers must include the cache-build cost).
-    spark.catalog.clearCache()
     val results = names.map(n => n -> runOnce(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
