@@ -30,7 +30,8 @@ object Ops {
       "q66_interp_lookup",
       oracle = Some(s"""
         SELECT event_id, ROUND(${interp.sql("value")}, 9) AS corr
-        FROM events ORDER BY event_id""")) { (s, dir) =>
+        FROM events ORDER BY event_id"""),
+      bench = true) { (s, dir) =>
       Tables.load(s, dir, "events")
         .select(col("event_id"), round(interp(col("value")), 9).as("corr"))
         .orderBy("event_id")

@@ -76,7 +76,8 @@ object Weights {
         CAST(s4 AS DOUBLE) AS nominal
       FROM (SELECT l_orderkey, $members FROM lineitem GROUP BY 1)
       ORDER BY o_orderkey"""
-    }) { (s, dir) =>
+    },
+    bench = true) { (s, dir) =>
     val fs = Seq(-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0)
     val members = fs.zipWithIndex.map { case (f, i) =>
       sum((col("l_extendedprice") * (lit(1) + lit(f) * col("l_tax")))
