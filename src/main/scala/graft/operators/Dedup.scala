@@ -177,6 +177,45 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over near-dup pairs: dedup at corpus scale ends
+    * with CLUSTERS (keep one representative per component), not pairs —
+    * a pair list where A~B and B~C must collapse {A,B,C} together.
+    *
+    * Min-label propagation: every node repeatedly takes the minimum id
+    * among itself and its neighbors until a fixpoint. Each iteration is
+    * one key-shuffle join; the iteration count is the graph diameter, and
+    * near-dup graphs are unions of stars/cliques with tiny diameters, so
+    * 2–3 rounds in practice. `localCheckpoint` truncates the plan lineage
+    * each round — without it the loop compiles an ever-growing DAG.
+    *
+    * Returns (id, component) with component = min id in the cluster; docs
+    * absent from `pairs` are their own components and are not emitted. */
+  def components(pairs: DataFrame, a: String = "id_a", b: String = "id_b",
+                 maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min("component").as("nmin"))
+      val next = labels.join(neighborMin, labels("id") === col("src"), "left")
+        .select(labels("id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact n-gram-Jaccard pairs within explicit blocks (e.g. language ×
     * source) — the blocked-dedup baseline and the oracle for the
     * probabilistic variants. */

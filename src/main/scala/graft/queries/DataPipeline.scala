@@ -13,7 +13,31 @@ import graft.operators.{Dedup, Multimodal, Similarity}
 object DataPipeline {
 
   def defs: Seq[QueryDef] = Seq(
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67)
+
+  /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
+    * propagation) run over prefix-duplicate edges (the testdata has no
+    * exact dups; shared 12-char prefixes give real multi-doc clusters),
+    * where ground truth has a closed form — every digest group is one
+    * clique, so the component representative must be the group's min
+    * doc_id. Near-dup pairs (q36) feed the same operator in production. */
+  val q67 = QueryDef(
+    "q67_dedup_components",
+    oracle = Some("""
+      WITH g AS (SELECT doc_id, SUBSTRING(text, 1, 12) AS h FROM documents),
+        d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) > 1)
+      SELECT doc_id AS id, MIN(doc_id) OVER (PARTITION BY g.h) AS component
+      FROM g JOIN d USING (h)
+      ORDER BY id""")) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 12).as("h"))
+    val a = docs.select(col("h").as("ha"), col("doc_id").as("id_a"))
+    val b = docs.select(col("h").as("hb"), col("doc_id").as("id_b"))
+    val pairs = a.join(b, col("ha") === col("hb") && col("id_a") < col("id_b"))
+    graft.operators.Dedup.components(pairs)
+      .select(col("id"), col("component"))
+      .orderBy("id")
+  }
 
   // ---- text analysis ----
 

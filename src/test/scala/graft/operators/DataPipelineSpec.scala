@@ -97,4 +97,25 @@ class DataPipelineSpec extends SparkSpec {
     val preds = df.select(Text.langId(col("text"))).collect().map(_.getString(0)).toSeq
     assert(preds == Seq("de", "en", "de")) // no hits anywhere → first profile
   }
+
+  test("components collapses transitive near-dup pairs into clusters") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3, clique edge 5-6, star 10-(11,12); 3 components
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 11L), (10L, 12L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("components handles a long chain (diameter > 1 iteration)") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4-5-6-7-8: min label must walk the whole diameter
+    val pairs = (1L to 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs).collect().map(_.getLong(1)).distinct.toSeq
+    assert(comp == Seq(1L))
+  }
 }
