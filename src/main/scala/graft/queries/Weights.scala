@@ -15,7 +15,40 @@ import Compat._
   */
 object Weights {
 
-  def defs: Seq[QueryDef] = Seq(q61, q62, q63, q64)
+  def defs: Seq[QueryDef] = Seq(q61, q62, q63, q64, q68)
+
+  /** Recomputed id bitmask (reference jet_id: columnflow/production/cms/
+    * jet.py:55-185 — per-object quality bits rebuilt from kinematic
+    * predicates, then bit-tested downstream): three predicate bits per
+    * item, OR-composed with shifts, tested with bitwise AND. Integer
+    * arithmetic throughout — exact on both engines. */
+  val q68 = QueryDef(
+    "q68_id_bitmask",
+    oracle = Some("""
+      SELECT l_orderkey AS o_orderkey,
+        SUM(CAST(
+          (CASE WHEN l_quantity > 10 THEN 1 ELSE 0 END)
+          + (CASE WHEN l_extendedprice > 10000 THEN 2 ELSE 0 END)
+          + (CASE WHEN l_discount < 0.05 THEN 4 ELSE 0 END) AS BIGINT)) AS sum_mask,
+        SUM(CASE WHEN l_quantity > 10 AND l_discount < 0.05 THEN 1 ELSE 0 END) AS n_tight
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY o_orderkey""")) { (s, dir) =>
+    val bit0 = when(col("l_quantity") > 10, 1).otherwise(0)
+    val bit1 = when(col("l_extendedprice") > 10000, 1).otherwise(0)
+    val bit2 = when(col("l_discount") < 0.05, 1).otherwise(0)
+    val mask = bit0
+      .bitwiseOR(shiftleft(bit1, 1))
+      .bitwiseOR(shiftleft(bit2, 2))
+    // tight = bits 0 AND 2 both set, tested on the recomputed mask
+    val tight = (mask.bitwiseAND(lit(5)) === 5).cast("int")
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(
+        sum(mask.cast("long")).as("sum_mask"),
+        sum(tight).cast("long").as("n_tight"))
+      .orderBy("o_orderkey")
+  }
 
   import Nested.nestedOrders
 
