@@ -37,4 +37,22 @@ object SelectionStats {
     if (groups.isEmpty) df.agg(aggs.head, aggs.tail: _*)
     else df.cube(groups.head, groups.tail: _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Merge stats tables from independent runs/datasets (reference
+    * MergeSelectionStats' recursive dict-sum:
+    * columnflow/tasks/selection.py:320-404): every stats column is an
+    * algebraic sum over disjoint inputs, so union + re-sum per group row
+    * reproduces the single-pass result. Stats tables are tiny (one row
+    * per group combination) — this merge is driver-scale work. */
+  def merge(stats: Seq[DataFrame], groups: Seq[String]): DataFrame = {
+    require(stats.nonEmpty)
+    val sumCols = stats.head.columns.filterNot(groups.contains).toSeq
+    val unioned = stats.reduce(_ unionByName _)
+    if (groups.isEmpty) unioned.agg(
+      sum(sumCols.head).as(sumCols.head),
+      sumCols.tail.map(c => sum(c).as(c)): _*)
+    else unioned.groupBy(groups.map(col): _*).agg(
+      sum(sumCols.head).as(sumCols.head),
+      sumCols.tail.map(c => sum(c).as(c)): _*)
+  }
 }
