@@ -63,9 +63,13 @@ object Physics {
           (acc, x) => (acc + x.cast("decimal(18,6)")).cast("decimal(28,6)"))
           .cast("double"))
     }
+    // localCheckpoint before the global sort: range partitioning samples
+    // its input and would otherwise execute the nested build twice —
+    // materializing the (tiny) unpivoted sums makes both passes read it
     calibrated
       .select(col("o_orderkey"), explode(map(entries: _*)))
       .select(col("key").as("shift"), col("o_orderkey"), col("value").as("sum_cal"))
+      .localCheckpoint()
       .orderBy("shift", "o_orderkey")
   }
 

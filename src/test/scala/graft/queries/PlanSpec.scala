@@ -49,6 +49,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q42: all shifts share one scan — no per-shift Union of re-reads") {
+    // q42 localCheckpoints before its global sort, so this executed plan
+    // covers the post-checkpoint segment; the guards still catch a
+    // reintroduced per-shift Union or a second nested build anywhere
+    // downstream, and the one-pass shape upstream is what makes the
+    // checkpoint a single materialization in the first place.
     val p = plan("q42_calibrator_shifts")
     assert(!p.contains("Union"), s"shift family re-reads the data per shift:\n$p")
     // one nested build (partial+final objagg), not one per shift
