@@ -161,22 +161,32 @@ object SchemaOps {
   }
 
   /** Rebuild a DataFrame containing exactly the given leaf routes, keeping
-    * the nested structure (groups leaves by their top-level collection). */
+    * the nested structure at every depth (recurses per level, so `a.b.c`
+    * stays a struct-in-struct rather than flattening to a field `c`). */
   def selectRoutes(df: DataFrame, rs: Seq[Route]): DataFrame = {
     val byTop = rs.groupBy(_.fields.head)
     val order = df.schema.fieldNames.filter(byTop.contains)
     val cols = order.map { top =>
-      val leaves = byTop(top)
-      df.schema.find(_.name == top).get.dataType match {
-        case _ if leaves.exists(_.fields.size == 1) => df(top)
-        case _: StructType =>
-          struct(leaves.map(r => r.column(df).as(r.fields.last)): _*).as(top)
-        case ArrayType(_: StructType, _) =>
-          transform(df(top), el => struct(leaves.map(r =>
-            el.getField(r.fields.last).as(r.fields.last)): _*)).as(top)
-        case _ => df(top)
-      }
+      rebuild(df(top), df.schema(top).dataType, byTop(top).map(_.fields.tail)).as(top)
     }
     df.select(cols: _*)
   }
+
+  /** Prune a column to the sub-leaves addressed by `suffixes` (path
+    * segments below this node). An empty suffix means the whole subtree
+    * is kept verbatim. */
+  private def rebuild(c: Column, dt: DataType, suffixes: Seq[Seq[String]]): Column =
+    if (suffixes.exists(_.isEmpty)) c
+    else dt match {
+      case s: StructType =>
+        val byHead = suffixes.groupBy(_.head)
+        val order = s.fieldNames.filter(byHead.contains)
+        struct(order.map { f =>
+          rebuild(c.getField(f), s(f).dataType, byHead(f).map(_.tail)).as(f)
+        }.toSeq: _*)
+      case ArrayType(el: DataType, _) =>
+        // routes address the element type; rebuild applies per element
+        transform(c, e => rebuild(e, el, suffixes))
+      case _ => c
+    }
 }

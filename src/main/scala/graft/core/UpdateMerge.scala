@@ -47,7 +47,10 @@ object UpdateMerge {
       val v = policies.getOrElse(c, Policy.Overwrite) match {
         case Policy.Overwrite => coalesce(d, b)
         case Policy.Add       => coalesce(b + d, b, d)
-        case Policy.Concat    => when(d.isNull, b).otherwise(concat(b, d))
+        // concat is null-intolerant: a null base with a non-null diff must
+        // yield the diff (symmetric with Overwrite/Add coalescing).
+        case Policy.Concat    =>
+          when(d.isNull, b).when(b.isNull, d).otherwise(concat(b, d))
       }
       df.withColumn(c, v).drop(s"__diff_$c")
     }

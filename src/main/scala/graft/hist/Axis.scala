@@ -33,10 +33,13 @@ object Axis {
         .when(v < lo, -1)
         .when(v === hi, n - 1) // last-edge-inclusive
         .when(v >= hi, n)
-        .otherwise(floor((v - lo) / w).cast("int"))
+        // least(..., n-1): when w is not exactly representable, a value
+        // strictly below hi can still floor to n — clamp so it never
+        // collides with the overflow bin.
+        .otherwise(least(floor((v - lo) / w), lit(n - 1)).cast("int"))
     def binIdSql(e: String): String =
       s"CASE WHEN $e IS NULL THEN NULL WHEN $e < $lo THEN -1 WHEN $e = $hi THEN ${n - 1} " +
-        s"WHEN $e >= $hi THEN $n ELSE CAST(FLOOR(($e - ($lo)) / $w) AS INT) END"
+        s"WHEN $e >= $hi THEN $n ELSE CAST(LEAST(FLOOR(($e - ($lo)) / $w), ${n - 1}) AS INT) END"
   }
 
   /** Variable binning over explicit ascending edges. */

@@ -96,6 +96,10 @@ object Dedup {
     //    spills instead of recomputing (same choice as Spark ML's
     //    MinHashLSHModel); in a staged pipeline, checkpoint via
     //    `Pipeline.stage` instead and drop this cache.
+    //    CALLER OBLIGATION: the cache lives until catalog.clearCache()
+    //    (or unpersisting the plan's cached relation). Long-lived sessions
+    //    running many dedup passes should clearCache() after materializing
+    //    each result — Bench and the Verify harness do.
     val sh = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(
@@ -156,6 +160,8 @@ object Dedup {
     // token hashes materialized once; the 64 bit-folds then reuse them
     // persist: the 64-bit-fold signature is consumed by both join sides;
     // without the cache it is computed twice per document.
+    // CALLER OBLIGATION: see minhashLshPairs — clearCache() after
+    // materializing the result in long-lived sessions.
     val sigs = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(id).as("__id"),
@@ -189,7 +195,11 @@ object Dedup {
     * each round — without it the loop compiles an ever-growing DAG.
     *
     * Returns (id, component) with component = min id in the cluster; docs
-    * absent from `pairs` are their own components and are not emitted. */
+    * absent from `pairs` are their own components and are not emitted.
+    *
+    * Throws IllegalStateException if the fixpoint is not reached within
+    * `maxIters` — truncated labels are NOT valid components and silently
+    * returning them would under-merge clusters. */
   def components(pairs: DataFrame, a: String = "id_a", b: String = "id_b",
                  maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
@@ -213,6 +223,10 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"components() did not converge in $maxIters iterations " +
+          s"($changed labels still changing); raise maxIters")
     labels
   }
 

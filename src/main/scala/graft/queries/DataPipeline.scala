@@ -46,7 +46,7 @@ object DataPipeline {
     "q30_text_stats",
     oracle = Some(s"""
       SELECT doc_id,
-        ${Text.tokenCountSql("text")} AS n_tokens,
+        CAST(${Text.tokenCountSql("text")} AS INT) AS n_tokens,
         ${Text.typeTokenRatioSql("text")} AS ttr,
         ${Text.meanTokenLengthSql("text")} AS mean_tok_len
       FROM documents
@@ -117,8 +117,8 @@ object DataPipeline {
     "q34_exact_dedup",
     oracle = Some("""
       SELECT COUNT(*) AS n_groups,
-        SUM(c) AS n_docs,
-        SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_docs
+        CAST(SUM(c) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs
       FROM (SELECT md5(text) h, COUNT(*) c FROM documents GROUP BY 1)"""),
     bench = true) { (s, dir) =>
     Dedup.exactGroups(Tables.load(s, dir, "documents"))
@@ -199,7 +199,7 @@ object DataPipeline {
           ON q.vec_id < 10 AND a.vec_id <> q.vec_id),
       ranked AS (
         SELECT qid, neighbor, c,
-          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, neighbor) AS rnk
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, neighbor) AS INT) AS rnk
         FROM scored)
       SELECT qid, rnk, neighbor, ROUND(c, 6) AS cos6
       FROM ranked WHERE rnk <= 5
@@ -225,7 +225,7 @@ object DataPipeline {
           ON q.vec_id < 10 AND a.label = q.label AND a.vec_id <> q.vec_id),
       ranked AS (
         SELECT qid, neighbor, c,
-          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, neighbor) AS rnk
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, neighbor) AS INT) AS rnk
         FROM scored)
       SELECT qid, rnk, neighbor, ROUND(c, 6) AS cos6
       FROM ranked WHERE rnk <= 3
@@ -263,7 +263,7 @@ object DataPipeline {
   val q58 = QueryDef(
     "q58_embedding_centroids",
     oracle = Some("""
-      SELECT label, pos,
+      SELECT label, CAST(pos AS INT) AS pos,
         CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE) / 10000000.0 / COUNT(*) AS centroid
       FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
             FROM embeddings)
@@ -291,9 +291,9 @@ object DataPipeline {
     oracle = Some("""
       SELECT source,
         COUNT(*) AS n_media,
-        SUM(octet_length(CAST(text AS BLOB))) AS total_bytes,
+        CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
         COUNT(DISTINCT md5(text)) AS n_distinct_payload,
-        SUM((n_chars % 640) + 1) AS sum_width
+        CAST(SUM((n_chars % 640) + 1) AS BIGINT) AS sum_width
       FROM documents
       GROUP BY source
       ORDER BY source""")) { (s, dir) =>

@@ -23,7 +23,7 @@ object Events {
     oracle = Some("""
       SELECT event_type,
         COUNT(*) AS n,
-        SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       FROM events
       GROUP BY event_type
       ORDER BY event_type""")) { (s, dir) =>
@@ -100,7 +100,7 @@ object Events {
       SELECT user_id, total_value, rnk FROM (
         SELECT user_id,
           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
-          DENSE_RANK() OVER (ORDER BY SUM(CAST(value AS DECIMAL(18,4))) DESC, user_id) AS rnk
+          CAST(DENSE_RANK() OVER (ORDER BY SUM(CAST(value AS DECIMAL(18,4))) DESC, user_id) AS INT) AS rnk
         FROM events GROUP BY user_id)
       WHERE rnk <= 20
       ORDER BY rnk""")) { (s, dir) =>

@@ -51,7 +51,7 @@ object Ops {
       SELECT o.o_orderpriority,
         COUNT(*) AS n,
         CAST(SUM(CAST(COALESCE(d.o_totalprice, o.o_totalprice) AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
-        SUM(CASE WHEN d.calibrated THEN 1 ELSE 0 END) AS n_calibrated
+        CAST(SUM(CASE WHEN d.calibrated THEN 1 ELSE 0 END) AS BIGINT) AS n_calibrated
       FROM orders o LEFT JOIN diff d ON o.o_orderkey = d.o_orderkey
       GROUP BY 1
       ORDER BY o_orderpriority""")) { (s, dir) =>
@@ -144,8 +144,8 @@ object Ops {
       val lut = vetoLut
       s"""
       SELECT l_returnflag,
-        SUM(CASE WHEN ${lut.sql("l_quantity", "l_discount")} = 0 THEN 1 ELSE 0 END) AS n_kept,
-        SUM(CASE WHEN ${lut.sql("l_quantity", "l_discount")} = 1 THEN 1 ELSE 0 END) AS n_vetoed
+        CAST(SUM(CASE WHEN ${lut.sql("l_quantity", "l_discount")} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN ${lut.sql("l_quantity", "l_discount")} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_vetoed
       FROM lineitem
       GROUP BY 1
       ORDER BY l_returnflag"""
@@ -178,7 +178,7 @@ object Ops {
       SELECT COALESCE(o_orderstatus, 'ALL') AS status,
         COALESCE(o_orderpriority, 'ALL') AS priority,
         COUNT(*) AS num_events,
-        SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS num_events_selected,
+        CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS num_events_selected,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_w,
         CAST(SUM(CASE WHEN o_totalprice > 200000 THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_w_selected
       FROM orders

@@ -156,7 +156,7 @@ object Physics {
     "q46_category_ids",
     oracle = Some("""
       SELECT cat_id, n FROM (
-        SELECT 1 AS cat_id, COUNT(*) AS n FROM orders WHERE o_totalprice > 150000
+        SELECT CAST(1 AS BIGINT) AS cat_id, COUNT(*) AS n FROM orders WHERE o_totalprice > 150000
         UNION ALL
         SELECT 2, COUNT(*) FROM orders WHERE o_orderpriority = '1-URGENT'
         UNION ALL
@@ -242,7 +242,7 @@ object Physics {
   val q49 = QueryDef(
     "q49_fold_split",
     oracle = Some(s"""
-      SELECT ${Seeds.foldSql(5, "CAST(o_orderkey AS STRING)")} AS fold,
+      SELECT CAST(${Seeds.foldSql(5, "CAST(o_orderkey AS STRING)")} AS INT) AS fold,
         COUNT(*) AS n,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
       FROM orders

@@ -180,8 +180,8 @@ object Relational {
       SELECT l_returnflag, rnk, l_orderkey, l_linenumber, l_extendedprice
       FROM (
         SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
-          ROW_NUMBER() OVER (PARTITION BY l_returnflag
-            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk
+          CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INT) AS rnk
         FROM lineitem)
       WHERE rnk <= 3
       ORDER BY l_returnflag, rnk""")) { (s, dir) =>
@@ -229,7 +229,7 @@ object Relational {
     oracle = Some("""
       SELECT CAST(year(o_orderdate) AS INT) AS order_year,
         COUNT(*) AS n_orders,
-        SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS n_high,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE) AS finished_value
       FROM orders
       GROUP BY 1

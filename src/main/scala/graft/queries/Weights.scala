@@ -26,11 +26,11 @@ object Weights {
     "q68_id_bitmask",
     oracle = Some("""
       SELECT l_orderkey AS o_orderkey,
-        SUM(CAST(
+        CAST(SUM(CAST(
           (CASE WHEN l_quantity > 10 THEN 1 ELSE 0 END)
           + (CASE WHEN l_extendedprice > 10000 THEN 2 ELSE 0 END)
-          + (CASE WHEN l_discount < 0.05 THEN 4 ELSE 0 END) AS BIGINT)) AS sum_mask,
-        SUM(CASE WHEN l_quantity > 10 AND l_discount < 0.05 THEN 1 ELSE 0 END) AS n_tight
+          + (CASE WHEN l_discount < 0.05 THEN 4 ELSE 0 END) AS BIGINT)) AS BIGINT) AS sum_mask,
+        CAST(SUM(CASE WHEN l_quantity > 10 AND l_discount < 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_tight
       FROM lineitem
       GROUP BY 1
       ORDER BY o_orderkey""")) { (s, dir) =>

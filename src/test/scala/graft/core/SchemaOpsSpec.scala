@@ -75,4 +75,24 @@ class SchemaOpsSpec extends SparkSpec {
     val removed = SchemaOps.routeFilter(df, keep = Nil, remove = Seq("*.phi"))
     assert(!SchemaOps.routes(removed.schema).map(_.toString).contains("MET.phi"))
   }
+
+  test("selectRoutes preserves structure at depth 3+") {
+    // a.b.c / a.b.d / a.e — pruning a.b.c must keep c nested under a.b,
+    // not flatten it to a field `c` directly under `a`.
+    val deep = df.withColumn("a",
+      struct(
+        struct(lit(1).as("c"), lit(2).as("d")).as("b"),
+        lit(3).as("e")))
+    val out = SchemaOps.routeFilter(deep, keep = Seq("a.b.c"))
+    assert(SchemaOps.routes(out.schema).map(_.toString) == Seq("a.b.c"))
+    assert(out.select(col("a.b.c")).head.getInt(0) == 1)
+    // depth-3 through an array-of-struct: Jet.sub.x
+    val arr = df.withColumn("Jet", transform(col("Jet"), j =>
+      struct(j.getField("pt").as("pt"),
+        struct(j.getField("eta").as("x"), lit(9.0).as("y")).as("sub"))))
+    val out2 = SchemaOps.routeFilter(arr, keep = Seq("Jet.sub.x"))
+    assert(SchemaOps.routes(out2.schema).map(_.toString) == Seq("Jet.sub.x"))
+    assert(out2.select(element_at(col("Jet"), 1).getField("sub").getField("x"))
+      .head.getDouble(0) == 1.0)
+  }
 }

@@ -44,4 +44,15 @@ class UpdateMergeSpec extends SparkSpec {
     assert(out(0).getSeq[Int](1) == Seq(1, 2, 9))
     assert(out(1).getSeq[Int](1) == Seq(3))
   }
+
+  test("concat policy keeps diff when base is null (and vice versa)") {
+    val s = spark
+    import s.implicits._
+    val b = Seq((1L, Option.empty[Seq[Int]]), (2L, Some(Seq(3)))).toDF("event", "ids")
+    val d = Seq((1L, Seq(9)), (2L, null.asInstanceOf[Seq[Int]])).toDF("event", "ids")
+    val out = merge(b, d, Seq("event"), Map("ids" -> Policy.Concat))
+      .orderBy("event").collect()
+    assert(out(0).getSeq[Int](1) == Seq(9))  // null base ++ diff = diff
+    assert(out(1).getSeq[Int](1) == Seq(3))  // base ++ null diff = base
+  }
 }

@@ -29,6 +29,15 @@ class AxisSpecSuite extends SparkSpec {
     assert(binOf(ax, null) == null)
   }
 
+  test("regular axis: non-representable width never spills into overflow") {
+    // w = 0.7/7 = 0.09999999999999999; v just below hi would floor to n
+    // without the clamp, colliding with the overflow bin.
+    val ax = Axis.Regular("x", 7, 0.0, 0.7)
+    assert(binOf(ax, 0.6999999999999999) == 6)
+    assert(binOf(ax, 0.7) == 6)          // last edge inclusive
+    assert(binOf(ax, 0.7000000000000001) == 7)
+  }
+
   test("variable axis honors irregular edges") {
     val ax = Axis.Variable("x", Seq(0.0, 1.0, 10.0, 100.0))
     assert(binOf(ax, 0.5) == 0)

@@ -118,4 +118,13 @@ class DataPipelineSpec extends SparkSpec {
     val comp = Dedup.components(pairs).collect().map(_.getLong(1)).distinct.toSeq
     assert(comp == Seq(1L))
   }
+
+  test("components throws instead of returning truncated labels") {
+    val s = spark
+    import s.implicits._
+    val pairs = (1L to 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.components(pairs, maxIters = 2)
+    }
+  }
 }
