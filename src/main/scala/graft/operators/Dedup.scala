@@ -46,11 +46,14 @@ object Dedup {
     * length shingle string is hashed ONCE; the k permutations re-hash the
     * resulting fixed-width long (seeded xxhash64) — ~k× cheaper than k
     * string-hash passes, and overflow-free under ANSI mode (a wrapping
-    * linear-congruential family would need non-ANSI multiply). */
+    * linear-congruential family would need non-ANSI multiply).
+    *
+    * Implemented as a native single-pass Expression (HashKernels) —
+    * bit-identical to the `array((0 until k).map(i => array_min(transform(
+    * bh, h => xxhash64(lit(i), h)))))` builtin chain, without the k
+    * intermediate arrays and k re-walks. */
   def minhashes(baseHashes: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(baseHashes, h => xxhash64(lit(i), h)))
-    }: _*)
+    graft.functions.HashKernels.minhashesCol(baseHashes, k)
 
   /** LSH band keys: split the k minhashes into bands of `rowsPerBand` and
     * hash each band — docs sharing any band key are candidates. */
@@ -130,21 +133,12 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
-  /** 64-bit SimHash of a token array: sign-aggregate each bit of the
-    * per-token xxhash64. Computed with bit arithmetic in plain columns —
-    * one pass, no UDF. */
-  /** NOTE: evaluates 64 bit-fold passes over `hashesCol`; pass a
-    * pre-materialized hash array (one xxhash64 per token), never an
-    * expression that re-hashes per pass. */
-  def simhashFromHashes(hashesCol: Column): Column = {
-    val bits = (0 until 64).map { i =>
-      // count of tokens with bit i set vs total → majority sign
-      val ones = aggregate(hashesCol, lit(0L),
-        (acc, h) => acc + shiftright(h, i).bitwiseAND(1L))
-      when(ones * 2 >= size(hashesCol), lit(1L)).otherwise(lit(0L)) * lit(1L << i)
-    }
-    bits.reduce(_ + _) // disjoint bit positions: sum == OR
-  }
+  /** 64-bit SimHash of a token-hash array: per-bit majority vote over the
+    * per-token xxhash64 values (ties set the bit). Native single-pass
+    * Expression (HashKernels) — replaces 64 `aggregate` bit-fold passes
+    * with one walk of the hash array; values are identical. */
+  def simhashFromHashes(hashesCol: Column): Column =
+    graft.functions.HashKernels.simhash64Col(hashesCol)
 
   def simhash(tokensCol: Column): Column =
     simhashFromHashes(transform(tokensCol, t => xxhash64(t)))

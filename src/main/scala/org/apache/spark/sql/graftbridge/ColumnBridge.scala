@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge. `ExpressionUtils` is `private[sql]` in
+  * Spark 4, so graft's custom Catalyst expressions wrap/unwrap through
+  * this one-file shim living in Spark's package namespace (the same
+  * technique used by frameless/delta for their expression surfaces). */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
