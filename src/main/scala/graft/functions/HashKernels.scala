@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -20,7 +21,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * single-pass implementation: one custom `Expression` each, with
   * `doGenCode` emitting a static call that stays inside whole-stage
   * codegen. Hash values are bit-identical to the builtin chain (same
-  * XXH64, same seed composition), so plans are interchangeable.
+  * XXH64, same seed composition), so plans are interchangeable FOR
+  * NON-EMPTY inputs: on an empty array `MinHashes` returns null (no
+  * shingles → no signature) where the builtin `array_min`-of-`transform`
+  * chain returns an array of k nulls. Callers filter empty shingle sets
+  * before hashing (as `Dedup.minhashLshPairs` does).
   */
 object HashKernels {
 
@@ -78,6 +83,14 @@ object HashKernels {
     sig
   }
 
+  /** Shared analysis-time input check: both kernels require array<bigint>. */
+  private[functions] def requireLongArray(name: String, child: Expression): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires an input of type array<bigint>, got ${other.catalogString}")
+    }
+
   /** Column wrapper: k minhashes of a pre-hashed shingle array. */
   def minhashesCol(baseHashes: Column, k: Int): Column =
     ColumnBridge.column(MinHashes(ColumnBridge.expression(baseHashes), k))
@@ -91,6 +104,10 @@ object HashKernels {
 case class MinHashes(child: Expression, k: Int) extends UnaryExpression {
   require(k > 0, "k must be positive")
 
+  // analysis-time check: a wrong input type fails with a readable message
+  // instead of a ClassCastException inside generated code
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashKernels.requireLongArray(prettyName, child)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true // empty input → null signature
   override def prettyName: String = "graft_minhashes"
@@ -117,6 +134,8 @@ case class MinHashes(child: Expression, k: Int) extends UnaryExpression {
 /** `array<long>` token hashes → 64-bit SimHash signature (one pass). */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashKernels.requireLongArray(prettyName, child)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"
 

@@ -26,6 +26,21 @@ object Seeds {
   /** k-fold assignment from the portable seed (reference fold split). */
   def fold(k: Int, cols: Column*): Column = pmod(portableSeedNum(cols: _*), lit(k))
 
+  /** Lower 64 bits of the md5 digest as a SIGNED long (two's complement) —
+    * the engine-portable 64-bit hash. Spark: `conv(hex, 16, 10)` reads the
+    * last 16 hex digits as an unsigned 64-bit value; subtracting 2^64 when
+    * the value is ≥ 2^63 re-interprets it as the signed long whose bit
+    * pattern is identical, so bitwise consumers (SimHash majority votes,
+    * Hamming distance) agree with any engine that derives the same 64 bits
+    * from the digest's hex digits. */
+  def portableHash64(c: Column): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = conv(substring(md5(c), 17, 16), 16, 10).cast(DecimalType(20, 0))
+    (dec - when(dec >= lit(BigDecimal("9223372036854775808")),
+      lit(BigDecimal("18446744073709551616"))).otherwise(lit(BigDecimal(0))))
+      .cast("long")
+  }
+
   /** First 4 hex digits of the portable seed as an integer in [0, 65536):
     * built from substring + equality only, so any SQL engine reproduces it
     * bit-for-bit (no hex-conversion builtins needed). */

@@ -2,7 +2,19 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.Text
+import graft.functions.{Seeds, Text}
+
+/** A dedup result plus the persisted intermediates backing it. The pair
+  * plans cache their shingle/signature tables (consumed by several plan
+  * branches); those caches must outlive every action on `pairs` but should
+  * not outlive the RESULT — `materialize` scopes them to one consumption,
+  * `unpersistCaches` releases them explicitly for multi-action use. */
+final class DedupRun(val pairs: DataFrame, caches: Seq[DataFrame]) {
+  /** Run `f` (which should materialize `pairs`), then drop the caches. */
+  def materialize[T](f: DataFrame => T): T =
+    try f(pairs) finally unpersistCaches()
+  def unpersistCaches(): Unit = caches.foreach(_.unpersist(false))
+}
 
 /** Deduplication operators for training-data pipelines, each designed for
   * the 100 TB regime:
@@ -50,8 +62,10 @@ object Dedup {
     *
     * Implemented as a native single-pass Expression (HashKernels) —
     * bit-identical to the `array((0 until k).map(i => array_min(transform(
-    * bh, h => xxhash64(lit(i), h)))))` builtin chain, without the k
-    * intermediate arrays and k re-walks. */
+    * bh, h => xxhash64(lit(i), h)))))` builtin chain for NON-EMPTY inputs
+    * (empty → null here vs k nulls there; filter empty shingle sets first,
+    * as the pair builders do), without the k intermediate arrays and k
+    * re-walks. */
   def minhashes(baseHashes: Column, k: Int): Column =
     graft.functions.HashKernels.minhashesCol(baseHashes, k)
 
@@ -88,7 +102,15 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, id: String = "doc_id", text: String = "text",
                       shingleN: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8): DataFrame =
+    minhashLshRun(docs, id, text, shingleN, k, rowsPerBand, threshold).pairs
+
+  /** Handle-returning variant of [[minhashLshPairs]]: `run.materialize(f)`
+    * consumes the pairs and releases the intermediate cache in one scope
+    * (no lingering cached relations — asserted in `DataPipelineSpec`). */
+  def minhashLshRun(docs: DataFrame, id: String = "doc_id", text: String = "text",
+                    shingleN: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
+                    threshold: Double = 0.8): DedupRun = {
     // 1. shingle sets + one base hash per shingle (hashed once, reused k×).
     //    Repartition first: tokenization/hashing is CPU-bound per doc, and a
     //    compact parquet input (one row group) would otherwise pin the whole
@@ -98,11 +120,9 @@ object Dedup {
     //    not once per consumer. MEMORY_AND_DISK: at corpus scale the table
     //    spills instead of recomputing (same choice as Spark ML's
     //    MinHashLSHModel); in a staged pipeline, checkpoint via
-    //    `Pipeline.stage` instead and drop this cache.
-    //    CALLER OBLIGATION: the cache lives until catalog.clearCache()
-    //    (or unpersisting the plan's cached relation). Long-lived sessions
-    //    running many dedup passes should clearCache() after materializing
-    //    each result — Bench and the Verify harness do.
+    //    `Pipeline.stage` instead and drop this cache. The cache lives
+    //    until `DedupRun.unpersistCaches` (or catalog.clearCache(), which
+    //    Bench and Verify run per query).
     val sh = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(
@@ -128,9 +148,10 @@ object Dedup {
     //    k× through the bands
     val shA = sh.select(col("__id").as("id_a"), col("__bh").as("sh_a"))
     val shB = sh.select(col("__id").as("id_b"), col("__bh").as("sh_b"))
-    candidates.join(shA, "id_a").join(shB, "id_b")
+    val pairs = candidates.join(shA, "id_a").join(shB, "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
       .filter(col("jac") >= threshold)
+    new DedupRun(pairs, Seq(sh))
   }
 
   /** 64-bit SimHash of a token-hash array: per-bit majority vote over the
@@ -148,33 +169,64 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the signature into 4×16-bit chunks
     * (any pair within Hamming ≤ 3 shares at least one exact chunk —
-    * pigeonhole), bucket-join on chunks, verify by full Hamming. */
+    * pigeonhole), bucket-join on chunks, verify by full Hamming.
+    *
+    * Recall is EXACT (the pigeonhole is deterministic, not probabilistic),
+    * so the result equals the all-pairs Hamming filter — which is what the
+    * q37 oracle checks.
+    *
+    * Scale ceiling + fix: chunk keys are 16-bit, so an UNBLOCKED corpus has
+    * at most 4×65,536 buckets and candidate pairs grow ~n²/2¹⁸ — fine at
+    * millions of docs, quadratic at billions. `blockCols` composes cheap
+    * blocking keys (language, length bucket, source) into the bucket key:
+    * buckets become 4×65,536×|blocks| and only same-block pairs are
+    * emitted — the same recall trade `blockedJaccardPairs` makes, with the
+    * cardinality math recorded in SCALE.md.
+    *
+    * `portable = true` derives token hashes from md5 lower-64
+    * (`Seeds.portableHash64`) instead of xxhash64 — slower, but any engine
+    * with md5 reproduces the signatures bit-for-bit (the DuckDB oracle
+    * re-derives them from hex digits). Documents with no tokens are
+    * excluded (an empty token multiset has no meaningful signature; the
+    * majority vote would give all-ones). */
   def simhashPairs(docs: DataFrame, id: String = "doc_id", text: String = "text",
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, blockCols: Seq[String] = Nil,
+                   portable: Boolean = false): DataFrame =
+    simhashRun(docs, id, text, maxHamming, blockCols, portable).pairs
+
+  /** Handle-returning variant of [[simhashPairs]] — see [[DedupRun]]. */
+  def simhashRun(docs: DataFrame, id: String = "doc_id", text: String = "text",
+                 maxHamming: Int = 3, blockCols: Seq[String] = Nil,
+                 portable: Boolean = false): DedupRun = {
+    val tokenHash: Column => Column =
+      if (portable) Seeds.portableHash64 else (t => xxhash64(t))
     // token hashes materialized once; the 64 bit-folds then reuse them
     // persist: the 64-bit-fold signature is consumed by both join sides;
-    // without the cache it is computed twice per document.
-    // CALLER OBLIGATION: see minhashLshPairs — clearCache() after
-    // materializing the result in long-lived sessions.
+    // without the cache it is computed twice per document. Released by
+    // DedupRun.unpersistCaches / the harnesses' per-query clearCache().
     val sigs = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col(id).as("__id"),
-        transform(Text.tokens(col(text)), t => xxhash64(t)).as("__th"))
-      .select(col("__id"), simhashFromHashes(col("__th")).as("__sig"))
+      .select((blockCols.map(col) :+ col(id).as("__id") :+
+        transform(Text.tokens(col(text)), tokenHash).as("__th")): _*)
+      .filter(size(col("__th")) > 0)
+      .withColumn("__sig", simhashFromHashes(col("__th"))).drop("__th")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // signatures are 8 bytes — carry them through the chunk explode rather
     // than re-joining (which would recompute the 64-fold signature once per
-    // join consumer); distinct dedups pairs sharing several chunks
+    // join consumer); distinct dedups pairs sharing several chunks. Block
+    // values ride inside the bucket struct so the join stays single-key.
+    val blockFields = blockCols.zipWithIndex.map { case (c, i) => col(c).as(s"b$i") }
     val chunked = sigs.select(col("__id"), col("__sig"),
       explode(array((0 until 4).map(i =>
-        struct(lit(i).as("i"),
-          shiftright(col("__sig"), i * 16).bitwiseAND(0xFFFFL).as("c"))): _*)).as("__chunk"))
+        struct(blockFields :+ lit(i).as("i") :+
+          shiftright(col("__sig"), i * 16).bitwiseAND(0xFFFFL).as("c"): _*)): _*)).as("__chunk"))
     val a = chunked.select(col("__chunk").as("chunk_a"), col("__id").as("id_a"), col("__sig").as("sig_a"))
     val b = chunked.select(col("__chunk").as("chunk_b"), col("__id").as("id_b"), col("__sig").as("sig_b"))
-    a.join(b, col("chunk_a") === col("chunk_b") && col("id_a") < col("id_b"))
+    val pairs = a.join(b, col("chunk_a") === col("chunk_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("dist"))
       .filter(col("dist") <= maxHamming)
       .distinct()
+    new DedupRun(pairs, Seq(sigs))
   }
 
   /** Connected components over near-dup pairs: dedup at corpus scale ends

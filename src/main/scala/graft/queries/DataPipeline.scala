@@ -169,14 +169,51 @@ object DataPipeline {
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash near-dup pairs. xxhash-based signatures are not expressible
-    * in the oracle dialect → rows-only check; determinism is covered by
-    * the unit suite and recall by construction (pigeonhole banding). */
+  /** DuckDB mirror of the PORTABLE SimHash pair query: per-token md5
+    * lower-64 bits re-derived from hex digits (instr alphabet — no hex
+    * builtins needed), per-bit majority vote (ties set the bit, exactly
+    * like `HashKernels.simhash64`), signature assembled as a signed BIGINT
+    * (bit 63 contributes −2^63), then ground-truth ALL-PAIRS Hamming ≤
+    * maxHamming. The Spark side prunes candidates with pigeonhole banding,
+    * whose recall is exact — so hash-matching the unpruned oracle asserts
+    * both signature parity and perfect recall. */
+  private def simhashOracleSql(maxHamming: Int): String = {
+    // hex digit k (0-based, most significant first) sits at md5-hex
+    // position 17+k and carries bits 4*(15-k)+3 .. 4*(15-k)
+    val digits = (0 until 16).map { k =>
+      s"(instr('0123456789abcdef', substring(hx, ${17 + k}, 1)) - 1) AS d$k"
+    }.mkString(", ")
+    val sums = (0 until 64).map { b =>
+      s"SUM((d${15 - b / 4} >> ${b % 4}) & 1) AS c$b"
+    }.mkString(", ")
+    val terms = (0 until 64).map { b =>
+      val term = if (b == 63) "CAST(-9223372036854775808 AS BIGINT)" else s"${1L << b}"
+      s"CASE WHEN 2 * c$b >= n THEN $term ELSE 0 END"
+    }.mkString(" + ")
+    s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(${graft.functions.Text.tokensSql("text")}) AS t
+        FROM documents),
+      dig AS (
+        SELECT doc_id, $digits FROM (SELECT doc_id, md5(t) AS hx FROM tok)),
+      bits AS (SELECT doc_id, COUNT(*) AS n, $sums FROM dig GROUP BY doc_id),
+      sig AS (SELECT doc_id, CAST($terms AS BIGINT) AS sig FROM bits)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS dist
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming
+      ORDER BY id_a, id_b"""
+  }
+
+  /** SimHash near-dup pairs, portable-hash mode so the DuckDB oracle can
+    * re-derive the exact signatures (md5 lower-64 token hashes). The
+    * oracle is unbanded ground truth — the hash-match asserts the
+    * pigeonhole banding's exact recall as well as signature parity. */
   val q37 = QueryDef(
     "q37_simhash",
-    oracle = None,
+    oracle = Some(simhashOracleSql(3)),
     bench = true) { (s, dir) =>
-    Dedup.simhashPairs(Tables.load(s, dir, "documents"), maxHamming = 3)
+    Dedup.simhashPairs(Tables.load(s, dir, "documents"), maxHamming = 3, portable = true)
       .orderBy("id_a", "id_b")
   }
 

@@ -64,6 +64,35 @@ class HashKernelsSpec extends SparkSpec {
     assert(out(1).isNullAt(0) && out(1).isNullAt(1))
   }
 
+  test("wrong input type fails at analysis time with a readable message") {
+    val s = spark
+    import s.implicits._
+    val strings = Seq(Seq("a", "b")).toDF("t")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      strings.select(graft.operators.Dedup.simhashFromHashes(col("t"))).head
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      strings.select(graft.operators.Dedup.minhashes(col("t"), 4)).head
+    }
+    assert(e2.getMessage.toLowerCase.contains("type"))
+  }
+
+  test("portableHash64 equals the md5 digest's lower 64 bits (signed)") {
+    val s = spark
+    import s.implicits._
+    def expected(str: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8"))
+      // hex digits 17..32 = digest bytes 8..15, big-endian
+      (8 until 16).foldLeft(0L)((acc, i) => (acc << 8) | (d(i) & 0xffL))
+    }
+    val inputs = Seq("hello", "", "the", "Ünïcødé ✓", "0", "a" * 100)
+    val got = inputs.toDF("t").select(Seeds.portableHash64(col("t")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == inputs.map(expected))
+  }
+
   test("kernels agree between codegen and interpreted eval") {
     val mh = MinHashes(org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("bh")), 8)
     // interpreted path: call nullSafeEval directly on a literal ArrayData

@@ -54,6 +54,49 @@ class DataPipelineSpec extends SparkSpec {
     assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
   }
 
+  test("simhash banding equals all-pairs ground truth (exact recall)") {
+    // banding must find EXACTLY the pairs an unpruned Hamming filter finds
+    val sigs = docs.filter(col("doc_id") =!= 5)
+      .select(col("doc_id"), Dedup.simhash(Text.tokens(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val truth = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val banded = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == truth)
+  }
+
+  test("portable simhash matches xxhash simhash's pair structure for exact dups") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 0, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // identical text → distance 0 under any hash
+  }
+
+  test("blocked simhash = unblocked pairs restricted to equal block keys") {
+    val unblocked = Dedup.simhashPairs(docs, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bySource = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val blocked = Dedup.simhashPairs(docs, maxHamming = 10, blockCols = Seq("source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == unblocked.filter { case (a, b) => bySource(a) == bySource(b) })
+    assert(blocked != unblocked) // docs 1/4 are dups across sources a/b
+  }
+
+  test("DedupRun.materialize leaves no cached relations behind") {
+    import org.apache.spark.sql.graftbridge.CacheBridge
+    spark.catalog.clearCache()
+    val n = Dedup.minhashLshRun(docs, k = 64, rowsPerBand = 2, threshold = 0.5)
+      .materialize(_.count())
+    assert(n >= 3)
+    assert(CacheBridge.noCachedRelations(spark))
+    val m = Dedup.simhashRun(docs, maxHamming = 3).materialize(_.count())
+    assert(m >= 1)
+    assert(CacheBridge.noCachedRelations(spark))
+  }
+
   test("jaccard is exact on integer set sizes") {
     val s = spark
     import s.implicits._
