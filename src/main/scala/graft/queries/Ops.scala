@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{Tables, UpdateMerge}
 import graft.functions.Rand
 import graft.hist.Axis
-import graft.lookup.BinnedTable
+import graft.lookup.Payload
 import graft.operators.Matching
 import graft.stats.SelectionStats
 import Compat._
@@ -23,17 +23,28 @@ object Ops {
     * arithmetic (measured 1-ulp differences vs strict IEEE order), so the
     * result follows the libm policy: round at 1e-9, far above ulp noise. */
   val q66 = {
-    val interp = BinnedTable.Interp1D(
-      xs = IndexedSeq(0.0, 10.0, 50.0, 100.0, 500.0),
-      ys = IndexedSeq(1.1, 1.05, 0.98, 0.9, 0.85))
+    // the payload-file path: the interpolation knots arrive as a
+    // correctionlib-style JSON document and compile through Payload.parse
+    // into the identical Interp1D plan literals (lookup/Payload.scala)
+    val corr = Payload.parse("""{
+      "schema_version": 2,
+      "corrections": [{
+        "name": "value_corr", "version": 1,
+        "inputs": [{"name": "value", "type": "real"}],
+        "data": {"nodetype": "linear", "input": "value",
+          "xs": [0.0, 10.0, 50.0, 100.0, 500.0],
+          "ys": [1.1, 1.05, 0.98, 0.9, 0.85]}
+      }]
+    }""")("value_corr")
     QueryDef(
       "q66_interp_lookup",
       oracle = Some(s"""
-        SELECT event_id, ROUND(${interp.sql("value")}, 9) AS corr
+        SELECT event_id, ROUND(${corr.sql("value" -> "value")}, 9) AS corr
         FROM events ORDER BY event_id"""),
       bench = true) { (s, dir) =>
       Tables.load(s, dir, "events")
-        .select(col("event_id"), round(interp(col("value")), 9).as("corr"))
+        .select(col("event_id"),
+          round(corr("value" -> col("value")), 9).as("corr"))
         .orderBy("event_id")
     }
   }
@@ -142,16 +153,17 @@ object Ops {
     "q54_veto_map",
     oracle = Some {
       val lut = vetoLut
+      val flag = lut.sql("l_quantity" -> "l_quantity", "l_discount" -> "l_discount")
       s"""
       SELECT l_returnflag,
-        CAST(SUM(CASE WHEN ${lut.sql("l_quantity", "l_discount")} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        CAST(SUM(CASE WHEN ${lut.sql("l_quantity", "l_discount")} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_vetoed
+        CAST(SUM(CASE WHEN $flag = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN $flag = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_vetoed
       FROM lineitem
       GROUP BY 1
       ORDER BY l_returnflag"""
     }) { (s, dir) =>
     val lut = vetoLut
-    val flag = lut(col("l_quantity"), col("l_discount"))
+    val flag = lut("l_quantity" -> col("l_quantity"), "l_discount" -> col("l_discount"))
     Tables.load(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
@@ -160,14 +172,26 @@ object Ops {
       .orderBy("l_returnflag")
   }
 
-  private def vetoLut = BinnedTable.Lookup2D(
-    Axis.Regular("qty", 5, 0.0, 50.0), Axis.Regular("disc", 5, 0.0, 0.1),
-    IndexedSeq(
-      IndexedSeq(0.0, 0.0, 0.0, 1.0, 1.0),
-      IndexedSeq(0.0, 0.0, 0.0, 0.0, 1.0),
-      IndexedSeq(0.0, 0.0, 0.0, 0.0, 0.0),
-      IndexedSeq(1.0, 0.0, 0.0, 0.0, 0.0),
-      IndexedSeq(1.0, 1.0, 0.0, 0.0, 0.0)))
+  /** Veto grid as a loaded correctionlib-style payload (multibinning node,
+    * row-major content — lookup/Payload.scala); rows flagged 1 are vetoed. */
+  private def vetoLut = Payload.parse("""{
+    "schema_version": 2,
+    "corrections": [{
+      "name": "veto_map", "version": 1,
+      "inputs": [{"name": "l_quantity", "type": "real"},
+                 {"name": "l_discount", "type": "real"}],
+      "data": {"nodetype": "multibinning",
+        "inputs": ["l_quantity", "l_discount"],
+        "edges": [[0.0, 10.0, 20.0, 30.0, 40.0, 50.0],
+                  [0.0, 0.02, 0.04, 0.06, 0.08, 0.1]],
+        "content": [0.0, 0.0, 0.0, 1.0, 1.0,
+                    0.0, 0.0, 0.0, 0.0, 1.0,
+                    0.0, 0.0, 0.0, 0.0, 0.0,
+                    1.0, 0.0, 0.0, 0.0, 0.0,
+                    1.0, 1.0, 0.0, 0.0, 0.0],
+        "flow": "clamp"}
+    }]
+  }""")("veto_map")
 
   /** Selection statistics over all group combinations via the library's
     * grouping-set aggregation (reference increment_stats:
