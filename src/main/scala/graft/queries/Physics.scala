@@ -15,7 +15,7 @@ import Compat._
   */
 object Physics {
 
-  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50)
+  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q69)
 
   import Nested.nestedOrders
 
@@ -71,6 +71,83 @@ object Physics {
       .select(col("key").as("shift"), col("o_orderkey"), col("value").as("sum_cal"))
       .localCheckpoint()
       .orderBy("shift", "o_orderkey")
+  }
+
+  /** Chained multi-level JEC (reference jec: columnflow/calibration/cms/
+    * jets.py:337-830): undo the stored raw factor, fold two correction
+    * LEVELS multiplicatively with each level's payload evaluated at the
+    * momentum corrected so far (level 2 sees pt_raw·c1 — the chained
+    * dependency), then per-SOURCE uncertainties at pt_raw give the up/down
+    * families. Payloads arrive as a correctionlib-style JSON document
+    * through the loader; the whole family (raw + nominal + 2×2 shifts)
+    * evaluates as sibling expressions over ONE lineitem scan, unpivoted
+    * like q42. */
+  val q69 = {
+    val cs = graft.lookup.Payload.parse("""{
+      "schema_version": 2,
+      "corrections": [
+        {"name": "L1", "version": 1,
+         "inputs": [{"name": "JetPt", "type": "real"}],
+         "data": {"nodetype": "binning", "input": "JetPt",
+           "edges": [0.0, 5000.0, 20000.0, 50000.0, 100000.0],
+           "content": [1.02, 1.01, 0.995, 0.98], "flow": "clamp"}},
+        {"name": "L2Relative", "version": 1,
+         "inputs": [{"name": "JetPt", "type": "real"}],
+         "data": {"nodetype": "linear", "input": "JetPt",
+           "xs": [0.0, 10000.0, 60000.0, 120000.0],
+           "ys": [1.05, 1.02, 0.99, 0.97]}},
+        {"name": "total", "version": 1,
+         "inputs": [{"name": "JetPt", "type": "real"}],
+         "data": {"nodetype": "binning", "input": "JetPt",
+           "edges": [0.0, 20000.0, 100000.0],
+           "content": [0.02, 0.05], "flow": "clamp"}},
+        {"name": "flavor", "version": 1,
+         "inputs": [{"name": "JetPt", "type": "real"}],
+         "data": {"nodetype": "binning", "input": "JetPt",
+           "edges": [0.0, 50000.0, 100000.0],
+           "content": [0.01, 0.03], "flow": "clamp"}}
+      ]
+    }""")
+    val chain = graft.calibration.JecChain(
+      levels = Seq(cs("L1"), cs("L2Relative")),
+      uncSources = Seq("total" -> cs("total"), "flavor" -> cs("flavor")))
+    QueryDef(
+      "q69_jec_chain",
+      oracle = Some {
+        val r = chain.sql("l_extendedprice * (1 - l_discount)")
+        // Per-member rounding scale (see JecChain scaladoc): pt_raw is a
+        // TRUE 4-decimal value, so a scale-6 cast is exact while a scale-2
+        // round would hit real decimal ties (.xx5) — measured 114/15k
+        // flips; factored members are ~13-decimal products at magnitude
+        // 1e5, where only a COARSE scale keeps the binary tie window
+        // (ulp(x·10^d)) negligible.
+        def one(shift: String, v: String, d: Int) =
+          s"""SELECT '$shift' AS shift, l_orderkey AS o_orderkey,
+             CAST(SUM(CAST(ROUND($v, $d) AS DECIMAL(18,$d))) AS DOUBLE) AS sum_pt
+             FROM lineitem GROUP BY 2"""
+        (("raw", r.ptRaw, 6) +: ("nominal", r.pt, 2) +: r.shifts.map { case (n, v) => (n, v, 2) })
+          .map { case (n, v, d) => one(n, v, d) }
+          .mkString("", " UNION ALL ", " ORDER BY shift, o_orderkey")
+      }) { (s, dir) =>
+      val r = chain(chain.undoRaw(col("l_extendedprice"), col("l_discount")))
+      val members = ("raw", r.ptRaw, 6) +: ("nominal", r.pt, 2) +:
+        r.shifts.map { case (n, v) => (n, v, 2) }
+      val aggs = members.zipWithIndex.map { case ((_, v, d), i) =>
+        dsum(round(v, d).cast(s"decimal(18,$d)")).as(s"__m$i")
+      }
+      // q42 pattern: every family member is a sibling aggregate over one
+      // scan/shuffle; the tiny unpivoted result is materialized before the
+      // global sort so range sampling doesn't re-run the aggregation
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("o_orderkey"), explode(map(members.zipWithIndex.flatMap {
+          case ((n, _, _), i) => Seq(lit(n), col(s"__m$i"))
+        }: _*)))
+        .select(col("key").as("shift"), col("o_orderkey"), col("value").as("sum_pt"))
+        .localCheckpoint()
+        .orderBy("shift", "o_orderkey")
+    }
   }
 
   /** Transverse-sum / MET-propagation shape: per-object (pt, φ) → event
