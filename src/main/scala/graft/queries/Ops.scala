@@ -14,7 +14,7 @@ import Compat._
   * over group combinations, profile summaries, and greedy matching. */
 object Ops {
 
-  def defs: Seq[QueryDef] = Seq(q51, q52, q53, q54, q55, q56, q57, q59, q60, q65, q66)
+  def defs: Seq[QueryDef] = Seq(q51, q52, q53, q54, q55, q56, q57, q59, q60, q65, q66, q70)
 
   /** Piecewise-linear payload interpolation (reference correctionlib
     * "linear" evaluators behind JER/pileup profiles: ak_evaluate
@@ -144,6 +144,115 @@ object Ops {
         count(lit(1)).as("n"),
         dsum(smeared.cast("decimal(18,6)")).as("sum_smeared"))
       .orderBy("l_returnflag")
+  }
+
+  /** Hybrid JER smearing (reference jer: columnflow/calibration/cms/jets.py
+    * :917-1427): per object, the resolution σ and scale factor come from
+    * loaded payloads; objects with a nearest-gen match inside the
+    * 3σ pt-asymmetry window take the SCALING factor
+    * `1 + (sf−1)·(1 − gen_pt/pt)` (jets.py:1135), the rest take the
+    * STOCHASTIC factor `1 + N(0,1)·σ·√(max(sf²−1,0))` (jets.py:1096-1114)
+    * with the engine-portable RNG. Gen candidates are the event's own
+    * high-quantity items with corrected momenta; matching is the q26
+    * argmin shape (deterministic (metric, gpt) tiebreak), evaluated as an
+    * intra-event fold — no shuffle beyond the nested build. The oracle
+    * re-derives both branches from the flat table, so the hash match
+    * asserts branch selection, window logic, matching, and RNG parity. */
+  val q70 = {
+    val cs = Payload.parse("""{
+      "corrections": [
+        {"name": "ptres", "inputs": [{"name": "JetPt", "type": "real"}],
+         "data": {"nodetype": "binning", "input": "JetPt",
+           "edges": [0.0, 20000.0, 60000.0, 200000.0],
+           "content": [0.03, 0.02, 0.01], "flow": "clamp"}},
+        {"name": "ptsf", "inputs": [{"name": "JetPt", "type": "real"}],
+         "data": {"nodetype": "binning", "input": "JetPt",
+           "edges": [0.0, 50000.0, 200000.0],
+           "content": [1.2, 1.1], "flow": "clamp"}}
+      ]
+    }""")
+    val jerC = cs("ptres"); val sfC = cs("ptsf")
+    QueryDef(
+      "q70_jer_hybrid",
+      oracle = Some {
+        val jer = jerC.sql("JetPt" -> "pt"); val sf = sfC.sql("JetPt" -> "pt")
+        val key = "CAST(l_orderkey AS STRING) || '|' || CAST(l_linenumber AS STRING) || '|' || CAST(pt AS STRING)"
+        val matchedCond = s"gpt IS NOT NULL AND abs(1 - gpt / pt) < 3 * $jer"
+        s"""
+        WITH r AS (
+          SELECT l_orderkey, l_linenumber, l_extendedprice AS pt,
+            ROW_NUMBER() OVER () AS rid
+          FROM lineitem),
+        g AS (
+          SELECT l_orderkey AS gok, l_extendedprice * (1 - l_discount) AS gpt
+          FROM lineitem WHERE l_quantity >= 25),
+        b AS (
+          SELECT rid, gpt,
+            ROW_NUMBER() OVER (PARTITION BY rid ORDER BY abs(pt - gpt), gpt) AS rn
+          FROM r JOIN g ON l_orderkey = gok),
+        sm AS (
+          SELECT r.l_orderkey, r.l_linenumber, r.pt, best.gpt
+          FROM r LEFT JOIN (SELECT rid, gpt FROM b WHERE rn = 1) best USING (rid)),
+        f AS (
+          SELECT l_orderkey, pt,
+            CASE WHEN $matchedCond THEN 1 ELSE 0 END AS matched,
+            CASE WHEN $matchedCond
+              THEN ROUND(1 + ($sf - 1) * (1 - gpt / pt), 6)
+              ELSE ROUND(1 + ${Rand.portableGaussianSql(key)} * $jer *
+                sqrt(GREATEST($sf * $sf - 1, 0)), 6) END AS fac
+          FROM sm)
+        SELECT l_orderkey AS o_orderkey,
+          COUNT(*) AS n_items,
+          CAST(SUM(matched) AS BIGINT) AS n_matched,
+          CAST(SUM(CAST(pt * fac AS DECIMAL(18,8)) ) AS DOUBLE) AS sum_smeared
+        FROM f GROUP BY 1 ORDER BY o_orderkey"""
+      }) { (s, dir) =>
+      import Nested.nestedOrders
+      val ev = nestedOrders(s, dir, Seq("l_linenumber", "l_quantity", "l_extendedprice", "l_discount"))
+        .filter(size(col("items")) > 0)
+        .withColumn("__gpts", transform(
+          filter(col("items"), g => g.getField("l_quantity") >= 25),
+          g => g.getField("l_extendedprice") * (lit(1) - g.getField("l_discount"))))
+      val smeared = transform(col("items"), it => {
+        val pt = it.getField("l_extendedprice")
+        val jer = jerC("JetPt" -> pt)
+        val sf = sfC("JetPt" -> pt)
+        // nearest gen candidate: argmin over |pt−gpt| with gpt tiebreak
+        val best = aggregate(col("__gpts"),
+          struct(lit(null).cast("double").as("m"), lit(null).cast("double").as("gpt")),
+          (acc, g) => {
+            val m = abs(pt - g)
+            val better = acc.getField("m").isNull || m < acc.getField("m") ||
+              (m === acc.getField("m") && g < acc.getField("gpt"))
+            when(better, struct(m.as("m"), g.as("gpt"))).otherwise(acc)
+          }).getField("gpt")
+        val diff = lit(1.0) - best / pt
+        val matched = best.isNotNull && abs(diff) < lit(3.0) * jer
+        val key = concat_ws("|", col("o_orderkey").cast("string"),
+          it.getField("l_linenumber").cast("string"), pt.cast("string"))
+        // factor-scale values round at 6 (tie-safe, see JecChain scaladoc);
+        // the momentum product rounds at 2 in the sum below
+        val scal = round(lit(1.0) + (sf - lit(1.0)) * diff, 6)
+        val stoch = round(lit(1.0) + Rand.portableGaussian(key) * jer *
+          sqrt(greatest(sf * sf - lit(1.0), lit(0.0))), 6)
+        struct(pt.as("pt"), when(matched, scal).otherwise(stoch).as("fac"),
+          matched.cast("int").as("matched"))
+      })
+      ev.select(
+        col("o_orderkey"),
+        size(col("items")).cast("long").as("n_items"),
+        aggregate(smeared, lit(0L), (a, x) => a + x.getField("matched")).as("n_matched"),
+        // pt (true scale 2) × fac (round-6 output, true scale 6) has true
+        // scale ≤ 8, so the scale-8 cast always lands on the decimal grid
+        // in both engines (double error ~5e-11 ≪ 0.5e-8) — tie-free where
+        // any ROUND below scale 8 hits real .5 ties (2/15k rows measured
+        // when fac degenerates to 2 decimals on self-matched jets)
+        aggregate(smeared, lit(0).cast("decimal(28,8)"),
+          (a, x) => (a + (x.getField("pt") * x.getField("fac"))
+            .cast("decimal(18,8)")).cast("decimal(28,8)"))
+          .cast("double").as("sum_smeared"))
+        .orderBy("o_orderkey")
+    }
   }
 
   /** 2-D binned veto map (reference jet veto maps:
