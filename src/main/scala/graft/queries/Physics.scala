@@ -15,7 +15,7 @@ import Compat._
   */
 object Physics {
 
-  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q69)
+  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q69, q71)
 
   import Nested.nestedOrders
 
@@ -147,6 +147,106 @@ object Physics {
         .select(col("key").as("shift"), col("o_orderkey"), col("value").as("sum_pt"))
         .localCheckpoint()
         .orderBy("shift", "o_orderkey")
+    }
+  }
+
+  /** Quantile-map recoil correction (reference recoil_corrected_met:
+    * columnflow/production/cms/dy.py:299-504): U = MET + vis − full,
+    * projected onto the boson direction; U∥/U⊥ are rescaled through
+    * payload-loaded QUANTILE MAPS (source CDF ∘ target inverse-CDF); the
+    * corrected MET is reassembled, with response up/down variations
+    * scaling the corrected U∥ (the unc-corrector shape, dy.py:421-445).
+    * All geometry is trig-free IEEE arithmetic (components, not angles),
+    * so per-event values are bit-identical across engines; only the final
+    * outputs round (factor-scale policy). Events play the event record;
+    * vectors derive from (value, user_id). */
+  val q71 = {
+    val cs = graft.lookup.Payload.parse("""{
+      "corrections": [
+        {"name": "cdf_para", "inputs": [{"name": "x", "type": "real"}],
+         "data": {"nodetype": "linear", "input": "x",
+           "xs": [-600.0, -50.0, 0.0, 50.0, 600.0],
+           "ys": [0.0, 0.25, 0.5, 0.75, 1.0]}},
+        {"name": "inv_para", "inputs": [{"name": "x", "type": "real"}],
+         "data": {"nodetype": "linear", "input": "x",
+           "xs": [0.0, 0.25, 0.5, 0.75, 1.0],
+           "ys": [-580.0, -45.0, 5.0, 60.0, 590.0]}},
+        {"name": "cdf_perp", "inputs": [{"name": "x", "type": "real"}],
+         "data": {"nodetype": "linear", "input": "x",
+           "xs": [-600.0, -30.0, 30.0, 600.0],
+           "ys": [0.0, 0.3, 0.7, 1.0]}},
+        {"name": "inv_perp", "inputs": [{"name": "x", "type": "real"}],
+         "data": {"nodetype": "linear", "input": "x",
+           "xs": [0.0, 0.3, 0.7, 1.0],
+           "ys": [-590.0, -28.0, 32.0, 585.0]}}
+      ]
+    }""")
+    val qmapPara = graft.calibration.QuantileMap(cs("cdf_para"), cs("inv_para"))
+    val qmapPerp = graft.calibration.QuantileMap(cs("cdf_perp"), cs("inv_perp"))
+    QueryDef(
+      "q71_recoil_quantile",
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT event_id,
+            value - 50.0 AS mx, (user_id - 50.0) * 0.8 AS my,
+            value * 0.3 AS vx, user_id * 0.1 AS vy,
+            value * 0.5 + 10.0 AS fx, user_id * 0.2 + 5.0 AS fy
+          FROM events),
+        p AS (
+          SELECT *, mx + vx - fx AS ux, my + vy - fy AS uy,
+            fx / sqrt(fx * fx + fy * fy) AS unx,
+            fy / sqrt(fx * fx + fy * fy) AS uny
+          FROM v),
+        u AS (
+          SELECT *, ux * unx + uy * uny AS upara,
+            -ux * uny + uy * unx AS uperp
+          FROM p),
+        c AS (
+          SELECT *, ${qmapPara.sql("upara")} AS upc, ${qmapPerp.sql("uperp")} AS upp
+          FROM u),
+        m AS (
+          SELECT event_id, upc,
+            (upc * unx - upp * uny) - vx + fx AS mcx,
+            (upc * uny + upp * unx) - vy + fy AS mcy,
+            (upc * 1.02 * unx - upp * uny) - vx + fx AS mux,
+            (upc * 1.02 * uny + upp * unx) - vy + fy AS muy,
+            (upc * 0.98 * unx - upp * uny) - vx + fx AS mdx,
+            (upc * 0.98 * uny + upp * unx) - vy + fy AS mdy
+          FROM c)
+        SELECT event_id,
+          ROUND(upc, 6) AS upara_corr,
+          ROUND(sqrt(mcx * mcx + mcy * mcy), 6) AS met_pt,
+          ROUND(atan2(mcy, mcx), 6) AS met_phi,
+          ROUND(sqrt(mux * mux + muy * muy), 6) AS met_pt_resp_up,
+          ROUND(sqrt(mdx * mdx + mdy * mdy), 6) AS met_pt_resp_down
+        FROM m ORDER BY event_id""")) { (s, dir) =>
+      import graft.calibration.Recoil
+      import Recoil.Vec
+      val ev = Tables.load(s, dir, "events").select(
+        col("event_id"),
+        (col("value") - 50.0).as("mx"), ((col("user_id") - 50.0) * 0.8).as("my"),
+        (col("value") * 0.3).as("vx"), (col("user_id") * 0.1).as("vy"),
+        (col("value") * 0.5 + 10.0).as("fx"), (col("user_id") * 0.2 + 5.0).as("fy"))
+      val p = Recoil.project(
+        Vec(col("mx"), col("my")), Vec(col("vx"), col("vy")), Vec(col("fx"), col("fy")))
+      val staged = ev.withColumns(Map(
+        "upara" -> p.upara, "uperp" -> p.uperp, "unx" -> p.unitX, "uny" -> p.unitY))
+        .withColumn("upc", qmapPara(col("upara")))
+        .withColumn("upp", qmapPerp(col("uperp")))
+      val proj = Recoil.Projection(col("upara"), col("uperp"), col("unx"), col("uny"))
+      val vis = Vec(col("vx"), col("vy")); val full = Vec(col("fx"), col("fy"))
+      def pt(v: Vec): Column = sqrt(v.x * v.x + v.y * v.y)
+      val nom = Recoil.reassemble(col("upc"), col("upp"), proj, vis, full)
+      val up = Recoil.reassemble(col("upc") * 1.02, col("upp"), proj, vis, full)
+      val dn = Recoil.reassemble(col("upc") * 0.98, col("upp"), proj, vis, full)
+      staged.select(
+        col("event_id"),
+        round(col("upc"), 6).as("upara_corr"),
+        round(pt(nom), 6).as("met_pt"),
+        round(atan2(nom.y, nom.x), 6).as("met_phi"),
+        round(pt(up), 6).as("met_pt_resp_up"),
+        round(pt(dn), 6).as("met_pt_resp_down"))
+        .orderBy("event_id")
     }
   }
 
