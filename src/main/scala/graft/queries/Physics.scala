@@ -15,7 +15,7 @@ import Compat._
   */
 object Physics {
 
-  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q69, q71)
+  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q69, q71, q72)
 
   import Nested.nestedOrders
 
@@ -269,6 +269,62 @@ object Physics {
         dsum(round(col("l_quantity") * cos(col("l_tax") * 78.5), 6).cast("decimal(18,6)")).as("sum_px"),
         dsum(round(col("l_quantity") * sin(col("l_tax") * 78.5), 6).cast("decimal(18,6)")).as("sum_py"),
         count(lit(1)).as("n"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Type-I MET propagation end-to-end (reference propagate_met:
+    * columnflow/calibration/util.py:60-135, driven by jec at
+    * columnflow/calibration/cms/jets.py:543-566): jets above the
+    * propagation threshold contribute their calibrated-minus-raw momentum
+    * difference in components, which is subtracted from the event MET;
+    * pt/φ are recomputed from the shifted components. Per-event jet sums
+    * have ≤7 terms, so cross-engine double-sum noise (~1e-13) sits far
+    * inside the round-6 window; the libm cos/sin/atan2 1-ulp noise
+    * likewise. Items play jets (pt = quantity, φ from tax), the order
+    * plays the event record carrying MET. */
+  val q72 = QueryDef(
+    "q72_met_propagation",
+    oracle = Some("""
+      WITH j AS (
+        SELECT l_orderkey,
+          l_quantity * cos(l_tax * 62.8 - 3.14) AS px1,
+          l_quantity * sin(l_tax * 62.8 - 3.14) AS py1,
+          (l_quantity * (1 + l_discount)) * cos(l_tax * 62.8 - 3.14) AS px2,
+          (l_quantity * (1 + l_discount)) * sin(l_tax * 62.8 - 3.14) AS py2
+        FROM lineitem WHERE l_quantity > 15),
+      s AS (
+        SELECT l_orderkey, SUM(px2 - px1) AS dx, SUM(py2 - py1) AS dy
+        FROM j GROUP BY 1),
+      m AS (
+        SELECT o_orderkey,
+          (o_totalprice / 1000) * cos((o_orderkey % 628) / 100.0 - 3.14)
+            - COALESCE(dx, 0.0) AS mx,
+          (o_totalprice / 1000) * sin((o_orderkey % 628) / 100.0 - 3.14)
+            - COALESCE(dy, 0.0) AS my
+        FROM orders LEFT JOIN s ON o_orderkey = l_orderkey)
+      SELECT o_orderkey,
+        ROUND(sqrt(mx * mx + my * my), 6) AS met_pt,
+        ROUND(atan2(my, mx), 6) AS met_phi
+      FROM m ORDER BY o_orderkey""")) { (s, dir) =>
+    import graft.kinematics.Kinematics
+    val ev = nestedOrders(s, dir, Seq("l_linenumber", "l_quantity", "l_discount", "l_tax"))
+    // reference met_prop_mask: only jets above the propagation threshold
+    val masked = filter(col("items"), j => j.getField("l_quantity") > 15)
+    def phiOf(j: Column): Column = j.getField("l_tax") * 62.8 - lit(3.14)
+    val dx = aggregate(masked, lit(0.0), (acc, j) =>
+      acc + (Kinematics.px(j.getField("l_quantity") * (lit(1) + j.getField("l_discount")), phiOf(j)) -
+        Kinematics.px(j.getField("l_quantity"), phiOf(j))))
+    val dy = aggregate(masked, lit(0.0), (acc, j) =>
+      acc + (Kinematics.py(j.getField("l_quantity") * (lit(1) + j.getField("l_discount")), phiOf(j)) -
+        Kinematics.py(j.getField("l_quantity"), phiOf(j))))
+    val met = Kinematics.propagateMet(
+      col("o_totalprice") / 1000,
+      (col("o_orderkey") % 628) / 100.0 - lit(3.14),
+      dx, dy)
+    ev.select(
+      col("o_orderkey"),
+      round(met.getField("pt"), 6).as("met_pt"),
+      round(met.getField("phi"), 6).as("met_phi"))
       .orderBy("o_orderkey")
   }
 
