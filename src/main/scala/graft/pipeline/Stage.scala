@@ -23,11 +23,28 @@ final class Pipeline(spark: SparkSession, root: String) {
   private def done(name: String): Boolean =
     Files.exists(Paths.get(s"$root/$name/_SUCCESS"))
 
+  private def versionFile(name: String) = Paths.get(s"$root/$name/_GRAFT_VERSION")
+
   /** Run `build` unless a completed checkpoint exists; return the
-    * checkpointed frame either way. */
-  def stage(name: String)(build: => DataFrame): DataFrame = {
+    * checkpointed frame either way.
+    *
+    * `version` is the content-awareness hook (the reference's law targets
+    * are content-addressed by task parameters): pass any string that
+    * changes when the stage's code or config changes (a config hash, a
+    * git revision, a bumped literal) and a checkpoint written under a
+    * DIFFERENT version is invalidated and rebuilt instead of silently
+    * reused. The empty default keeps _SUCCESS-only semantics for
+    * exploratory use. */
+  def stage(name: String, version: String = "")(build: => DataFrame): DataFrame = {
+    val stale = version.nonEmpty && done(name) && {
+      val vf = versionFile(name)
+      !Files.exists(vf) || new String(Files.readAllBytes(vf), "UTF-8") != version
+    }
+    if (stale) invalidate(name)
     if (!done(name)) {
       build.write.mode("overwrite").parquet(s"$root/$name")
+      if (version.nonEmpty)
+        Files.write(versionFile(name), version.getBytes("UTF-8")): Unit
     }
     spark.read.parquet(s"$root/$name")
   }
@@ -35,9 +52,10 @@ final class Pipeline(spark: SparkSession, root: String) {
   /** Stage variant expanded once per shift: `stageShifted("select",
     * shifts)(s => ...)` materializes `select/shift=<name>` per shift —
     * the reference's shift-aware task families. */
-  def stageShifted(name: String, shifts: Seq[Shift])(build: Shift => DataFrame): Map[String, DataFrame] =
+  def stageShifted(name: String, shifts: Seq[Shift], version: String = "")(
+      build: Shift => DataFrame): Map[String, DataFrame] =
     shifts.map { s =>
-      s.name -> stage(s"$name/shift=${s.name}")(build(s))
+      s.name -> stage(s"$name/shift=${s.name}", version)(build(s))
     }.toMap
 
   /** Drop a stage's checkpoint (and thereby force downstream rebuilds on

@@ -44,6 +44,26 @@ class PipelineSpec extends SparkSpec {
     assert(builds == 2)
   }
 
+  test("versioned stages invalidate on version change, reuse on match") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-pipe-v").toString
+    val pipe = new Pipeline(spark, root)
+    var builds = 0
+    def build(x: Double) = { builds += 1; Seq((1L, x)).toDF("event", "x") }
+    assert(pipe.stage("sel", "v1")(build(2.0)).head.getDouble(1) == 2.0)
+    // same version → checkpoint reused
+    assert(pipe.stage("sel", "v1")(build(3.0)).head.getDouble(1) == 2.0)
+    assert(builds == 1)
+    // changed version → stale checkpoint rebuilt, not silently reused
+    assert(pipe.stage("sel", "v2")(build(3.0)).head.getDouble(1) == 3.0)
+    assert(builds == 2)
+    // unversioned stage written before versioning counts as stale too
+    pipe.invalidate("sel")
+    pipe.stage("sel")(build(4.0))
+    assert(pipe.stage("sel", "v3")(build(5.0)).head.getDouble(1) == 5.0)
+  }
+
   test("stageShifted materializes one checkpoint per shift") {
     val s = spark
     import s.implicits._
