@@ -83,6 +83,29 @@ object HashKernels {
     sig
   }
 
+  private val md5digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Lower 64 bits of the md5 digest of a string as a SIGNED long — the
+    * engine-portable 64-bit hash (bit pattern identical to reading hex
+    * digits 17..32 of the digest). Direct byte access; the builtin chain
+    * (`conv(substring(md5(c), 17, 16), 16, 10)` + decimal re-signing,
+    * `Seeds.portableHash64`) produces the same value through a hex-string
+    * and decimal detour — `HashKernelsSpec` asserts equality. */
+  def md5Lower64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = md5digest.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes)
+    var acc = 0L
+    var i = 8
+    while (i < 16) { acc = (acc << 8) | (bytes(i) & 0xffL); i += 1 }
+    acc
+  }
+
+  /** Column wrapper: portable md5 lower-64 hash of a string. */
+  def md5Lower64Col(c: Column): Column =
+    ColumnBridge.column(Md5Lower64(ColumnBridge.expression(c)))
+
   /** Shared analysis-time input check: both kernels require array<bigint>. */
   private[functions] def requireLongArray(name: String, child: Expression): TypeCheckResult =
     child.dataType match {
@@ -128,6 +151,27 @@ case class MinHashes(child: Expression, k: Int) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashes =
+    copy(child = newChild)
+}
+
+/** `string` → signed lower-64 bits of its md5 digest (portable hash). */
+case class Md5Lower64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_lower64"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.md5Lower64(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.md5Lower64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Lower64 =
     copy(child = newChild)
 }
 

@@ -27,13 +27,19 @@ object Seeds {
   def fold(k: Int, cols: Column*): Column = pmod(portableSeedNum(cols: _*), lit(k))
 
   /** Lower 64 bits of the md5 digest as a SIGNED long (two's complement) —
-    * the engine-portable 64-bit hash. Spark: `conv(hex, 16, 10)` reads the
-    * last 16 hex digits as an unsigned 64-bit value; subtracting 2^64 when
-    * the value is ≥ 2^63 re-interprets it as the signed long whose bit
-    * pattern is identical, so bitwise consumers (SimHash majority votes,
-    * Hamming distance) agree with any engine that derives the same 64 bits
-    * from the digest's hex digits. */
-  def portableHash64(c: Column): Column = {
+    * the engine-portable 64-bit hash: any engine that reads hex digits
+    * 17..32 of the md5 as an unsigned value and re-signs at 2^63 gets the
+    * identical bit pattern, so bitwise consumers (SimHash majority votes,
+    * Hamming distance) agree across engines. Implemented as a native
+    * codegen kernel reading the digest bytes directly
+    * (`HashKernels.Md5Lower64`); the builtin-chain formulation
+    * (`conv(substring(md5(c), 17, 16), 16, 10)` through decimal
+    * re-signing) is value-identical, asserted in `HashKernelsSpec`. */
+  def portableHash64(c: Column): Column = HashKernels.md5Lower64Col(c)
+
+  /** The builtin-only formulation of [[portableHash64]] — value-identical;
+    * kept for engines/plans where the custom Expression is unavailable. */
+  def portableHash64Builtin(c: Column): Column = {
     import org.apache.spark.sql.types.DecimalType
     val dec = conv(substring(md5(c), 17, 16), 16, 10).cast(DecimalType(20, 0))
     (dec - when(dec >= lit(BigDecimal("9223372036854775808")),

@@ -91,6 +91,15 @@ class HashKernelsSpec extends SparkSpec {
     val got = inputs.toDF("t").select(Seeds.portableHash64(col("t")))
       .collect().map(_.getLong(0)).toSeq
     assert(got == inputs.map(expected))
+    // native kernel ≡ builtin conv/decimal chain
+    val viaBuiltin = inputs.toDF("t").select(Seeds.portableHash64Builtin(col("t")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == viaBuiltin)
+    // analysis-time type check
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("x").select(Seeds.portableHash64(col("x"))).head
+    }
+    assert(e.getMessage.toLowerCase.contains("string"))
   }
 
   test("kernels agree between codegen and interpreted eval") {
