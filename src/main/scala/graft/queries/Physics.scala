@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Route, SchemaOps, Tables}
-import graft.functions.Seeds
+import graft.functions.{Rand, Seeds}
 import graft.pipeline.Shift
 import Compat._
 
@@ -15,7 +15,8 @@ import Compat._
   */
 object Physics {
 
-  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50, q69, q71, q72)
+  def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50,
+    q69, q71, q72, q73, q74, q75, q77)
 
   import Nested.nestedOrders
 
@@ -326,6 +327,266 @@ object Physics {
       round(met.getField("pt"), 6).as("met_pt"),
       round(met.getField("phi"), 6).as("met_phi"))
       .orderBy("o_orderkey")
+  }
+
+  /** MET φ (xy) modulation correction (reference met_phi:
+    * columnflow/calibration/cms/met.py:194-318): the payload is a
+    * category-over-variation tree of npv-linear x/y shifts; events below
+    * the beam-energy mask get px/py shifted and pt/φ recomputed, events
+    * above keep their original values; pileup variations produce the
+    * shifted family. */
+  val q73 = {
+    val cs = graft.lookup.Payload.parse("""{
+      "corrections": [
+        {"name": "shift_x",
+         "inputs": [{"name": "variation", "type": "string"}, {"name": "npv", "type": "real"}],
+         "data": {"nodetype": "category", "input": "variation", "content": [
+           {"key": "nom", "value": {"nodetype": "linear", "input": "npv",
+             "xs": [0.0, 60.0], "ys": [0.12, 1.14]}},
+           {"key": "pu_up", "value": {"nodetype": "linear", "input": "npv",
+             "xs": [0.0, 60.0], "ys": [0.10, 1.30]}},
+           {"key": "pu_down", "value": {"nodetype": "linear", "input": "npv",
+             "xs": [0.0, 60.0], "ys": [0.14, 0.98]}}]}},
+        {"name": "shift_y",
+         "inputs": [{"name": "variation", "type": "string"}, {"name": "npv", "type": "real"}],
+         "data": {"nodetype": "category", "input": "variation", "content": [
+           {"key": "nom", "value": {"nodetype": "linear", "input": "npv",
+             "xs": [0.0, 60.0], "ys": [-0.08, 0.58]}},
+           {"key": "pu_up", "value": {"nodetype": "linear", "input": "npv",
+             "xs": [0.0, 60.0], "ys": [-0.06, 0.70]}},
+           {"key": "pu_down", "value": {"nodetype": "linear", "input": "npv",
+             "xs": [0.0, 60.0], "ys": [-0.10, 0.46]}}]}}
+      ]
+    }""")
+    val sx = cs("shift_x"); val sy = cs("shift_y")
+    val variations = Seq("nom", "pu_up", "pu_down")
+    QueryDef(
+      "q73_met_phi",
+      oracle = Some {
+        val members = variations.map { v =>
+          val sxq = sx.sql("variation" -> s"'$v'", "npv" -> "npv")
+          val syq = sy.sql("variation" -> s"'$v'", "npv" -> "npv")
+          s"""CASE WHEN met_pt < 340
+             THEN ROUND(sqrt((ROUND(met_pt * cos(met_phi), 6) - $sxq) * (ROUND(met_pt * cos(met_phi), 6) - $sxq)
+               + (ROUND(met_pt * sin(met_phi), 6) - $syq) * (ROUND(met_pt * sin(met_phi), 6) - $syq)), 6)
+             ELSE ROUND(met_pt, 6) END AS met_pt_$v"""
+        }.mkString(", ")
+        val sxn = sx.sql("variation" -> "'nom'", "npv" -> "npv")
+        val syn = sy.sql("variation" -> "'nom'", "npv" -> "npv")
+        s"""
+        WITH m AS (
+          SELECT o_orderkey, o_totalprice / 1000 AS met_pt,
+            (o_orderkey % 628) / 100.0 - 3.14 AS met_phi,
+            CAST(o_custkey % 60 AS DOUBLE) AS npv
+          FROM orders)
+        SELECT o_orderkey, $members,
+          CASE WHEN met_pt < 340
+            THEN ROUND(atan2(ROUND(met_pt * sin(met_phi), 6) - $syn,
+                             ROUND(met_pt * cos(met_phi), 6) - $sxn), 6)
+            ELSE ROUND(met_phi, 6) END AS met_phi_nom
+        FROM m ORDER BY o_orderkey"""
+      }) { (s, dir) =>
+      val m = Tables.load(s, dir, "orders").select(
+        col("o_orderkey"),
+        (col("o_totalprice") / 1000).as("met_pt"),
+        ((col("o_orderkey") % 628) / 100.0 - lit(3.14)).as("met_phi"),
+        (col("o_custkey") % 60).cast("double").as("npv"))
+      val mask = col("met_pt") < 340
+      val pxr = round(col("met_pt") * cos(col("met_phi")), 6)
+      val pyr = round(col("met_pt") * sin(col("met_phi")), 6)
+      def shifted(v: String): (Column, Column) = (
+        pxr - sx("variation" -> lit(v), "npv" -> col("npv")),
+        pyr - sy("variation" -> lit(v), "npv" -> col("npv")))
+      val ptCols = variations.map { v =>
+        val (x, y) = shifted(v)
+        when(mask, round(sqrt(x * x + y * y), 6))
+          .otherwise(round(col("met_pt"), 6)).as(s"met_pt_$v")
+      }
+      val (xn, yn) = shifted("nom")
+      val phiNom = when(mask, round(atan2(yn, xn), 6))
+        .otherwise(round(col("met_phi"), 6)).as("met_phi_nom")
+      m.select(col("o_orderkey") +: ptCols :+ phiNom: _*).orderBy("o_orderkey")
+    }
+  }
+
+  /** Tau energy correction (reference tec:
+    * columnflow/calibration/cms/tau.py:62-263): scale factors are a
+    * decay-mode-keyed payload (INTEGER category keys) with per-systematic
+    * sub-categories; unsupported decay modes fall through to the payload
+    * default (scale 1, the reference's dm_mask), and objects whose
+    * gen-match value is unhandled are reset to 1 for nominal AND
+    * variations (tau.py:139-151). Exact decimal scales throughout: payload
+    * scalars have ≤3 decimals, so pt·scale casts exactly at scale 5. */
+  val q74 = {
+    val cs = graft.lookup.Payload.parse("""{
+      "corrections": [
+        {"name": "tes",
+         "inputs": [{"name": "dm", "type": "int"}, {"name": "syst", "type": "string"}],
+         "data": {"nodetype": "category", "input": "dm", "content": [
+           {"key": 0, "value": {"nodetype": "category", "input": "syst", "content": [
+             {"key": "nom", "value": 0.99}, {"key": "up", "value": 1.01}, {"key": "down", "value": 0.97}]}},
+           {"key": 1, "value": {"nodetype": "category", "input": "syst", "content": [
+             {"key": "nom", "value": 0.995}, {"key": "up", "value": 1.015}, {"key": "down", "value": 0.975}]}},
+           {"key": 10, "value": {"nodetype": "category", "input": "syst", "content": [
+             {"key": "nom", "value": 1.005}, {"key": "up", "value": 1.02}, {"key": "down", "value": 0.99}]}},
+           {"key": 11, "value": {"nodetype": "category", "input": "syst", "content": [
+             {"key": "nom", "value": 1.01}, {"key": "up", "value": 1.03}, {"key": "down", "value": 0.995}]}}],
+           "default": 1.0}}
+      ]
+    }""")
+    val tes = cs("tes")
+    QueryDef(
+      "q74_tec",
+      oracle = Some {
+        def scale(syst: String) = {
+          val sf = tes.sql("dm" -> "dm", "syst" -> s"'$syst'")
+          s"CASE WHEN genmatch < 1 OR genmatch > 5 THEN 1.0 ELSE $sf END"
+        }
+        def member(syst: String) =
+          s"CAST(SUM(CAST(pt * (${scale(syst)}) AS DECIMAL(18,5))) AS DOUBLE) AS sum_$syst"
+        s"""
+        WITH t AS (
+          SELECT l_returnflag, l_extendedprice AS pt,
+            l_linenumber % 13 AS dm, l_suppkey % 7 AS genmatch
+          FROM lineitem)
+        SELECT l_returnflag,
+          COUNT(*) AS n,
+          CAST(SUM(CASE WHEN genmatch < 1 OR genmatch > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_reset,
+          ${member("nom")}, ${member("up")}, ${member("down")}
+        FROM t GROUP BY 1 ORDER BY l_returnflag"""
+      }) { (s, dir) =>
+      val t = Tables.load(s, dir, "lineitem").select(
+        col("l_returnflag"), col("l_extendedprice").as("pt"),
+        (col("l_linenumber") % 13).as("dm"), (col("l_suppkey") % 7).as("genmatch"))
+      val reset = col("genmatch") < 1 || col("genmatch") > 5
+      def scale(syst: String): Column =
+        when(reset, 1.0).otherwise(tes("dm" -> col("dm"), "syst" -> lit(syst)))
+      t.groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(reset.cast("int")).cast("long").as("n_reset"),
+          dsum((col("pt") * scale("nom")).cast("decimal(18,5)")).as("sum_nom"),
+          dsum((col("pt") * scale("up")).cast("decimal(18,5)")).as("sum_up"),
+          dsum((col("pt") * scale("down")).cast("decimal(18,5)")).as("sum_down"))
+        .orderBy("l_returnflag")
+    }
+  }
+
+  /** Muon momentum scale/resolution, Rochester-style (reference muon_sr:
+    * columnflow/calibration/cms/muon.py:61): the multiplicative scale is a
+    * 2-D (η, φ)-binned payload applied to every object; "MC" objects
+    * additionally smear by 1 + σ(η)·N(0,1) with the engine-portable RNG
+    * (data/MC branch per object here, flag-driven). The smear factor
+    * rounds at 3 digits so pt·k·smear stays on the scale-8 decimal grid
+    * (pt 2 + k 3 + smear 3 — tie-free casts); grouping is per order so
+    * unscaled decimal sums stay far below 2^53. */
+  val q75 = {
+    val cs = graft.lookup.Payload.parse("""{
+      "corrections": [
+        {"name": "k",
+         "inputs": [{"name": "eta", "type": "real"}, {"name": "phi", "type": "real"}],
+         "data": {"nodetype": "multibinning", "inputs": ["eta", "phi"],
+           "edges": [[-1.0, -0.3, 0.3, 1.0], [-3.2, 0.0, 3.2]],
+           "content": [0.985, 1.015, 0.995, 1.005, 1.02, 0.98], "flow": "clamp"}},
+        {"name": "sigma",
+         "inputs": [{"name": "eta", "type": "real"}],
+         "data": {"nodetype": "binning", "input": "eta",
+           "edges": [-1.0, 0.0, 1.0], "content": [0.02, 0.04], "flow": "clamp"}}
+      ]
+    }""")
+    val kC = cs("k"); val sigC = cs("sigma")
+    QueryDef(
+      "q75_muon_sr",
+      oracle = Some {
+        val k = kC.sql("eta" -> "eta", "phi" -> "phi")
+        val sig = sigC.sql("eta" -> "eta")
+        val gkey = "CAST(l_orderkey AS STRING) || '|' || CAST(l_linenumber AS STRING) || '|' || CAST(pt AS STRING)"
+        s"""
+        WITH m AS (
+          SELECT l_orderkey, l_linenumber, l_extendedprice AS pt,
+            l_tax * 25 - 1 AS eta, l_discount * 62.8 - 3.14 AS phi,
+            l_returnflag = 'R' AS is_data
+          FROM lineitem),
+        c AS (
+          SELECT l_orderkey, is_data,
+            pt * ($k) * (CASE WHEN is_data THEN 1.0
+              ELSE ROUND(1 + ($sig) * ${Rand.portableGaussianSql(gkey)}, 3) END) AS pt_corr
+          FROM m)
+        SELECT l_orderkey AS o_orderkey,
+          COUNT(*) AS n,
+          CAST(SUM(CASE WHEN is_data THEN 0 ELSE 1 END) AS BIGINT) AS n_mc,
+          CAST(SUM(CAST(pt_corr AS DECIMAL(18,8))) AS DOUBLE) AS sum_corr
+        FROM c GROUP BY 1 ORDER BY o_orderkey"""
+      }) { (s, dir) =>
+      val m = Tables.load(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice").as("pt"),
+        (col("l_tax") * 25 - 1).as("eta"), (col("l_discount") * 62.8 - lit(3.14)).as("phi"),
+        (col("l_returnflag") === "R").as("is_data"))
+      val gkey = concat_ws("|", col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"), col("pt").cast("string"))
+      val k = kC("eta" -> col("eta"), "phi" -> col("phi"))
+      val smear = when(col("is_data"), 1.0).otherwise(
+        round(lit(1) + sigC("eta" -> col("eta")) * Rand.portableGaussian(gkey), 3))
+      m.select(col("l_orderkey"), col("is_data"),
+        (col("pt") * k * smear).as("pt_corr"))
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("is_data"), 0).otherwise(1)).cast("long").as("n_mc"),
+          dsum(col("pt_corr").cast("decimal(18,8)")).as("sum_corr"))
+        .orderBy("o_orderkey")
+    }
+  }
+
+  /** Drell-Yan ptll reweighting (reference dy_weights:
+    * columnflow/production/cms/dy.py:132-298): the weight is a
+    * systematic-keyed payload evaluated at the gen-dilepton pt — here the
+    * transverse momentum of the event's item system (q43's decimal-exact
+    * px/py sums), pushed through per-syst linear payload nodes. */
+  val q77 = {
+    val cs = graft.lookup.Payload.parse("""{
+      "corrections": [
+        {"name": "DY_pTll_reweighting",
+         "inputs": [{"name": "syst", "type": "string"}, {"name": "ptll", "type": "real"}],
+         "data": {"nodetype": "category", "input": "syst", "content": [
+           {"key": "nom", "value": {"nodetype": "linear", "input": "ptll",
+             "xs": [0.0, 50.0, 150.0, 400.0], "ys": [1.08, 1.02, 0.96, 0.9]}},
+           {"key": "up1", "value": {"nodetype": "linear", "input": "ptll",
+             "xs": [0.0, 50.0, 150.0, 400.0], "ys": [1.12, 1.05, 0.98, 0.92]}},
+           {"key": "down1", "value": {"nodetype": "linear", "input": "ptll",
+             "xs": [0.0, 50.0, 150.0, 400.0], "ys": [1.04, 0.99, 0.94, 0.88]}}]}}
+      ]
+    }""")
+    val dy = cs("DY_pTll_reweighting")
+    QueryDef(
+      "q77_dy_ptll_weight",
+      oracle = Some {
+        def w(syst: String) =
+          s"ROUND(${dy.sql("syst" -> s"'$syst'", "ptll" -> "ptll")}, 6) AS dy_weight_$syst"
+        s"""
+        WITH s AS (
+          SELECT l_orderkey,
+            CAST(SUM(CAST(ROUND(l_quantity * cos(l_tax * 78.5), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_px,
+            CAST(SUM(CAST(ROUND(l_quantity * sin(l_tax * 78.5), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_py
+          FROM lineitem GROUP BY 1),
+        p AS (SELECT l_orderkey, sqrt(sum_px * sum_px + sum_py * sum_py) AS ptll FROM s)
+        SELECT l_orderkey AS o_orderkey, ROUND(ptll, 6) AS ptll,
+          ${w("nom")}, ${w("up1")}, ${w("down1")}
+        FROM p ORDER BY o_orderkey"""
+      }) { (s, dir) =>
+      val sums = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(
+          dsum(round(col("l_quantity") * cos(col("l_tax") * 78.5), 6).cast("decimal(18,6)")).as("sum_px"),
+          dsum(round(col("l_quantity") * sin(col("l_tax") * 78.5), 6).cast("decimal(18,6)")).as("sum_py"))
+      val p = sums.withColumn("ptll",
+        sqrt(col("sum_px") * col("sum_px") + col("sum_py") * col("sum_py")))
+      def w(syst: String): Column =
+        round(dy("syst" -> lit(syst), "ptll" -> col("ptll")), 6).as(s"dy_weight_$syst")
+      p.select(col("o_orderkey"), round(col("ptll"), 6).as("ptll"),
+        w("nom"), w("up1"), w("down1"))
+        .orderBy("o_orderkey")
+    }
   }
 
   /** Normalization weights: the two-pass stats → broadcast-LUT pattern
