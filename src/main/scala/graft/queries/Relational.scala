@@ -117,12 +117,21 @@ object Relational {
     val li = Tables.load(s, dir, "lineitem")
     val ord = Tables.load(s, dir, "orders")
     val cust = Tables.load(s, dir, "customer")
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    // aggregate pushdown below the join: revenue pre-aggregates per
+    // orderkey (join key = group key), so the fact-fact join moves one
+    // row per ORDER instead of one per line item, the pre-agg's hash
+    // partitioning feeds the SMJ without a re-shuffle, and n_orders
+    // degenerates from a countDistinct expand to a plain count (orderkeys
+    // are unique after the pre-agg). Decimal sums are exact → associative
+    // → identical results.
+    val perOrder = li.groupBy("l_orderkey")
+      .agg(sum(norm6(money(col("l_extendedprice")) * (lit(1) - frac(col("l_discount"))))).as("rev"))
+    perOrder.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment", "o_orderpriority")
       .agg(
-        countDistinct("o_orderkey").as("n_orders"),
-        dsum(norm6(money(col("l_extendedprice")) * (lit(1) - frac(col("l_discount"))))).as("revenue"))
+        count(lit(1)).as("n_orders"),
+        sum(col("rev")).cast("double").as("revenue"))
       .orderBy("c_mktsegment", "o_orderpriority")
   }
 
