@@ -67,6 +67,37 @@ class PlanSpec extends SparkSpec {
       "envelope should be a pure aggregation, not a join")
   }
 
+  test("q62: one exchange total — range partitioning serves both the agg and the sort") {
+    val p = plan("q62_scale_envelope")
+    assert(p.split("Exchange").length - 1 == 1,
+      s"expected exactly one exchange (rangepartitioning):\n$p")
+    assert(p.contains("rangepartitioning"), s"agg input is not range-partitioned:\n$p")
+  }
+
+  test("q4: aggregate pushdown removed the countDistinct expand and pre-aggregates below the join") {
+    val p = plan("q4_order_customer_revenue")
+    assert(!p.contains("Expand"), s"countDistinct expand reappeared:\n$p")
+    // pre-agg (partial+final) + final agg (partial+final) = 4 HashAggregates
+    assert(p.split("HashAggregate").length - 1 >= 4, s"revenue pre-agg missing:\n$p")
+  }
+
+  test("payload-driven queries embed corrections as plan literals, not joins") {
+    // the correction payloads (q71 quantile maps, q74 decay-mode scales)
+    // ship inside the serialized plan — a join/shuffle for a 10-cell
+    // lookup would be the wrong plan at any scale
+    for (name <- Seq("q71_recoil_quantile", "q74_tec")) {
+      val p = plan(name)
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"$name joins for a plan-literal payload:\n$p")
+    }
+  }
+
+  test("q70: hybrid JER runs on one nested build — matching adds no extra shuffle") {
+    val p = plan("q70_jer_hybrid")
+    assert(p.split("collect_list").length - 1 <= 2, s"nested build duplicated:\n$p")
+    assert(!p.contains("CartesianProduct"), s"gen matching fell out of the intra-event fold:\n$p")
+  }
+
   test("registry sweep: no query plans a cartesian product or an unexpected NLJ") {
     // ANN/near-dup queries intentionally broadcast-NLJ a small query set
     // against the corpus; everything else must stay equi-join shaped.
