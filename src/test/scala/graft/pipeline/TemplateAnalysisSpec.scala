@@ -109,4 +109,55 @@ class TemplateAnalysisSpec extends SparkSpec {
     val again = pipe.stage("select") { rebuilt = true; events }
     assert(!rebuilt && again.columns.contains("event"))
   }
+
+  test("payload file → loaded chain → versioned calibration stage invalidates on payload change") {
+    import graft.calibration.JecChain
+    import graft.core.SchemaOps
+    import graft.lookup.Payload
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e2e-cal")
+    val pipe = new Pipeline(spark, s"$tmp/stages")
+    val events = Nested.nestedOrders(spark, dir, Seq("l_extendedprice", "l_discount"))
+      .filter(size(col("items")) > 0)
+
+    def payloadJson(l1: Double) = s"""{
+      "corrections": [
+        {"name": "L1", "version": 1,
+         "inputs": [{"name": "JetPt", "type": "real"}],
+         "data": {"nodetype": "binning", "input": "JetPt",
+           "edges": [0.0, 1000000.0], "content": [$l1], "flow": "clamp"}}
+      ]
+    }"""
+    val payloadFile = tmp.resolve("jec.json")
+
+    // the production flow: payload FILE → loader → chain → checkpointed
+    // calibration stage, versioned by the payload content
+    def calibrate(version: String): org.apache.spark.sql.DataFrame =
+      pipe.stage("calib", version) {
+        val chain = JecChain(levels = Seq(Payload.loadFile(payloadFile.toString)("L1")))
+        SchemaOps.mapCollection(events, "items", it => {
+          val r = chain(chain.undoRaw(it.getField("l_extendedprice"), it.getField("l_discount")))
+          Map("pt_jec" -> r.pt, "pt_raw" -> r.ptRaw)
+        })
+      }
+
+    java.nio.file.Files.writeString(payloadFile, payloadJson(1.1))
+    val v1 = calibrate("payload-v1")
+    val first = v1.select(explode(col("items")).as("it"))
+      .select(col("it.pt_raw"), col("it.pt_jec")).head
+    assert(math.abs(first.getDouble(1) - first.getDouble(0) * 1.1) < 1e-6)
+
+    // same version → checkpoint reused even though the file changed
+    java.nio.file.Files.writeString(payloadFile, payloadJson(2.0))
+    val v1again = calibrate("payload-v1")
+    val again = v1again.select(explode(col("items")).as("it"))
+      .select(col("it.pt_raw"), col("it.pt_jec")).head
+    assert(math.abs(again.getDouble(1) - again.getDouble(0) * 1.1) < 1e-6)
+
+    // bumped version → stale checkpoint rebuilt against the new payload
+    val v2 = calibrate("payload-v2")
+    val second = v2.select(explode(col("items")).as("it"))
+      .select(col("it.pt_raw"), col("it.pt_jec")).head
+    assert(math.abs(second.getDouble(1) - second.getDouble(0) * 2.0) < 1e-6)
+  }
 }
