@@ -14,7 +14,7 @@ import Compat._
   * over group combinations, profile summaries, and greedy matching. */
 object Ops {
 
-  def defs: Seq[QueryDef] = Seq(q51, q52, q53, q54, q55, q56, q57, q59, q60, q65, q66, q70)
+  def defs: Seq[QueryDef] = Seq(q51, q52, q53, q54, q55, q56, q57, q59, q60, q65, q66, q70, q78)
 
   /** Piecewise-linear payload interpolation (reference correctionlib
     * "linear" evaluators behind JER/pileup profiles: ak_evaluate
@@ -253,6 +253,54 @@ object Ops {
           .cast("double").as("sum_smeared"))
         .orderBy("o_orderkey")
     }
+  }
+
+  /** Distributed model training end-to-end (reference MLTraining:
+    * columnflow/tasks/ml.py:456): `Trainer.fitLinear` accumulates the
+    * normal equations in ONE decimal-exact aggregation (quantity is
+    * integer-valued and price has 2 decimals, so every moment terminates
+    * at scale 2 — order-free), the 2×2 solve runs on the driver, and the
+    * rounded weights re-enter the plan as literals scoring every row.
+    * The oracle re-derives the closed-form solution from the same exact
+    * moments; weights are rounded at 6 BEFORE prediction in both engines
+    * so the per-row residuals are bit-identical, and |residual| keeps
+    * its true scale-6 decimal grid for the exact sum. */
+  val q78 = QueryDef(
+    "q78_ml_train",
+    oracle = Some("""
+      WITH s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sxy
+        FROM lineitem),
+      w AS (
+        SELECT ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) AS w0,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS w1
+        FROM s)
+      SELECT l_returnflag, COUNT(*) AS n_items, w0, w1,
+        CAST(SUM(CAST(ABS(l_extendedprice - (w0 + w1 * l_quantity)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_abs_resid
+      FROM lineitem, w
+      GROUP BY 1, w0, w1
+      ORDER BY l_returnflag""")) { (s, dir) =>
+    import graft.ml.Trainer
+    val li = Tables.load(s, dir, "lineitem")
+    val w = Trainer.fitLinear(li, Seq(col("l_quantity")), col("l_extendedprice"),
+      momentCast = _.cast("decimal(28,2)"))
+    // round exactly like Spark's round(): shortest-repr HALF_UP
+    def r6(v: Double): Double =
+      BigDecimal(java.lang.Double.toString(v))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (w0, w1) = (r6(w(0)), r6(w(1)))
+    val pred = lit(w0) + lit(w1) * col("l_quantity")
+    li.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(abs(col("l_extendedprice") - pred).cast("decimal(18,6)")).as("sum_abs_resid"))
+      .select(col("l_returnflag"), col("n_items"),
+        lit(w0).as("w0"), lit(w1).as("w1"), col("sum_abs_resid"))
+      .orderBy("l_returnflag")
   }
 
   /** 2-D binned veto map (reference jet veto maps:
