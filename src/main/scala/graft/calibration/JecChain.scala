@@ -22,27 +22,27 @@ import graft.lookup.Payload
   *    and yields the shifted family `pt · (1 ± u)` (jets.py:589-601).
   *
   * Everything compiles to sibling column expressions over one scan — N
-  * levels and S sources cost N+2S columns, never extra passes. Each
-  * level's factor is rounded at `roundDigits` before it multiplies, and
-  * the SQL mirror applies the identical rounding, which makes the whole
-  * chain engine-portable because every other op is a bitwise-identical
-  * IEEE multiply/add.
+  * levels and S sources cost N+2S columns, never extra passes.
   *
-  * `roundDigits` defaults to 6 and must only ever be applied to
-  * FACTOR-scale (≈1.0) quantities: Spark rounds the double's shortest
-  * decimal representation (BigDecimal HALF_UP) while DuckDB rounds the
-  * binary value of `x·10^d`, and the two disagree whenever `x·10^d`
-  * sits within an ulp of a half-integer. That window is ~ulp(x·10^d),
-  * so the per-row tie probability is ~1.2e-10 for x≈1 at d=6 but ~1e-5
-  * for x≈1e5 at d=6 — measured 10 divergent rows per 60k on this
-  * testdata before the factor/momentum rounding split. Round large
-  * momenta only at coarse scales (≤2 digits) for the same reason.
+  * `roundDigits` defaults to 0 = NO factor rounding, which is also the
+  * cross-engine-safe choice: payload node evaluation (binned lookups and
+  * the piecewise-linear lerp) is bit-identical between Spark and DuckDB
+  * (strict IEEE op order, verified empirically), so the unrounded chain
+  * matches exactly. Rounding a factor is the riskier option — Spark
+  * rounds the shortest decimal repr while DuckDB rounds binary x·10^d,
+  * and lerp outputs with terminating decimal expansions land EXACTLY on
+  * half-grid values (a slope like 75e-5 on a scale-5 input puts ~half
+  * the segment's outputs at …5 at the scale boundary), where the two
+  * conventions split ~50/50 — measured 520/15k divergent events before
+  * q76 dropped the rounding. Set `roundDigits > 0` only to decouple a
+  * chain from engine lerp details at factor scale (≈1.0 values, dense
+  * sub-scale digits), as q69's 1e5-momentum chain does.
   */
 final case class JecChain(
     levels: Seq[Payload.Correction],
     uncSources: Seq[(String, Payload.Correction)] = Nil,
     ptInput: String = "JetPt",
-    roundDigits: Int = 6) {
+    roundDigits: Int = 0) {
   require(levels.nonEmpty, "need at least one correction level")
 
   /** Corrected columns for one object. `shifts` carries
@@ -55,7 +55,8 @@ final case class JecChain(
 
   def apply(ptRaw: Column, extra: (String, Column)*): Result = {
     val (pt, full) = levels.foldLeft((ptRaw, lit(1.0))) { case ((p, f), corr) =>
-      val c = round(corr(extra :+ (ptInput -> p): _*), roundDigits)
+      val raw = corr(extra :+ (ptInput -> p): _*)
+      val c = if (roundDigits > 0) round(raw, roundDigits) else raw
       (p * c, f * c)
     }
     val shifts = uncSources.flatMap { case (name, corr) =>
@@ -71,7 +72,9 @@ final case class JecChain(
 
   def sql(ptRawSql: String, extra: (String, String)*): SqlResult = {
     val pt = levels.foldLeft(s"($ptRawSql)") { (p, corr) =>
-      s"($p * ROUND(${corr.sql(extra :+ (ptInput -> p): _*)}, $roundDigits))"
+      val raw = corr.sql(extra :+ (ptInput -> p): _*)
+      val c = if (roundDigits > 0) s"ROUND($raw, $roundDigits)" else s"($raw)"
+      s"($p * $c)"
     }
     val shifts = uncSources.flatMap { case (name, corr) =>
       val u = corr.sql(extra :+ (ptInput -> s"($ptRawSql)"): _*)

@@ -16,7 +16,7 @@ import Compat._
 object Physics {
 
   def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q69, q71, q72, q73, q74, q75, q77)
+    q69, q71, q72, q73, q74, q75, q76, q77)
 
   import Nested.nestedOrders
 
@@ -111,7 +111,8 @@ object Physics {
     }""")
     val chain = graft.calibration.JecChain(
       levels = Seq(cs("L1"), cs("L2Relative")),
-      uncSources = Seq("total" -> cs("total"), "flavor" -> cs("flavor")))
+      uncSources = Seq("total" -> cs("total"), "flavor" -> cs("flavor")),
+      roundDigits = 6) // factor-scale rounding validated for 1e5 momenta
     QueryDef(
       "q69_jec_chain",
       oracle = Some {
@@ -534,6 +535,87 @@ object Physics {
           count(lit(1)).as("n"),
           sum(when(col("is_data"), 0).otherwise(1)).cast("long").as("n_mc"),
           dsum(col("pt_corr").cast("decimal(18,8)")).as("sum_corr"))
+        .orderBy("o_orderkey")
+    }
+  }
+
+  /** Type-I MET propagation through the JEC chain (reference jec:
+    * columnflow/calibration/cms/jets.py:493-566): the recommendation is to
+    * propagate only L2-and-onward corrections, so MET moves by the vector
+    * difference between the jet system corrected with ALL levels and the
+    * system corrected with the type-1 SUBSET (L1 only), over the
+    * propagation mask — composing two JecChains (shared L1) with
+    * `propagateMet`. Per-term px/py round at 6 (jet pt ≈ 50-scale) before
+    * the exact decimal event sums, so the oracle reproduces every value. */
+  val q76 = {
+    val cs = graft.lookup.Payload.parse("""{
+      "corrections": [
+        {"name": "L1", "inputs": [{"name": "JetPt", "type": "real"}],
+         "data": {"nodetype": "binning", "input": "JetPt",
+           "edges": [0.0, 10.0, 25.0, 60.0], "content": [1.05, 1.02, 0.99], "flow": "clamp"}},
+        {"name": "L2", "inputs": [{"name": "JetPt", "type": "real"}],
+         "data": {"nodetype": "linear", "input": "JetPt",
+           "xs": [0.0, 20.0, 60.0], "ys": [1.04, 1.01, 0.98]}}
+      ]
+    }""")
+    val subset = graft.calibration.JecChain(levels = Seq(cs("L1")))
+    val full = graft.calibration.JecChain(levels = Seq(cs("L1"), cs("L2")))
+    QueryDef(
+      "q76_jec_met_chain",
+      oracle = Some {
+        val ptRaw = "l_quantity * (1 - l_discount)"
+        val ptSub = subset.sql(ptRaw).pt
+        val ptFull = full.sql(ptRaw).pt
+        s"""
+        WITH j AS (
+          SELECT l_orderkey,
+            ROUND(($ptSub) * cos(l_tax * 62.8 - 3.14159), 6) AS px_sub,
+            ROUND(($ptSub) * sin(l_tax * 62.8 - 3.14159), 6) AS py_sub,
+            ROUND(($ptFull) * cos(l_tax * 62.8 - 3.14159), 6) AS px_full,
+            ROUND(($ptFull) * sin(l_tax * 62.8 - 3.14159), 6) AS py_full
+          FROM lineitem WHERE ($ptRaw) > 10),
+        s AS (
+          SELECT l_orderkey,
+            CAST(SUM(CAST(px_full AS DECIMAL(18,6))) - SUM(CAST(px_sub AS DECIMAL(18,6))) AS DOUBLE) AS dx,
+            CAST(SUM(CAST(py_full AS DECIMAL(18,6))) - SUM(CAST(py_sub AS DECIMAL(18,6))) AS DOUBLE) AS dy
+          FROM j GROUP BY 1),
+        m AS (
+          SELECT o_orderkey,
+            (o_totalprice / 1000) * cos((o_orderkey % 628) / 100.0 - 3.14)
+              - COALESCE(dx, 0.0) AS mx,
+            (o_totalprice / 1000) * sin((o_orderkey % 628) / 100.0 - 3.14)
+              - COALESCE(dy, 0.0) AS my
+          FROM orders LEFT JOIN s ON o_orderkey = l_orderkey)
+        SELECT o_orderkey,
+          ROUND(sqrt(mx * mx + my * my), 6) AS met_pt,
+          ROUND(atan2(my, mx), 6) AS met_phi
+        FROM m ORDER BY o_orderkey"""
+      }) { (s, dir) =>
+      import graft.kinematics.Kinematics
+      val ev = nestedOrders(s, dir, Seq("l_linenumber", "l_quantity", "l_discount", "l_tax"))
+      def ptRaw(j: Column) = j.getField("l_quantity") * (lit(1) - j.getField("l_discount"))
+      def phiOf(j: Column) = j.getField("l_tax") * 62.8 - lit(3.14159)
+      // reference met_prop_mask on the RAW momentum (jets.py:509-511)
+      val masked = filter(col("items"), j => ptRaw(j) > 10)
+      def sumDiff(px: Boolean): Column = {
+        def term(chain: graft.calibration.JecChain, j: Column): Column = {
+          val pt = chain(ptRaw(j)).pt
+          round(if (px) Kinematics.px(pt, phiOf(j)) else Kinematics.py(pt, phiOf(j)), 6)
+            .cast("decimal(18,6)")
+        }
+        def dsumArr(f: Column => Column): Column =
+          aggregate(masked, lit(0).cast("decimal(28,6)"),
+            (acc, j) => (acc + f(j)).cast("decimal(28,6)"))
+        (dsumArr(term(full, _)) - dsumArr(term(subset, _))).cast("double")
+      }
+      val met = Kinematics.propagateMet(
+        col("o_totalprice") / 1000,
+        (col("o_orderkey") % 628) / 100.0 - lit(3.14),
+        sumDiff(px = true), sumDiff(px = false))
+      ev.select(
+        col("o_orderkey"),
+        round(met.getField("pt"), 6).as("met_pt"),
+        round(met.getField("phi"), 6).as("met_phi"))
         .orderBy("o_orderkey")
     }
   }

@@ -51,7 +51,8 @@ class JecChainSpec extends SparkSpec {
   }
 
   test("sql mirror chains the same shape (level-2 input embeds level-1)") {
-    val chain = JecChain(levels = Seq(cs("L1"), cs("L2")), uncSources = Seq("unc" -> cs("unc")))
+    val chain = JecChain(levels = Seq(cs("L1"), cs("L2")), uncSources = Seq("unc" -> cs("unc")),
+      roundDigits = 6)
     val r = chain.sql("pt0")
     assert(r.ptRaw == "(pt0)")
     // level 2's CASE must test the level-1-corrected expression, so the
@@ -59,5 +60,7 @@ class JecChainSpec extends SparkSpec {
     assert(r.pt.contains("ROUND"))
     assert(r.shifts.map(_._1) == Seq("unc_up", "unc_down"))
     assert(r.shifts.head._2.contains("1.0 + "))
+    // default = no factor rounding (the cross-engine-safe mode)
+    assert(!JecChain(levels = Seq(cs("L1"))).sql("pt0").pt.contains("ROUND"))
   }
 }
