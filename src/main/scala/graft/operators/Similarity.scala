@@ -58,6 +58,42 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** nProbe nearest cells by centroid cosine — the IVF probe list
+    * (recall/cost dial of a multi-probe IVF index). Centroids are
+    * driver-held quantizer output (the q58 training step; labels × dims
+    * scalars), compiled into the plan as literals: no join, no shuffle to
+    * pick probes. Ties break toward the smaller cell id. */
+  def probeCells(qvec: Column, centroids: Map[Int, IndexedSeq[Double]], nProbe: Int): Column = {
+    require(centroids.nonEmpty && nProbe > 0)
+    val entries = centroids.toSeq.sortBy(_._1).map { case (l, c) =>
+      val cArr = array(c.map(lit): _*)
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      struct((dot(qvec, cArr) / (norm(qvec) * lit(cn))).as("cos"), lit(l).as("cell"))
+    }
+    val sorted = array_sort(array(entries: _*), (a, b) =>
+      when(a.getField("cos") > b.getField("cos"), -1)
+        .when(a.getField("cos") < b.getField("cos"), 1)
+        .otherwise((a.getField("cell") - b.getField("cell")).cast("int")))
+    transform(slice(sorted, 1, nProbe), _.getField("cell"))
+  }
+
+  /** Multi-probe IVF top-k: each query searches the union of its probe
+    * cells (`probes`: array<cell> column on the query side, from
+    * [[probeCells]]). Each corpus row belongs to exactly one cell, so the
+    * membership join scores it at most once per query; at 100 TB with the
+    * corpus partitioned by cell this scans nProbe/nCells of the data. */
+  def multiProbeTopK(corpus: DataFrame, probedQueries: DataFrame, k: Int,
+                     cell: String, probes: String = "probes",
+                     id: String = "vec_id", vec: String = "embedding",
+                     qid: String = "qid", qvec: String = "qvec"): DataFrame = {
+    val scored = corpus.join(broadcast(probedQueries),
+      array_contains(col(probes), col(cell)) && col(id) =!= col(qid))
+      .select(col(qid), col(id).as("neighbor"),
+        cosine(col(qvec), col(vec)).as("cos"))
+    val w = Window.partitionBy(qid).orderBy(col("cos").desc, col("neighbor"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Embedding near-duplicate pairs within cells: cosine ≥ threshold.
     * The cell constraint is the blocking strategy; an unblocked variant at
     * scale would use random-hyperplane LSH exactly like Dedup.simhash. */

@@ -13,7 +13,7 @@ import graft.operators.{Dedup, Multimodal, Similarity}
 object DataPipeline {
 
   def defs: Seq[QueryDef] = Seq(
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -290,6 +290,69 @@ object DataPipeline {
       Tables.load(s, dir, "embeddings"), threshold = 0.4, cell = "label")
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos6"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** Multi-probe IVF top-k: quantizer centroids (the q58 training step,
+    * exact integer-grid means identical in both engines) pick each query's
+    * nProbe nearest cells by centroid cosine; the search scans only those
+    * cells. The oracle re-derives centroids, probe selection, and the
+    * probed-cells ground truth in DuckDB — the hash match asserts the
+    * probe policy end-to-end, not just the final ranking. Probe-selection
+    * dots are summed in different orders across engines (±ulps); cells
+    * are well-separated so the argmax never flips, and output scores use
+    * the corpus pair dot like q38/q39. */
+  val q79 = QueryDef(
+    "q79_ann_multiprobe",
+    oracle = Some(s"""
+      WITH cent AS (
+        SELECT label, CAST(pos AS INT) AS pos,
+          CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE) / 10000000.0 / COUNT(*) AS c
+        FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+        GROUP BY 1, 2),
+      qv AS (
+        SELECT vec_id AS qid, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos,
+          ${normSql("embeddings")} AS qnorm
+        FROM embeddings WHERE vec_id < 10),
+      qc AS (
+        SELECT qid, cent.label,
+          SUM(CAST(qv.v AS DOUBLE) * cent.c) /
+            (ANY_VALUE(qv.qnorm) * sqrt(SUM(cent.c * cent.c))) AS ccos
+        FROM qv JOIN cent ON qv.pos = cent.pos
+        GROUP BY 1, 2),
+      probes AS (
+        SELECT qid, label FROM (
+          SELECT qid, label,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ccos DESC, label) AS pr
+          FROM qc) WHERE pr <= 2),
+      scored AS (
+        SELECT q.vec_id AS qid, a.vec_id AS neighbor,
+          $dotSql / (${normSql("a")} * ${normSql("q")}) AS c
+        FROM embeddings a
+        JOIN embeddings q ON q.vec_id < 10 AND a.vec_id <> q.vec_id
+        JOIN probes p ON p.qid = q.vec_id AND a.label = p.label),
+      ranked AS (
+        SELECT qid, neighbor, c,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, neighbor) AS INT) AS rnk
+        FROM scored)
+      SELECT qid, rnk, neighbor, ROUND(c, 6) AS cos6
+      FROM ranked WHERE rnk <= 3
+      ORDER BY qid, rnk""")) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    // quantizer output, driver-held (labels × dims scalars — q58's step)
+    val cents: Map[Int, IndexedSeq[Double]] = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .groupBy("label", "pos0")
+      .agg((sum(round(col("v").cast("double") * 10000000.0).cast("long")).cast("double") /
+        10000000.0 / count(lit(1))).as("c"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (l, rows) => l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq }
+    val probed = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .withColumn("probes", Similarity.probeCells(col("qvec"), cents, nProbe = 2))
+    Similarity.multiProbeTopK(emb, probed, k = 3, cell = "label")
+      .select(col("qid"), col("rnk"), col("neighbor"), round(col("cos"), 6).as("cos6"))
+      .orderBy("qid", "rnk")
   }
 
   /** Per-cell embedding centroids — the IVF coarse-quantizer training step

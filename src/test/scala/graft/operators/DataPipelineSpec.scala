@@ -118,6 +118,33 @@ class DataPipelineSpec extends SparkSpec {
     assert(math.abs(out(0).getAs[Double]("cos") - 0.9 / math.sqrt(0.82)) < 1e-9)
   }
 
+  test("multi-probe IVF: full probing equals brute force, probes rank by centroid cosine") {
+    val s = spark
+    import s.implicits._
+    // two well-separated cells on the axes
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Map(0 -> IndexedSeq(0.95, 0.05), 1 -> IndexedSeq(0.05, 0.95))
+    val queries = Seq((10L, Seq(1.0f, 0.05f))).toDF("qid", "qvec")
+    // probe order: cell 0 (aligned) before cell 1
+    val probes = queries.select(Similarity.probeCells(col("qvec"), cents, 2)).head.getSeq[Int](0)
+    assert(probes == Seq(0, 1))
+    // nProbe = all cells ≡ brute force
+    val all = queries.withColumn("probes", Similarity.probeCells(col("qvec"), cents, 2))
+    val mp = Similarity.multiProbeTopK(corpus, all, k = 3, cell = "label")
+      .select("qid", "rnk", "neighbor").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val bf = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .select("qid", "rnk", "neighbor").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(mp.toSet == bf.toSet)
+    // nProbe = 1 restricts the search to the nearest cell
+    val one = queries.withColumn("probes", Similarity.probeCells(col("qvec"), cents, 1))
+    val got = Similarity.multiProbeTopK(corpus, one, k = 3, cell = "label")
+      .select("neighbor").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+  }
+
   test("multimodal: stub decode is deterministic and frame sampling slices") {
     val s = spark
     import s.implicits._
