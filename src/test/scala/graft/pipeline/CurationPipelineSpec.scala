@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.functions.{Seeds, Text}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.CacheBridge
+
+/** The LLM training-data curation slice end-to-end over the real sf0.001
+  * documents table: quality/language filtering → exact dedup → MinHash-LSH
+  * near-dup pairs → connected components → representative selection →
+  * fold split, with stages materialized through the versioned Pipeline.
+  * The data-pipeline analog of `TemplateAnalysisSpec` — it pins that the
+  * curation operators COMPOSE (each is separately oracled by q30-q37/q49/
+  * q67), that the dedup caches are released between stages, and that the
+  * kept-set is reproducible under repartitioning. */
+class CurationPipelineSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("filter → dedup → cluster → select → split composes over real documents") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-curation").toString
+    val pipe = new Pipeline(spark, tmp)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val total = docs.count()
+
+    // --- quality + language gate (q30-q32 operators), checkpointed
+    val gated = pipe.stage("gate", "v1") {
+      docs
+        .withColumn("lang", Text.langId(col("text")))
+        .withColumn("quality", Text.qualityScore(col("text")))
+        .filter(col("quality") > 0.3 && Text.tokenCount(col("text")) >= 5)
+    }
+    val nGated = gated.count()
+    assert(nGated > 0 && nGated < total, "gate must drop some but not all docs")
+
+    // --- exact dedup keeps the minimum id per content digest
+    val exact = Dedup.exactDedup(gated)
+    assert(exact.count() <= nGated)
+
+    // --- near-dup pairs → clusters → keep the representative per cluster;
+    //     the DedupRun handle scopes the LSH caches to this stage
+    val run = Dedup.minhashLshRun(exact, shingleN = 3, k = 64,
+      rowsPerBand = 4, threshold = 0.6)
+    val (clusters, nPairs) = run.materialize { pairs =>
+      val p = pairs.localCheckpoint()
+      (Dedup.components(p).localCheckpoint(), p.count())
+    }
+    assert(CacheBridge.noCachedRelations(spark), "dedup caches must not leak")
+    val reps = clusters.groupBy("component").agg(min("id").as("keep_id"))
+    val dropIds = clusters.join(reps, clusters("id") === reps("keep_id"), "left_anti")
+      .select(col("id").as("doc_id"))
+    val kept = exact.join(dropIds, Seq("doc_id"), "left_anti")
+    val nKept = kept.count()
+    assert(nKept == exact.count() - dropIds.count())
+    if (nPairs > 0) assert(nKept < exact.count(), "near-dups must drop members")
+
+    // --- fold split on the kept set: stable under repartitioning
+    val folds = kept.withColumn("fold", Seeds.fold(5, col("doc_id").cast("string")))
+    val byFold = folds.groupBy("fold").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byFold.keySet.subsetOf((0 until 5).toSet) && byFold.values.sum == nKept)
+    val again = kept.repartition(13)
+      .withColumn("fold", Seeds.fold(5, col("doc_id").cast("string")))
+      .groupBy("fold").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(again == byFold, "fold assignment must be partition-independent")
+
+    // --- the curated set is itself a checkpointed stage; re-run reuses it
+    var rebuilt = false
+    pipe.stage("curated", "v1") { kept }
+    val reread = pipe.stage("curated", "v1") { rebuilt = true; kept }
+    assert(!rebuilt && reread.count() == nKept)
+  }
+}
