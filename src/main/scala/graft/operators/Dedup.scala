@@ -102,15 +102,25 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, id: String = "doc_id", text: String = "text",
                       shingleN: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
-                      threshold: Double = 0.8): DataFrame =
-    minhashLshRun(docs, id, text, shingleN, k, rowsPerBand, threshold).pairs
+                      threshold: Double = 0.8, maxBucket: Long = 0L): DataFrame =
+    minhashLshRun(docs, id, text, shingleN, k, rowsPerBand, threshold, maxBucket).pairs
 
   /** Handle-returning variant of [[minhashLshPairs]]: `run.materialize(f)`
     * consumes the pairs and releases the intermediate cache in one scope
-    * (no lingering cached relations — asserted in `DataPipelineSpec`). */
+    * (no lingering cached relations — asserted in `DataPipelineSpec`).
+    *
+    * `maxBucket > 0` drops band buckets holding more than that many
+    * documents BEFORE the candidate self-join — the standard hot-bucket
+    * mitigation at corpus scale, where a degenerate band (boilerplate,
+    * stopword shingles, near-empty docs) otherwise contributes |bucket|²/2
+    * candidate pairs on one key. The trade is explicit, bounded recall
+    * loss: a true near-dup pair is missed only if EVERY band it shares is
+    * over the cap (mega-cluster members — which exact-dedup or a length
+    * gate should have removed first). 0 = unlimited (exact-recall mode,
+    * the q36 oracle contract). */
   def minhashLshRun(docs: DataFrame, id: String = "doc_id", text: String = "text",
                     shingleN: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
-                    threshold: Double = 0.8): DedupRun = {
+                    threshold: Double = 0.8, maxBucket: Long = 0L): DedupRun = {
     // 1. shingle sets + one base hash per shingle (hashed once, reused k×).
     //    Repartition first: tokenization/hashing is CPU-bound per doc, and a
     //    compact parquet input (one row group) would otherwise pin the whole
@@ -132,9 +142,19 @@ object Dedup {
       .withColumn("__bh", transform(col("__sh"), s => xxhash64(s)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 2. band keys only — signatures and shingles do NOT ride the explode
-    val banded = sh
+    val allBands = sh
       .withColumn("__mh", minhashes(col("__bh"), k))
       .select(col("__id"), explode(bandKeys(col("__mh"), k, rowsPerBand)).as("__band"))
+    // hot-bucket guard: one partial-aggregated count per band key, hot
+    // keys dropped via broadcast anti-join (the hot set is tiny by
+    // construction — it's the degenerate tail)
+    val banded =
+      if (maxBucket <= 0) allBands
+      else {
+        val hot = allBands.groupBy("__band").count()
+          .filter(col("count") > maxBucket).select("__band")
+        allBands.join(broadcast(hot), Seq("__band"), "left_anti")
+      }
     // 3. candidate pairs: bucket self-join on (band idx, band hash), then
     //    DISTINCT before any verification — a pair sharing m bands must be
     //    verified once, not m times

@@ -85,6 +85,21 @@ class DataPipelineSpec extends SparkSpec {
     assert(blocked != unblocked) // docs 1/4 are dups across sources a/b
   }
 
+  test("hot-bucket guard: generous cap keeps all pairs, cap of 1 kills every bucket") {
+    val base = Dedup.minhashLshPairs(docs, k = 64, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base.nonEmpty)
+    // a cap larger than any bucket is a no-op
+    val capped = Dedup.minhashLshPairs(docs, k = 64, rowsPerBand = 2, threshold = 0.5,
+      maxBucket = 1000L).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == base)
+    // every bucket with a candidate pair holds ≥2 docs → cap 1 drops all
+    val none = Dedup.minhashLshPairs(docs, k = 64, rowsPerBand = 2, threshold = 0.5,
+      maxBucket = 1L).count()
+    assert(none == 0)
+    spark.catalog.clearCache()
+  }
+
   test("DedupRun.materialize leaves no cached relations behind") {
     import org.apache.spark.sql.graftbridge.CacheBridge
     spark.catalog.clearCache()
