@@ -24,19 +24,22 @@ import graft.lookup.Payload
   * Everything compiles to sibling column expressions over one scan — N
   * levels and S sources cost N+2S columns, never extra passes.
   *
-  * `roundDigits` defaults to 0 = NO factor rounding, which is also the
-  * cross-engine-safe choice: payload node evaluation (binned lookups and
-  * the piecewise-linear lerp) is bit-identical between Spark and DuckDB
-  * (strict IEEE op order, verified empirically), so the unrounded chain
-  * matches exactly. Rounding a factor is the riskier option — Spark
-  * rounds the shortest decimal repr while DuckDB rounds binary x·10^d,
-  * and lerp outputs with terminating decimal expansions land EXACTLY on
-  * half-grid values (a slope like 75e-5 on a scale-5 input puts ~half
-  * the segment's outputs at …5 at the scale boundary), where the two
-  * conventions split ~50/50 — measured 520/15k divergent events before
-  * q76 dropped the rounding. Set `roundDigits > 0` only to decouple a
-  * chain from engine lerp details at factor scale (≈1.0 values, dense
-  * sub-scale digits), as q69's 1e5-momentum chain does.
+  * `roundDigits` defaults to 0 = NO factor rounding. Rounding a factor
+  * is the risky option: Spark rounds the shortest decimal repr while
+  * DuckDB rounds binary x·10^d, and lerp outputs with terminating
+  * decimal expansions land EXACTLY on half-grid values (a slope like
+  * 75e-5 on a scale-5 input puts ~half the segment's outputs at …5 at
+  * the scale boundary), where the two conventions split ~50/50 —
+  * measured 520/15k divergent events before q76 dropped the rounding.
+  * Unrounded factors are NOT bit-identical across engines either — the
+  * SQL mirror's knot-list literals are DECIMAL, so DuckDB's lerp
+  * numerators are exact where Spark subtracts doubles, a few-ulp
+  * divergence — but ulp noise is harmless downstream when (a) outputs
+  * multiply a transcendental term before any rounding (q76's px·cosφ:
+  * flip window ~1e-14/1e-6 per row), or (b) the final rounding scale is
+  * at or above the payload's true decimal scale (on-grid recovery,
+  * q66). Set `roundDigits > 0` only at factor scale with dense
+  * sub-scale digits, as q69's 1e5-momentum chain does.
   */
 final case class JecChain(
     levels: Seq[Payload.Correction],

@@ -78,9 +78,14 @@ object BinnedTable {
         .otherwise(y0 + (x - x0) * (y1 - y0) / (x1 - x0))
     }
 
-    /** DuckDB mirror with the same arithmetic shape. Note: DuckDB may
-      * fuse/fold the lerp differently (measured 1-ulp divergence), so
-      * oracle comparisons should round the result (libm policy). */
+    /** DuckDB mirror with the same arithmetic shape. Note: the knot-list
+      * literals parse as DECIMAL in DuckDB, so its lerp numerators (e.g.
+      * y1−y0) are exact where Spark subtracts doubles — a few-ulp
+      * divergence in the output. Oracle comparisons must absorb it:
+      * round results at/above the payload's true decimal scale (on-grid
+      * recovery) or round a transcendental-bearing product at a scale
+      * whose tie window dwarfs ulp noise. NEVER round a raw lerp output
+      * below its true scale (exact half-grid ties — JecChain scaladoc). */
     def sql(e: String): String = {
       val kTerms = xs.map(x0 => s"(CASE WHEN $e >= $x0 THEN 1 ELSE 0 END)").mkString(" + ")
       val xsL = xs.mkString("[", ", ", "]")

@@ -238,19 +238,27 @@ object Payload {
     case JDecimal(v) => Scalar(v.toDouble)
     case obj: JObject => str(obj \ "nodetype", s"nodetype in $ctx") match {
       case "binning" =>
-        Binning(
-          str(obj \ "input", s"binning input in $ctx"),
-          doubles(obj \ "edges", s"binning edges in $ctx"),
-          arr(obj \ "content", s"binning content in $ctx").map(parseNode(_, ctx)).toIndexedSeq,
+        val edges = doubles(obj \ "edges", s"binning edges in $ctx")
+        val content = arr(obj \ "content", s"binning content in $ctx")
+          .map(parseNode(_, ctx)).toIndexedSeq
+        // a truncated payload must fail HERE, not as silent NULL lookups
+        // (element_at past the end of the value array) at evaluation time
+        if (content.size != edges.size - 1)
+          fail(s"binning in $ctx has ${edges.size - 1} bins but ${content.size} content entries")
+        Binning(str(obj \ "input", s"binning input in $ctx"), edges, content,
           parseFlow(obj \ "flow", ctx))
       case "multibinning" =>
-        MultiBinning(
-          arr(obj \ "inputs", s"multibinning inputs in $ctx")
-            .map(str(_, "input")).toIndexedSeq,
-          arr(obj \ "edges", s"multibinning edges in $ctx")
-            .map(e => doubles(e, s"edge list in $ctx")).toIndexedSeq,
-          doubles(obj \ "content", s"multibinning content in $ctx"),
-          parseFlow(obj \ "flow", ctx))
+        val ins = arr(obj \ "inputs", s"multibinning inputs in $ctx")
+          .map(str(_, "input")).toIndexedSeq
+        val edges = arr(obj \ "edges", s"multibinning edges in $ctx")
+          .map(e => doubles(e, s"edge list in $ctx")).toIndexedSeq
+        val values = doubles(obj \ "content", s"multibinning content in $ctx")
+        if (ins.size != edges.size)
+          fail(s"multibinning in $ctx declares ${ins.size} inputs but ${edges.size} edge lists")
+        val cells = edges.map(_.size - 1).product
+        if (values.size != cells)
+          fail(s"multibinning in $ctx has $cells cells but ${values.size} content entries")
+        MultiBinning(ins, edges, values, parseFlow(obj \ "flow", ctx))
       case "category" =>
         val items = arr(obj \ "content", s"category content in $ctx").map { it =>
           val (key, isInt) = it \ "key" match {

@@ -75,6 +75,9 @@ object Trainer {
         sum(momentCast(xs(i) * xs(j))).cast("double").as(s"a_${i}_$j")) ++
         (0 until d).map(i => sum(momentCast(xs(i) * label)).cast("double").as(s"b_$i"))
     val row = df.agg(moments.head, moments.tail: _*).head()
+    // sum() over zero rows is NULL — fail with a diagnostic, not an NPE
+    require(!row.isNullAt(0),
+      "fitLinear: training set is empty (all rows filtered out?)")
     val a = Array.ofDim[Double](d, d)
     var idx = 0
     for { i <- 0 until d; j <- i until d } {

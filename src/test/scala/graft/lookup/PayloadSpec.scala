@@ -163,6 +163,25 @@ class PayloadSpec extends SparkSpec {
     assert(e2.getMessage.contains("formula"))
   }
 
+  test("truncated payloads fail at parse time, not as silent NULL lookups") {
+    val e = intercept[IllegalArgumentException](Payload.parse(
+      """{"corrections": [{"name": "t", "inputs": [],
+         "data": {"nodetype": "binning", "input": "x",
+           "edges": [0.0, 10.0, 20.0, 30.0], "content": [1.1, 1.0], "flow": "clamp"}}]}"""))
+    assert(e.getMessage.contains("3 bins but 2 content"))
+    val e2 = intercept[IllegalArgumentException](Payload.parse(
+      """{"corrections": [{"name": "t", "inputs": [],
+         "data": {"nodetype": "multibinning", "inputs": ["x", "y"],
+           "edges": [[0.0, 1.0, 2.0], [0.0, 1.0, 2.0]],
+           "content": [1.0, 2.0, 3.0], "flow": "clamp"}}]}"""))
+    assert(e2.getMessage.contains("4 cells but 3 content"))
+    val e3 = intercept[IllegalArgumentException](Payload.parse(
+      """{"corrections": [{"name": "t", "inputs": [],
+         "data": {"nodetype": "multibinning", "inputs": ["x"],
+           "edges": [[0.0, 1.0], [0.0, 1.0]], "content": [1.0], "flow": "clamp"}}]}"""))
+    assert(e3.getMessage.contains("1 inputs but 2 edge lists"))
+  }
+
   test("sql mirror renders for every node type") {
     // DuckDB parity is exercised end-to-end by q54/q66's oracles; here we
     // assert the renderer covers the tree and embeds the input expressions
