@@ -20,6 +20,19 @@ object Text {
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
+  /** BPE-ish subword-count estimate: each word contributes ⌈len/4⌉
+    * subwords (the ~4-chars-per-token ratio of English BPE vocabularies)
+    * and each non-alphanumeric, non-whitespace symbol contributes one —
+    * the cheap budget-planning proxy for tokenizer counts over a corpus
+    * (a real tokenizer is a per-partition model pass, `ml/Evaluator`).
+    * Pure integer arithmetic → exact on any engine. */
+  def subwordEstimate(text: Column): Column = {
+    val words = aggregate(tokens(text), lit(0L),
+      (acc, w) => acc + floor((length(w) + 3) / 4).cast("long"))
+    val symbols = length(regexp_replace(lower(text), "[a-z0-9]|\\s", ""))
+    words + symbols
+  }
+
   /** Word-level n-gram shingles (the MinHash/Jaccard input).
     *
     * Built by zipping the token array with its own shifted slices —
@@ -102,6 +115,9 @@ object Text {
 
   def tokensSql(e: String) = s"regexp_extract_all(lower($e), '[a-z0-9]+')"
   def tokenCountSql(e: String) = s"len(${tokensSql(e)})"
+  def subwordEstimateSql(e: String): String =
+    s"(COALESCE(list_sum(list_transform(${tokensSql(e)}, w -> CAST(FLOOR((len(w) + 3) / 4) AS BIGINT))), 0) " +
+      s"+ len(regexp_replace(lower($e), '[a-z0-9]|\\s', '', 'g')))"
   def stopwordRatioSql(e: String, words: Seq[String]): String = {
     val list = words.map(w => s"'$w'").mkString(", ")
     s"(len(list_filter(${tokensSql(e)}, w -> w IN ($list)))::DOUBLE / len(${tokensSql(e)}))"

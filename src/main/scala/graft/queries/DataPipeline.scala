@@ -13,7 +13,7 @@ import graft.operators.{Dedup, Multimodal, Similarity}
 object DataPipeline {
 
   def defs: Seq[QueryDef] = Seq(
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -108,6 +108,35 @@ object DataPipeline {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_id"))
       .filter(col("n_docs") > 1)
       .orderBy("fp")
+  }
+
+  /** BPE-ish token budgeting over the corpus: the subword estimate
+    * (⌈len/4⌉ per word + one per symbol — `Text.subwordEstimate`) against
+    * the exact whitespace/regex word count, per source. Pure integer
+    * arithmetic; the estimate:word ratio is the corpus' budget-planning
+    * number. */
+  val q80 = QueryDef(
+    "q80_token_estimate",
+    oracle = Some(s"""
+      SELECT source,
+        COUNT(*) AS n_docs,
+        CAST(SUM(${Text.tokenCountSql("text")}) AS BIGINT) AS sum_words,
+        CAST(SUM(${Text.subwordEstimateSql("text")}) AS BIGINT) AS sum_subwords,
+        CAST(SUM(${Text.subwordEstimateSql("text")}) AS DOUBLE) /
+          CAST(SUM(${Text.tokenCountSql("text")}) AS DOUBLE) AS subwords_per_word
+      FROM documents
+      GROUP BY 1
+      ORDER BY source""")) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount(col("text"))).as("sum_words"),
+        sum(Text.subwordEstimate(col("text"))).as("sum_subwords"))
+      .select(col("source"), col("n_docs"), col("sum_words"), col("sum_subwords"),
+        (col("sum_subwords").cast("double") / col("sum_words").cast("double"))
+          .as("subwords_per_word"))
+      .orderBy("source")
   }
 
   // ---- deduplication ----
