@@ -216,11 +216,11 @@ object Physics {
             (upc * 0.98 * uny + upp * unx) - vy + fy AS mdy
           FROM c)
         SELECT event_id,
-          ROUND(upc, 6) AS upara_corr,
-          ROUND(sqrt(mcx * mcx + mcy * mcy), 6) AS met_pt,
+          ROUND(upc, 4) AS upara_corr,
+          ROUND(sqrt(mcx * mcx + mcy * mcy), 4) AS met_pt,
           ROUND(atan2(mcy, mcx), 6) AS met_phi,
-          ROUND(sqrt(mux * mux + muy * muy), 6) AS met_pt_resp_up,
-          ROUND(sqrt(mdx * mdx + mdy * mdy), 6) AS met_pt_resp_down
+          ROUND(sqrt(mux * mux + muy * muy), 4) AS met_pt_resp_up,
+          ROUND(sqrt(mdx * mdx + mdy * mdy), 4) AS met_pt_resp_down
         FROM m ORDER BY event_id""")) { (s, dir) =>
       import graft.calibration.Recoil
       import Recoil.Vec
@@ -243,11 +243,11 @@ object Physics {
       val dn = Recoil.reassemble(col("upc") * 0.98, col("upp"), proj, vis, full)
       staged.select(
         col("event_id"),
-        round(col("upc"), 6).as("upara_corr"),
-        round(pt(nom), 6).as("met_pt"),
+        round(col("upc"), 4).as("upara_corr"),
+        round(pt(nom), 4).as("met_pt"),
         round(atan2(nom.y, nom.x), 6).as("met_phi"),
-        round(pt(up), 6).as("met_pt_resp_up"),
-        round(pt(dn), 6).as("met_pt_resp_down"))
+        round(pt(up), 4).as("met_pt_resp_up"),
+        round(pt(dn), 4).as("met_pt_resp_down"))
         .orderBy("event_id")
     }
   }
@@ -299,9 +299,9 @@ object Physics {
         FROM j GROUP BY 1),
       m AS (
         SELECT o_orderkey,
-          (o_totalprice / 1000) * cos((o_orderkey % 628) / 100.0 - 3.14)
+          (o_totalprice / 1000) * cos((o_orderkey % 628) / 100.0 - 3.14159)
             - COALESCE(dx, 0.0) AS mx,
-          (o_totalprice / 1000) * sin((o_orderkey % 628) / 100.0 - 3.14)
+          (o_totalprice / 1000) * sin((o_orderkey % 628) / 100.0 - 3.14159)
             - COALESCE(dy, 0.0) AS my
         FROM orders LEFT JOIN s ON o_orderkey = l_orderkey)
       SELECT o_orderkey,
@@ -321,7 +321,7 @@ object Physics {
         Kinematics.py(j.getField("l_quantity"), phiOf(j))))
     val met = Kinematics.propagateMet(
       col("o_totalprice") / 1000,
-      (col("o_orderkey") % 628) / 100.0 - lit(3.14),
+      (col("o_orderkey") % 628) / 100.0 - lit(3.14159),
       dx, dy)
     ev.select(
       col("o_orderkey"),
@@ -369,7 +369,7 @@ object Physics {
           val syq = sy.sql("variation" -> s"'$v'", "npv" -> "npv")
           s"""CASE WHEN met_pt < 340
              THEN ROUND(sqrt((ROUND(met_pt * cos(met_phi), 6) - $sxq) * (ROUND(met_pt * cos(met_phi), 6) - $sxq)
-               + (ROUND(met_pt * sin(met_phi), 6) - $syq) * (ROUND(met_pt * sin(met_phi), 6) - $syq)), 6)
+               + (ROUND(met_pt * sin(met_phi), 6) - $syq) * (ROUND(met_pt * sin(met_phi), 6) - $syq)), 4)
              ELSE ROUND(met_pt, 6) END AS met_pt_$v"""
         }.mkString(", ")
         val sxn = sx.sql("variation" -> "'nom'", "npv" -> "npv")
@@ -400,7 +400,7 @@ object Physics {
         pyr - sy("variation" -> lit(v), "npv" -> col("npv")))
       val ptCols = variations.map { v =>
         val (x, y) = shifted(v)
-        when(mask, round(sqrt(x * x + y * y), 6))
+        when(mask, round(sqrt(x * x + y * y), 4))
           .otherwise(round(col("met_pt"), 6)).as(s"met_pt_$v")
       }
       val (xn, yn) = shifted("nom")
@@ -581,9 +581,9 @@ object Physics {
           FROM j GROUP BY 1),
         m AS (
           SELECT o_orderkey,
-            (o_totalprice / 1000) * cos((o_orderkey % 628) / 100.0 - 3.14)
+            (o_totalprice / 1000) * cos((o_orderkey % 628) / 100.0 - 3.14159)
               - COALESCE(dx, 0.0) AS mx,
-            (o_totalprice / 1000) * sin((o_orderkey % 628) / 100.0 - 3.14)
+            (o_totalprice / 1000) * sin((o_orderkey % 628) / 100.0 - 3.14159)
               - COALESCE(dy, 0.0) AS my
           FROM orders LEFT JOIN s ON o_orderkey = l_orderkey)
         SELECT o_orderkey,
@@ -610,7 +610,7 @@ object Physics {
       }
       val met = Kinematics.propagateMet(
         col("o_totalprice") / 1000,
-        (col("o_orderkey") % 628) / 100.0 - lit(3.14),
+        (col("o_orderkey") % 628) / 100.0 - lit(3.14159),
         sumDiff(px = true), sumDiff(px = false))
       ev.select(
         col("o_orderkey"),
