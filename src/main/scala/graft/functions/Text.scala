@@ -29,7 +29,9 @@ object Text {
   def subwordEstimate(text: Column): Column = {
     val words = aggregate(tokens(text), lit(0L),
       (acc, w) => acc + floor((length(w) + 3) / 4).cast("long"))
-    val symbols = length(regexp_replace(lower(text), "[a-z0-9]|\\s", ""))
+    // explicit whitespace class: Java's \s includes vertical tab, RE2's
+    // does not — spelling the characters keeps both engines identical
+    val symbols = length(regexp_replace(lower(text), "[a-z0-9 \\t\\n\\x0B\\f\\r]", ""))
     words + symbols
   }
 
@@ -117,7 +119,7 @@ object Text {
   def tokenCountSql(e: String) = s"len(${tokensSql(e)})"
   def subwordEstimateSql(e: String): String =
     s"(COALESCE(list_sum(list_transform(${tokensSql(e)}, w -> CAST(FLOOR((len(w) + 3) / 4) AS BIGINT))), 0) " +
-      s"+ len(regexp_replace(lower($e), '[a-z0-9]|\\s', '', 'g')))"
+      s"+ len(regexp_replace(lower($e), '[a-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')))"
   def stopwordRatioSql(e: String, words: Seq[String]): String = {
     val list = words.map(w => s"'$w'").mkString(", ")
     s"(len(list_filter(${tokensSql(e)}, w -> w IN ($list)))::DOUBLE / len(${tokensSql(e)}))"

@@ -57,16 +57,28 @@ object Trainer {
   }
 
   /** Distributed least squares / ridge fit of `label ~ 1 + features`.
-    * Returns weights `[w0 (intercept), w1, …, wd]`.
+    * Returns weights `[w0 (intercept), w1, …, wd]`. One aggregation for
+    * the normal-equation moments, one driver-side solve. */
+  def fitLinear(df: DataFrame, features: Seq[Column], label: Column,
+                l2: Double = 0.0,
+                momentCast: Column => Column = identity): Array[Double] = {
+    val (a, b) = normalEquations(df, features, label, l2, momentCast)
+    solve(a, b)
+  }
+
+  /** The distributed half of [[fitLinear]]: ONE aggregation accumulating
+    * XᵀX and Xᵀy, returned as the dense system `(A, b)` — exposed so a
+    * caller can derive closed-form solutions or diagnostics from the same
+    * scan that feeds the solver (q78 does both).
     *
     * `momentCast` wraps every accumulated product before summation —
     * pass a decimal cast at the data's exact scale to make the moments
     * order-independent (cross-engine reproducible, per the README
     * determinism rules); the identity default keeps plain double sums.
     * `l2` adds ridge regularization to the non-intercept diagonal. */
-  def fitLinear(df: DataFrame, features: Seq[Column], label: Column,
-                l2: Double = 0.0,
-                momentCast: Column => Column = identity): Array[Double] = {
+  def normalEquations(df: DataFrame, features: Seq[Column], label: Column,
+                      l2: Double = 0.0,
+                      momentCast: Column => Column = identity): (Array[Array[Double]], Array[Double]) = {
     val xs = lit(1.0) +: features.toIndexedSeq
     val d = xs.size
     // upper triangle of X^T X, then X^T y — one aggregation for all
@@ -75,16 +87,17 @@ object Trainer {
         sum(momentCast(xs(i) * xs(j))).cast("double").as(s"a_${i}_$j")) ++
         (0 until d).map(i => sum(momentCast(xs(i) * label)).cast("double").as(s"b_$i"))
     val row = df.agg(moments.head, moments.tail: _*).head()
-    // sum() over zero rows is NULL — fail with a diagnostic, not an NPE
-    require(!row.isNullAt(0),
-      "fitLinear: training set is empty (all rows filtered out?)")
+    // sum() over zero rows — or an all-NULL feature/label column — yields
+    // NULL moments: fail with a diagnostic, not an NPE mid-unpacking
+    require((0 until row.size).forall(!row.isNullAt(_)),
+      "normal-equation moments are NULL: empty training set or all-NULL feature/label column")
     val a = Array.ofDim[Double](d, d)
     var idx = 0
     for { i <- 0 until d; j <- i until d } {
       a(i)(j) = row.getDouble(idx); a(j)(i) = a(i)(j); idx += 1
     }
     for (i <- 1 until d) a(i)(i) += l2
-    solve(a, Array.tabulate(d)(i => row.getDouble(idx + i)))
+    (a, Array.tabulate(d)(i => row.getDouble(idx + i)))
   }
 
   /** Reference fold semantics: model f trains on every fold EXCEPT f

@@ -123,7 +123,7 @@ object DataPipeline {
         CAST(SUM(${Text.tokenCountSql("text")}) AS BIGINT) AS sum_words,
         CAST(SUM(${Text.subwordEstimateSql("text")}) AS BIGINT) AS sum_subwords,
         CAST(SUM(${Text.subwordEstimateSql("text")}) AS DOUBLE) /
-          CAST(SUM(${Text.tokenCountSql("text")}) AS DOUBLE) AS subwords_per_word
+          CAST(NULLIF(SUM(${Text.tokenCountSql("text")}), 0) AS DOUBLE) AS subwords_per_word
       FROM documents
       GROUP BY 1
       ORDER BY source""")) { (s, dir) =>
@@ -134,7 +134,10 @@ object DataPipeline {
         sum(Text.tokenCount(col("text"))).as("sum_words"),
         sum(Text.subwordEstimate(col("text"))).as("sum_subwords"))
       .select(col("source"), col("n_docs"), col("sum_words"), col("sum_subwords"),
-        (col("sum_subwords").cast("double") / col("sum_words").cast("double"))
+        // NULL ratio for an all-symbol source: double/0 diverges across
+        // engines (Spark Infinity/NaN vs DuckDB NULL)
+        (col("sum_subwords").cast("double") /
+          when(col("sum_words") === 0, lit(null)).otherwise(col("sum_words")).cast("double"))
           .as("subwords_per_word"))
       .orderBy("source")
   }

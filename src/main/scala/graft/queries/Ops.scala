@@ -286,30 +286,20 @@ object Ops {
       ORDER BY l_returnflag""")) { (s, dir) =>
     import graft.ml.Trainer
     val li = Tables.load(s, dir, "lineitem")
-    val w = Trainer.fitLinear(li, Seq(col("l_quantity")), col("l_extendedprice"),
-      momentCast = _.cast("decimal(28,2)"))
-    // Cross-engine parity: the ORACLE derives weights via the closed-form
-    // Cramer expressions, while Trainer.solve pivots and eliminates — two
-    // fp paths that differ at ~1e-12, which a half-grid landing could
-    // amplify into a whole-query mismatch. So the weights that enter the
-    // plan are recomputed CLOSED-FORM from the same exact moments (the op
-    // order mirrors the oracle SQL exactly → bit-identical), and the
-    // solver result is asserted against them — the library's train path
-    // stays exercised without betting the hash on its rounding details.
-    val m = li.agg(
-      count(lit(1)).cast("double").as("n"),
-      sum(col("l_quantity").cast("decimal(28,2)")).cast("double").as("sx"),
-      sum(col("l_extendedprice").cast("decimal(28,2)")).cast("double").as("sy"),
-      sum((col("l_quantity") * col("l_quantity")).cast("decimal(28,2)")).cast("double").as("sxx"),
-      sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(28,2)")).cast("double").as("sxy"))
-      .head()
-    val (n, sx, sy, sxx, sxy) =
-      (m.getDouble(0), m.getDouble(1), m.getDouble(2), m.getDouble(3), m.getDouble(4))
+    // ONE moment aggregation feeds everything: the closed-form weights
+    // (op order mirrors the oracle SQL exactly → bit-identical doubles —
+    // Trainer.solve's pivoting elimination is a different fp path at
+    // ~1e-12, which a half-grid landing could amplify into a whole-query
+    // mismatch) AND the solver, asserted against them so the library's
+    // train path stays exercised without betting the hash on it.
+    val (a, b) = Trainer.normalEquations(li, Seq(col("l_quantity")),
+      col("l_extendedprice"), momentCast = _.cast("decimal(28,2)"))
+    val (n, sx, sxx, sy, sxy) = (a(0)(0), a(0)(1), a(1)(1), b(0), b(1))
     val det = n * sxx - sx * sx
     val wCf = Array((sy * sxx - sx * sxy) / det, (n * sxy - sx * sy) / det)
-    w.zip(wCf).foreach { case (a, b) =>
-      require(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
-        s"solver/closed-form disagree: $a vs $b") }
+    Trainer.solve(a, b).zip(wCf).foreach { case (ws, wc) =>
+      require(math.abs(ws - wc) <= 1e-9 * math.max(1.0, math.abs(wc)),
+        s"solver/closed-form disagree: $ws vs $wc") }
     // round exactly like Spark's round(): shortest-repr HALF_UP
     def r6(v: Double): Double =
       BigDecimal(java.lang.Double.toString(v))
