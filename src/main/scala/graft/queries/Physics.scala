@@ -528,8 +528,12 @@ object Physics {
       val k = kC("eta" -> col("eta"), "phi" -> col("phi"))
       val smear = when(col("is_data"), 1.0).otherwise(
         round(lit(1) + sigC("eta" -> col("eta")) * Rand.portableGaussian(gkey), 3))
+      // group key == sort key at ~n/4 cardinality: range-partitioning the
+      // projected scan serves both the aggregation and the final sort with
+      // one exchange (the q62 pattern, SCALE.md "Global sorts")
       m.select(col("l_orderkey"), col("is_data"),
         (col("pt") * k * smear).as("pt_corr"))
+        .repartitionByRange(col("l_orderkey"))
         .groupBy(col("l_orderkey").as("o_orderkey"))
         .agg(
           count(lit(1)).as("n"),
@@ -657,6 +661,8 @@ object Physics {
         FROM p ORDER BY o_orderkey"""
       }) { (s, dir) =>
       val sums = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_tax")
+        .repartitionByRange(col("l_orderkey"))  // q62 pattern: one exchange
         .groupBy(col("l_orderkey").as("o_orderkey"))
         .agg(
           dsum(round(col("l_quantity") * cos(col("l_tax") * 78.5), 6).cast("decimal(18,6)")).as("sum_px"),
