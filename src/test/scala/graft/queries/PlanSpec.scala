@@ -67,11 +67,13 @@ class PlanSpec extends SparkSpec {
       "envelope should be a pure aggregation, not a join")
   }
 
-  test("q62: one exchange total — range partitioning serves both the agg and the sort") {
-    val p = plan("q62_scale_envelope")
-    assert(p.split("Exchange").length - 1 == 1,
-      s"expected exactly one exchange (rangepartitioning):\n$p")
-    assert(p.contains("rangepartitioning"), s"agg input is not range-partitioned:\n$p")
+  test("q62/q75/q77: one exchange total — range partitioning serves both the agg and the sort") {
+    for (name <- Seq("q62_scale_envelope", "q75_muon_sr", "q77_dy_ptll_weight")) {
+      val p = plan(name)
+      assert(p.split("Exchange").length - 1 == 1,
+        s"$name: expected exactly one exchange (rangepartitioning):\n$p")
+      assert(p.contains("rangepartitioning"), s"$name: agg input is not range-partitioned:\n$p")
+    }
   }
 
   test("q4: aggregate pushdown removed the countDistinct expand and pre-aggregates below the join") {
