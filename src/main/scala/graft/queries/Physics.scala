@@ -16,7 +16,7 @@ import Compat._
 object Physics {
 
   def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q69, q71, q72, q73, q74, q75, q76, q77)
+    q69, q71, q72, q73, q74, q75, q76, q77, q81)
 
   import Nested.nestedOrders
 
@@ -620,6 +620,96 @@ object Physics {
         col("o_orderkey"),
         round(met.getField("pt"), 6).as("met_pt"),
         round(met.getField("phi"), 6).as("met_phi"))
+        .orderBy("o_orderkey")
+    }
+  }
+
+  /** Electron/photon energy scale & smearing (reference
+    * _egamma_scale_smear: columnflow/calibration/cms/egamma.py:77-290):
+    * DATA objects get the multiplicative scale from a gain-keyed,
+    * η-binned payload, with scale_up/down = pt·(scale ± unc) applied to
+    * data ONLY (MC passes nominal through); MC objects get the gaussian
+    * smear 1 + width(η, r9)·N(0,1) with the portable RNG, with
+    * smear_up/down varying the width — the mirror image of the family,
+    * applied to MC only. All five members are sibling aggregates over one
+    * scan with the single-exchange range-partition plan. Exact decimal
+    * scales: data products terminate at ≤6, MC products at ≤8 (rounded
+    * factor) → one scale-8 sum is exact for both. */
+  val q81 = {
+    val cs = graft.lookup.Payload.parse("""{
+      "corrections": [
+        {"name": "scale",
+         "inputs": [{"name": "gain", "type": "int"}, {"name": "eta", "type": "real"}],
+         "data": {"nodetype": "category", "input": "gain", "content": [
+           {"key": 0, "value": {"nodetype": "binning", "input": "eta",
+             "edges": [-1.0, 0.0, 1.0], "content": [1.002, 0.998], "flow": "clamp"}},
+           {"key": 1, "value": {"nodetype": "binning", "input": "eta",
+             "edges": [-1.0, 0.0, 1.0], "content": [1.004, 0.996], "flow": "clamp"}},
+           {"key": 2, "value": 1.001}]}},
+        {"name": "scale_unc", "inputs": [{"name": "eta", "type": "real"}],
+         "data": {"nodetype": "binning", "input": "eta",
+           "edges": [-1.0, 0.0, 1.0], "content": [0.002, 0.003], "flow": "clamp"}},
+        {"name": "width",
+         "inputs": [{"name": "eta", "type": "real"}, {"name": "r9", "type": "real"}],
+         "data": {"nodetype": "multibinning", "inputs": ["eta", "r9"],
+           "edges": [[-1.0, 0.0, 1.0], [0.0, 0.5, 1.0]],
+           "content": [0.01, 0.015, 0.02, 0.025], "flow": "clamp"}},
+        {"name": "width_unc", "inputs": [{"name": "eta", "type": "real"}],
+         "data": {"nodetype": "binning", "input": "eta",
+           "edges": [-1.0, 0.0, 1.0], "content": [0.002, 0.004], "flow": "clamp"}}
+      ]
+    }""")
+    val scaleC = cs("scale"); val suncC = cs("scale_unc")
+    val widthC = cs("width"); val wuncC = cs("width_unc")
+    QueryDef(
+      "q81_egamma_scale_smear",
+      oracle = Some {
+        val sc = scaleC.sql("gain" -> "gain", "eta" -> "eta")
+        val su = suncC.sql("eta" -> "eta")
+        val wd = widthC.sql("eta" -> "eta", "r9" -> "r9")
+        val wu = wuncC.sql("eta" -> "eta")
+        val gkey = "CAST(l_orderkey AS STRING) || '|' || CAST(l_linenumber AS STRING) || '|' || CAST(pt AS STRING)"
+        val g = Rand.portableGaussianSql(gkey)
+        def mem(name: String, dataExpr: String, mcExpr: String) =
+          s"CAST(SUM(CAST(CASE WHEN is_data THEN $dataExpr ELSE $mcExpr END AS DECIMAL(18,8))) AS DOUBLE) AS sum_$name"
+        s"""
+        WITH m AS (
+          SELECT l_orderkey, l_linenumber, l_extendedprice AS pt,
+            l_tax * 25 - 1 AS eta, l_discount * 10 AS r9,
+            l_linenumber % 3 AS gain, l_returnflag = 'R' AS is_data
+          FROM lineitem)
+        SELECT l_orderkey AS o_orderkey,
+          COUNT(*) AS n,
+          ${mem("nominal", s"pt * ($sc)", s"pt * ROUND(1 + ($wd) * $g, 6)")},
+          ${mem("scale_up", s"pt * (($sc) + ($su))", s"pt * ROUND(1 + ($wd) * $g, 6)")},
+          ${mem("scale_down", s"pt * (($sc) - ($su))", s"pt * ROUND(1 + ($wd) * $g, 6)")},
+          ${mem("smear_up", s"pt * ($sc)", s"pt * ROUND(1 + (($wd) + ($wu)) * $g, 6)")},
+          ${mem("smear_down", s"pt * ($sc)", s"pt * ROUND(1 + (($wd) - ($wu)) * $g, 6)")}
+        FROM m GROUP BY 1 ORDER BY o_orderkey"""
+      }) { (s, dir) =>
+      val m = Tables.load(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice").as("pt"),
+        (col("l_tax") * 25 - 1).as("eta"), (col("l_discount") * 10).as("r9"),
+        (col("l_linenumber") % 3).as("gain"), (col("l_returnflag") === "R").as("is_data"))
+      val gkey = concat_ws("|", col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"), col("pt").cast("string"))
+      val g = Rand.portableGaussian(gkey)
+      val sc = scaleC("gain" -> col("gain"), "eta" -> col("eta"))
+      val su = suncC("eta" -> col("eta"))
+      val wd = widthC("eta" -> col("eta"), "r9" -> col("r9"))
+      val wu = wuncC("eta" -> col("eta"))
+      def mem(name: String, dataExpr: Column, mcExpr: Column) =
+        dsum(when(col("is_data"), dataExpr).otherwise(mcExpr)
+          .cast("decimal(18,8)")).as(s"sum_$name")
+      m.repartitionByRange(col("l_orderkey"))
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(
+          count(lit(1)).as("n"),
+          mem("nominal", col("pt") * sc, col("pt") * round(lit(1) + wd * g, 6)),
+          mem("scale_up", col("pt") * (sc + su), col("pt") * round(lit(1) + wd * g, 6)),
+          mem("scale_down", col("pt") * (sc - su), col("pt") * round(lit(1) + wd * g, 6)),
+          mem("smear_up", col("pt") * sc, col("pt") * round(lit(1) + (wd + wu) * g, 6)),
+          mem("smear_down", col("pt") * sc, col("pt") * round(lit(1) + (wd - wu) * g, 6)))
         .orderBy("o_orderkey")
     }
   }
