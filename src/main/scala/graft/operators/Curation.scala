@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Rand, Text}
+
+/** Corpus-curation operators for training-data pipelines: benchmark
+  * decontamination, boilerplate n-gram mining, repetition scoring, and
+  * deterministic stratified (mixture) sampling.
+  *
+  * Scale design (100 TB corpus):
+  *   - `contamination` broadcasts the benchmark shingle set (benchmarks are
+  *     tiny — thousands of documents — next to a pretraining corpus); the
+  *     corpus side never shuffles document text, only (doc_id, two longs)
+  *     through a partially-aggregated exchange.
+  *   - `documentFrequency` shuffles (shingle, partial count) pairs after
+  *     map-side combine — the classic one-exchange DF/IDF mine.
+  *   - `repetitionStats` is pure per-row column work: no exchange at all,
+  *     stays inside whole-stage codegen next to the parquet scan.
+  *   - `stratifiedSample` is a deterministic map-side filter (md5-derived
+  *     uniform per document id): repartition-stable, retry-stable, and
+  *     resumable — re-running the job keeps exactly the same sample, which
+  *     is what makes mixture re-weighting reproducible across pipeline
+  *     versions.
+  */
+object Curation {
+
+  /** Per-document n-gram overlap against a benchmark document set (the
+    * decontamination check run before training): for each corpus document,
+    * the count of its distinct shingles that appear anywhere in the
+    * benchmark, and the overlap fraction.
+    *
+    * Returns (idCol, n_shingles, n_hit, hit_frac) for every corpus
+    * document with at least one shingle (documents shorter than `n` tokens
+    * have no n-grams and are trivially clean). `hit_frac` is a ratio of
+    * two integers — exact in any engine.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(array_distinct(Text.shingles(col(textCol), n))).as("__s"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val corpusShingles = corpus.select(
+      col(idCol), explode(array_distinct(Text.shingles(col(textCol), n))).as("__s"))
+    corpusShingles
+      .join(broadcast(benchShingles), Seq("__s"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_hit"))
+      .withColumn("hit_frac",
+        col("n_hit").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  /** Corpus-wide n-gram document frequency, thresholded — the boilerplate
+    * mine (shingles shared by ≥ `minDf` documents are template/boilerplate
+    * candidates; the same table inverted is an IDF table). One exchange of
+    * (shingle, partial count) after map-side combine. */
+  def documentFrequency(corpus: DataFrame, n: Int = 3, minDf: Long = 2L,
+                        textCol: String = "text"): DataFrame = {
+    corpus
+      .select(explode(array_distinct(Text.shingles(col(textCol), n))).as("shingle"))
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+  }
+
+  /** Within-document repetition stats (the Gopher-style quality signal):
+    * total and distinct n-gram counts and the duplicate-n-gram fraction
+    * `1 − distinct/total` (null for documents with no n-grams). Pure
+    * column work — integer counts and one exact integer-ratio divide. */
+  def repetitionStats(docs: DataFrame, n: Int = 2,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val all = Text.shingles(col(textCol), n)
+    docs.select(
+      col(idCol),
+      size(all).as("n_grams"),
+      size(array_distinct(all)).as("n_distinct"))
+      .withColumn("dup_frac",
+        when(col("n_grams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double")))
+  }
+
+  /** Deterministic stratified sampling to a target mixture: keep a row iff
+    * its portable md5-uniform (keyed on `idCol`) falls below the group's
+    * rate. Groups absent from `rates` are dropped (rate 0). The decision
+    * is a pure function of the row — stable under repartitioning, task
+    * retries, and re-runs, so downstream mixture weights are reproducible.
+    */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
+                       groupCol: String, idCol: String = "doc_id"): DataFrame = {
+    val u = Rand.portableUniform(0, col(idCol).cast("string"))
+    val rate = rates.foldLeft(lit(0.0)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    docs.filter(u < rate)
+  }
+
+  /** Per-document top-k TF-IDF terms: tf = in-document term count, idf =
+    * ln(N/df) rounded to 1e-9 (libm cross-engine parity — factor-scale
+    * values are tie-safe at 9 digits), score = tf·idf, ranked per
+    * document with term-ascending tie-break.
+    *
+    * Plan: one (doc, term) count aggregation; df piggybacks as a window
+    * over the term partition of the SAME pass (no second corpus scan) and
+    * the scalar N broadcast-joins. Two keyed exchanges (term, then doc) of
+    * count-sized rows — never of document text. */
+  def tfIdfTopK(docs: DataFrame, k: Int,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val n = docs.select(count(lit(1)).as("__n"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(n))
+      .withColumn("idf", round(log(col("__n").cast("double") / col("df")), 9))
+      .withColumn("score", col("tf").cast("double") * col("idf"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("score").desc, col("term"))))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("term"), col("score"))
+  }
+
+  /** DuckDB mirror of `stratifiedSample`'s keep predicate (same md5-hex
+    * uniform, same CASE rate table) for oracle queries. */
+  def stratifiedSampleSql(rates: Map[String, Double],
+                          groupExpr: String, idExpr: String): String = {
+    val rate = rates.toSeq.sortBy(_._1)
+      .map { case (g, r) => s"WHEN $groupExpr = '$g' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 0.0 END")
+    s"${Rand.portableUniformSql(0, s"CAST($idExpr AS STRING)")} < ($rate)"
+  }
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector-quantization operators over embedding columns: coarse-quantizer
+  * (centroid) training, nearest-centroid assignment, one Lloyd refinement
+  * step, and product-quantization (PQ) encoding.
+  *
+  * Scale design (100 TB of embeddings):
+  *   - Training is ONE exchange of (cell, dim, partial sum/count) triples —
+  *     map-side combine reduces every partition to nCells×dim rows before
+  *     the shuffle, so the exchange volume is independent of corpus size.
+  *   - Trained centroids are kCells×dim scalars (a few KB) — they ride to
+  *     the executors as plan literals, so assignment/encoding is pure
+  *     map-side column work inside whole-stage codegen: no join, no
+  *     shuffle, no UDF.
+  *   - A Lloyd iteration is therefore exactly one exchange; k iterations
+  *     are k exchanges of centroid-sized data, never of the corpus.
+  *
+  * Determinism: centroid means quantize components to an exact 1e-7
+  * integer grid before summing (integer sums are order-free; see q58).
+  * Distance chains are built as fixed left-associated `(v−c)·(v−c)` sums
+  * so repeated evaluation is bit-stable; cross-engine argmin ties break to
+  * the lowest centroid id on both sides.
+  */
+object Quantize {
+
+  /** Grid-exact per-cell mean vectors, collected to the driver (cells ×
+    * dim scalars — the IVF coarse quantizer). `grid` is the exactness
+    * grid: components are rounded to 1/grid before the integer sum. */
+  def trainCentroids(df: DataFrame, cellCol: String, vecCol: String,
+                     grid: Double = 1e7): Map[Int, IndexedSeq[Double]] =
+    df.select(col(cellCol).cast("int").as("__cell"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy("__cell", "__pos")
+      .agg((sum(round(col("__v").cast("double") * grid).cast("long")).cast("double") /
+        grid / count(lit(1))).as("__c"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq
+      }
+
+  /** Squared L2 distance from an array column to a literal centroid:
+    * `zip_with` keeps element order and `aggregate` folds left-to-right,
+    * so the sum is a fixed left-associated chain of exact IEEE ops (`-`,
+    * `*`, `+`) — no libm, bit-stable on re-evaluation. (An unrolled
+    * 64-term `element_at` chain computes the same value but overflows
+    * janino's method-size limit once k centroids multiply it out.) */
+  def dist2(vec: Column, cent: IndexedSeq[Double]): Column =
+    aggregate(
+      zip_with(vec.cast("array<double>"), typedlit(cent), (v, c) => (v - c) * (v - c)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Nearest-centroid id by squared L2; ties go to the lowest id.
+    *
+    * Built as distances-array → `array_min` → first `array_position`
+    * (ids ascending, so first match = lowest id). A min-keeping
+    * `when`-fold would nest each step's best-so-far expression inside the
+    * next `when` twice — an exponential expression tree by k centroids;
+    * the array form keeps every distance chain exactly once. */
+  def assignNearest(vec: Column, cents: Map[Int, IndexedSeq[Double]]): Column = {
+    val sorted = cents.toSeq.sortBy(_._1)
+    val ds = array(sorted.map { case (_, c) => dist2(vec, c) }: _*)
+    val ids = array(sorted.map { case (id, _) => lit(id) }: _*)
+    element_at(ids, array_position(ds, array_min(ds)).cast("int"))
+  }
+
+  /** One Lloyd refinement step: assign every vector to its nearest
+    * centroid, then recompute grid-exact means. Returns one row per
+    * (cluster, pos) with the updated component and the cluster size —
+    * clusters that lose all members disappear (standard Lloyd's). */
+  def lloydStep(df: DataFrame, cents: Map[Int, IndexedSeq[Double]],
+                vecCol: String, grid: Double = 1e7): DataFrame =
+    df.withColumn("__cl", assignNearest(col(vecCol), cents))
+      .select(col("__cl"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy(col("__cl").as("cluster"), (col("__pos") + 1).as("pos"))
+      .agg(
+        (sum(round(col("__v").cast("double") * grid).cast("long")).cast("double") /
+          grid / count(lit(1))).as("centroid"),
+        count(lit(1)).as("n"))
+
+  /** Slice a trained full-dimension codebook into `m` equal subspace
+    * codebooks (dim must divide evenly). Product quantization trains each
+    * subspace independently in general; deriving all m slices from one
+    * full-vector training pass keeps it to a single exchange. */
+  def sliceCodebooks(cents: Map[Int, IndexedSeq[Double]], m: Int)
+      : IndexedSeq[Map[Int, IndexedSeq[Double]]] = {
+    val dim = cents.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
+      cents.map { case (id, v) => id -> v.slice(s * sub, (s + 1) * sub) }
+    }
+  }
+
+  /** PQ encode: an array<int> of m codes, code s = nearest subspace-s
+    * codeword to the vector's s-th slice. mCodebooks codewords are plan
+    * literals — encoding a 100 TB corpus is map-side only. */
+  def pqEncode(vec: Column, codebooks: IndexedSeq[Map[Int, IndexedSeq[Double]]]): Column = {
+    val sub = codebooks.head.head._2.length
+    array(codebooks.zipWithIndex.map { case (book, s) =>
+      assignNearest(slice(vec, s * sub + 1, sub), book)
+    }: _*)
+  }
+
+  /** ADC (asymmetric distance computation) lookup tables for one query
+    * vector: per subspace, codeword-id → partial squared distance of the
+    * query's slice to that codeword. Driver-side double arithmetic with
+    * the same left fold as `dist2` — the tables are m×k scalars and ride
+    * to executors as data in a broadcast-joined query table. */
+  def adcTables(query: IndexedSeq[Double],
+                codebooks: IndexedSeq[Map[Int, IndexedSeq[Double]]]): Seq[Map[Int, Double]] = {
+    val sub = codebooks.head.head._2.length
+    codebooks.zipWithIndex.map { case (book, s) =>
+      val qs = query.slice(s * sub, (s + 1) * sub)
+      book.map { case (id, cw) =>
+        id -> qs.zip(cw).foldLeft(0.0) { case (acc, (v, c)) =>
+          acc + (v - c) * (v - c)
+        }
+      }
+    }
+  }
+
+  /** ADC score of a codes column against a query's lookup tables carried
+    * as an `array<map<int,double>>` column: m map lookups summed in
+    * subspace order (fixed left fold). The scan side touches only the
+    * m-byte code tuple — the full-precision corpus never loads, which is
+    * the PQ memory/IO win at 100 TB. */
+  def adcScore(codes: Column, tables: Column, m: Int): Column =
+    (0 until m).map { s =>
+      element_at(element_at(tables, s + 1), element_at(codes, s + 1))
+    }.reduce(_ + _)
+}

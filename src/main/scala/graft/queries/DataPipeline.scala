@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.Text
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Curation, Dedup, Multimodal, Quantize, Similarity}
 
 /** LLM-training-data pipeline family over `documents` and `embeddings`:
   * text analysis, deduplication (exact / MinHash-LSH / SimHash / blocked
@@ -13,7 +13,8 @@ import graft.operators.{Dedup, Multimodal, Similarity}
 object DataPipeline {
 
   def defs: Seq[QueryDef] = Seq(
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
+    q82, q83, q84, q85, q86, q87, q88, q89)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -163,6 +164,10 @@ object DataPipeline {
   private val shingleSql =
     "list_distinct(list_transform(generate_series(1, len(regexp_extract_all(lower(text),'[a-z0-9]+'))-2), " +
       "i -> array_to_string(regexp_extract_all(lower(text),'[a-z0-9]+')[i:i+2], ' ')))"
+
+  private val shingle2Sql =
+    "list_distinct(list_transform(generate_series(1, len(regexp_extract_all(lower(text),'[a-z0-9]+'))-1), " +
+      "i -> array_to_string(regexp_extract_all(lower(text),'[a-z0-9]+')[i:i+1], ' ')))"
 
   /** Blocked exact-Jaccard near-dup pairs (block = language). Recall note:
     * blocking trades recall for cost — cross-language duplicates are
@@ -411,6 +416,263 @@ object DataPipeline {
       .agg((sum(round(col("v").cast("double") * 10000000.0).cast("long")).cast("double") /
         10000000.0 / count(lit(1))).as("centroid"))
       .orderBy("label", "pos")
+  }
+
+  // ---- curation: decontamination / boilerplate / repetition / sampling ----
+
+  /** Non-distinct word n-gram list (DuckDB mirror of `Text.shingles`):
+    * slice `[i:i+n-1]` is inclusive, so it spans n tokens. */
+  private def gramsAllSql(n: Int) =
+    s"list_transform(generate_series(1, len(${Text.tokensSql("text")})-${n - 1}), " +
+      s"i -> array_to_string(${Text.tokensSql("text")}[i:i+${n - 1}], ' '))"
+
+  /** Benchmark decontamination: per corpus document, distinct-3-gram
+    * overlap against a held-out benchmark slice (doc_id ≡ 3 mod 17). The
+    * benchmark shingle set broadcasts (benchmarks are tiny next to a
+    * pretraining corpus); document text never shuffles — only partially
+    * aggregated (doc_id, counts) pairs. `hit_frac` is an integer ratio:
+    * exact in both engines. */
+  val q82 = QueryDef(
+    "q82_decontamination",
+    oracle = Some("""
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, len(regexp_extract_all(lower(text),'[a-z0-9]+'))-2),
+          i -> array_to_string(regexp_extract_all(lower(text),'[a-z0-9]+')[i:i+2], ' ')))) AS s
+        FROM documents),
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 3)
+      SELECT doc_id, COUNT(*) AS n_shingles,
+        CAST(SUM(CASE WHEN s IN (SELECT s FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        CAST(SUM(CASE WHEN s IN (SELECT s FROM bench) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hit_frac
+      FROM sh WHERE doc_id % 17 <> 3
+      GROUP BY doc_id
+      ORDER BY doc_id"""),
+    bench = true) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    Curation.contamination(
+      corpus = docs.filter(col("doc_id") % 17 =!= 3),
+      benchmark = docs.filter(col("doc_id") % 17 === 3), n = 3)
+      .orderBy("doc_id")
+  }
+
+  /** Boilerplate mining: corpus-wide 2-gram document frequency (distinct
+    * per doc), thresholded — one partially-aggregated exchange of
+    * (shingle, count). */
+  val q83 = QueryDef(
+    "q83_boilerplate_ngrams",
+    oracle = Some(s"""
+      SELECT s AS shingle, COUNT(*) AS df
+      FROM (SELECT doc_id, unnest($shingle2Sql) AS s FROM documents)
+      GROUP BY 1
+      HAVING COUNT(*) >= 20
+      ORDER BY shingle""")) { (s, dir) =>
+    Curation.documentFrequency(Tables.load(s, dir, "documents"), n = 2, minDf = 20L)
+      .orderBy("shingle")
+  }
+
+  /** Within-document repetition (Gopher-style duplicate-2-gram fraction):
+    * pure per-row column work — no exchange; integer counts and one exact
+    * integer-ratio divide. */
+  val q84 = QueryDef(
+    "q84_repetition_stats",
+    oracle = Some(s"""
+      SELECT doc_id,
+        CAST(len(${gramsAllSql(2)}) AS INT) AS n_grams,
+        CAST(len(list_distinct(${gramsAllSql(2)})) AS INT) AS n_distinct,
+        CASE WHEN len(${gramsAllSql(2)}) > 0
+          THEN 1.0 - CAST(len(list_distinct(${gramsAllSql(2)})) AS DOUBLE) / len(${gramsAllSql(2)})
+        END AS dup_frac
+      FROM documents
+      ORDER BY doc_id""")) { (s, dir) =>
+    Curation.repetitionStats(Tables.load(s, dir, "documents"), n = 2)
+      .orderBy("doc_id")
+  }
+
+  /** Target mixture over sources: even-indexed sources keep 80%,
+    * odd-indexed 25%, src19 absent from the rate table (dropped). */
+  private val mixtureRates: Map[String, Double] =
+    (0 until 19).map(i => s"src$i" -> (if (i % 2 == 0) 0.8 else 0.25)).toMap
+
+  /** Deterministic stratified mixture sampling: keep iff the portable
+    * md5-uniform of doc_id falls under the source's target rate — a pure
+    * map-side filter, stable under repartition/retry/re-run (the property
+    * that makes mixture re-weighting reproducible across pipeline runs). */
+  val q85 = QueryDef(
+    "q85_mixture_sample",
+    oracle = Some(s"""
+      SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      WHERE ${Curation.stratifiedSampleSql(mixtureRates, "source", "doc_id")}
+      GROUP BY source
+      ORDER BY source""")) { (s, dir) =>
+    Curation.stratifiedSample(Tables.load(s, dir, "documents"), mixtureRates, "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars"))
+      .orderBy("source")
+  }
+
+  /** Shared oracle CTEs: grid-exact label centroids + unnested embedding
+    * components (the q58 training step re-derived in SQL). */
+  private val centUnnSql = """
+      cent AS (
+        SELECT label, CAST(pos AS INT) AS pos,
+          CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE) / 10000000.0 / COUNT(*) AS c
+        FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+        GROUP BY 1, 2),
+      unn AS (
+        SELECT vec_id, CAST(v AS DOUBLE) AS v, CAST(pos AS INT) AS pos
+        FROM (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
+              FROM embeddings))"""
+
+  /** Product-quantization encode: 4 subspaces × 16 dims, codewords = the
+    * label centroids' slices; output is the (subspace, code) histogram.
+    * Codebooks are plan literals (trained in one exchange, q58-style), so
+    * encoding is map-side only. Distance sums are accumulated in different
+    * orders across engines (±ulps); measured worst best-vs-second-best
+    * relative margin is ~1.7e-5 (≫ ulp noise), so the argmin never flips. */
+  val q86 = QueryDef(
+    "q86_pq_codes",
+    oracle = Some(s"""
+      WITH $centUnnSql,
+      qd AS (
+        SELECT u.vec_id, CAST((u.pos - 1) // 16 AS INT) AS subspace, c.label,
+          SUM((u.v - c.c) * (u.v - c.c)) AS d
+        FROM unn u JOIN cent c ON u.pos = c.pos
+        GROUP BY 1, 2, 3),
+      asg AS (
+        SELECT vec_id, subspace, label FROM (
+          SELECT vec_id, subspace, label,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY d, label) AS rn
+          FROM qd) WHERE rn = 1)
+      SELECT subspace, CAST(label AS INT) AS code, COUNT(*) AS n
+      FROM asg GROUP BY 1, 2
+      ORDER BY subspace, code""")) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val books = Quantize.sliceCodebooks(
+      Quantize.trainCentroids(emb, "label", "embedding"), m = 4)
+    emb.select(posexplode(Quantize.pqEncode(col("embedding"), books)).as(Seq("subspace", "code")))
+      .groupBy("subspace", "code")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("subspace", "code")
+  }
+
+  /** One Lloyd refinement step from the label-centroid initialization:
+    * assign all vectors to the nearest centroid (map-side — centroids are
+    * plan literals), recompute grid-exact means (one exchange). Updated
+    * components are integer-grid means — exact in both engines; the
+    * assignment argmin is separation-robust (see q86 note). */
+  val q87 = QueryDef(
+    "q87_kmeans_step",
+    oracle = Some(s"""
+      WITH $centUnnSql,
+      qd AS (
+        SELECT u.vec_id, c.label, SUM((u.v - c.c) * (u.v - c.c)) AS d
+        FROM unn u JOIN cent c ON u.pos = c.pos
+        GROUP BY 1, 2),
+      asg AS (
+        SELECT vec_id, label AS cluster FROM (
+          SELECT vec_id, label,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, label) AS rn
+          FROM qd) WHERE rn = 1)
+      SELECT a.cluster, u.pos,
+        CAST(SUM(CAST(ROUND(u.v * 10000000.0) AS BIGINT)) AS DOUBLE) / 10000000.0 / COUNT(*) AS centroid,
+        COUNT(*) AS n
+      FROM unn u JOIN asg a USING (vec_id)
+      GROUP BY 1, 2
+      ORDER BY cluster, pos""")) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    Quantize.lloydStep(emb, Quantize.trainCentroids(emb, "label", "embedding"), "embedding")
+      .orderBy("cluster", "pos")
+  }
+
+  /** PQ-ADC top-k search: corpus vectors are searched through their
+    * 4-byte PQ code tuples only — per query, an m×k table of partial
+    * squared distances (query slice vs codeword) is precomputed and the
+    * score is m map lookups summed, so the full-precision corpus never
+    * loads (the PQ memory/IO win). Scores are summed in subspace order on
+    * both sides (Spark: fixed fold; DuckDB: `SUM(... ORDER BY ss)`), so
+    * equal-code vectors get bit-equal scores within each engine and the
+    * (score, neighbor) rank is deterministic; cross-engine score noise is
+    * ±ulps against O(1) margins between distinct code tuples. */
+  val q88 = QueryDef(
+    "q88_pq_adc",
+    oracle = Some(s"""
+      WITH $centUnnSql,
+      qd AS (
+        SELECT u.vec_id, CAST((u.pos - 1) // 16 AS INT) AS subspace, c.label,
+          SUM((u.v - c.c) * (u.v - c.c)) AS d
+        FROM unn u JOIN cent c ON u.pos = c.pos
+        GROUP BY 1, 2, 3),
+      asg AS (
+        SELECT vec_id, subspace, label FROM (
+          SELECT vec_id, subspace, label,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY d, label) AS rn
+          FROM qd) WHERE rn = 1),
+      qpd AS (
+        SELECT u.vec_id AS qid, CAST((u.pos - 1) // 16 AS INT) AS ss, c.label,
+          SUM((u.v - c.c) * (u.v - c.c)) AS pd
+        FROM unn u JOIN cent c ON u.pos = c.pos
+        WHERE u.vec_id < 10
+        GROUP BY 1, 2, 3),
+      score AS (
+        SELECT q.qid, a.vec_id AS neighbor, SUM(q.pd ORDER BY q.ss) AS d
+        FROM asg a JOIN qpd q ON a.subspace = q.ss AND a.label = q.label
+        WHERE a.vec_id <> q.qid
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT qid, neighbor,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, neighbor) AS INT) AS rnk
+        FROM score)
+      SELECT qid, rnk, neighbor FROM ranked WHERE rnk <= 3
+      ORDER BY qid, rnk""")) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.load(s, dir, "embeddings")
+    val books = Quantize.sliceCodebooks(
+      Quantize.trainCentroids(emb, "label", "embedding"), m = 4)
+    val codes = emb.select(col("vec_id").as("neighbor"),
+      Quantize.pqEncode(col("embedding"), books).as("codes"))
+    val queries = emb.filter(col("vec_id") < 10).select("vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0),
+        Quantize.adcTables(r.getSeq[Float](1).map(_.toDouble).toIndexedSeq, books)))
+      .toSeq
+    val sess = s
+    import sess.implicits._
+    val qdf = queries.toDF("qid", "luts")
+    codes.join(broadcast(qdf), col("neighbor") =!= col("qid"))
+      .withColumn("d", Quantize.adcScore(col("codes"), col("luts"), m = 4))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d"), col("neighbor"))))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("neighbor"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Per-document top-3 TF-IDF terms (keyword extraction): tf·ln(N/df)
+    * with the idf rounded at 1e-9 (libm parity), rank ties broken by term.
+    * Exchanges carry (doc, term, count) rows only — text never shuffles. */
+  val q89 = QueryDef(
+    "q89_tfidf_topk",
+    oracle = Some(s"""
+      WITH tf AS (
+        SELECT doc_id, t AS term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(${Text.tokensSql("text")}) AS t FROM documents)
+        GROUP BY 1, 2),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      sc AS (
+        SELECT doc_id, term,
+          CAST(tf AS DOUBLE) *
+            ROUND(ln(CAST(n.n AS DOUBLE) / (COUNT(*) OVER (PARTITION BY term))), 9) AS score
+        FROM tf, n),
+      r AS (
+        SELECT doc_id, term, score,
+          CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rnk
+        FROM sc)
+      SELECT doc_id, rnk, term, score FROM r WHERE rnk <= 3
+      ORDER BY doc_id, rnk""")) { (s, dir) =>
+    Curation.tfIdfTopK(Tables.load(s, dir, "documents"), k = 3)
+      .orderBy("doc_id", "rnk")
   }
 
   // ---- multimodal ----

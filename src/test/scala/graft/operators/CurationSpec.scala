@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "a"),
+      (2L, "the quick brown fox sat on a mat today ok", "a"),
+      (3L, "completely different content here now folks", "b"),
+      (4L, "one", "b"), // single token: no 2/3-grams
+      (5L, "", "b"))
+      .toDF("doc_id", "text", "source")
+  }
+
+  test("contamination counts shared distinct shingles against the benchmark") {
+    // benchmark = doc 1; corpus = docs 2,3 (4,5 have no trigrams and drop)
+    val out = Curation.contamination(
+      corpus = docs.filter(col("doc_id") > 1),
+      benchmark = docs.filter(col("doc_id") === 1), n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 2 shares exactly "the quick brown" and "quick brown fox" with doc 1
+    assert(out(2L)._1 == 8 && out(2L)._2 == 2 && out(2L)._3 == 0.25)
+    assert(out(3L) == ((4L, 0L, 0.0)))
+    assert(!out.contains(4L) && !out.contains(5L))
+  }
+
+  test("documentFrequency finds shingles shared across documents") {
+    val df = Curation.documentFrequency(docs, n = 2, minDf = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df == Map("the quick" -> 2L, "quick brown" -> 2L, "brown fox" -> 2L))
+  }
+
+  test("repetitionStats: duplicate-2-gram fraction, degenerate docs → null") {
+    val s = spark
+    import s.implicits._
+    val out = Curation.repetitionStats(
+      Seq((1L, "a b a b a"), (2L, "one"), (3L, "")).toDF("doc_id", "text"), n = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // grams: [a b, b a, a b, b a] → 4 total, 2 distinct, dup_frac 0.5
+    assert(out(1L).getInt(1) == 4 && out(1L).getInt(2) == 2 && out(1L).getDouble(3) == 0.5)
+    assert(out(2L).getInt(1) == 0 && out(2L).isNullAt(3))
+    assert(out(3L).getInt(1) == 0 && out(3L).isNullAt(3))
+  }
+
+  test("stratifiedSample is deterministic, honors rate 1 and drops unlisted groups") {
+    val rates = Map("a" -> 1.0, "c" -> 0.5) // "b" unlisted → dropped
+    val once = Curation.stratifiedSample(docs, rates, "source")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Curation.stratifiedSample(docs.repartition(7), rates, "source")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(once == again) // stable under repartition + re-run
+    assert(once == Set(1L, 2L)) // all of "a" kept (u<1 always), all of "b" dropped
+  }
+
+  test("tfIdfTopK ranks rare terms above common ones, ties by term") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "alpha alpha shared"),
+      (2L, "beta shared"),
+      (3L, "shared")).toDF("doc_id", "text")
+    val out = Curation.tfIdfTopK(corpus, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getDouble(3))).toMap
+    val ln3 = BigDecimal(math.log(3.0)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: alpha tf=2 df=1 → 2·ln(3); shared tf=1 df=3 → ln(1)=0
+    assert(out((1L, 1)) == (("alpha", 2.0 * ln3)))
+    assert(out((1L, 2)) == (("shared", 0.0)))
+    assert(out((2L, 1)) == (("beta", ln3)))
+    assert(out((3L, 1)) == (("shared", 0.0)))
+    assert(!out.contains((3L, 2)))
+  }
+}

@@ -100,13 +100,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"gen matching fell out of the intra-event fold:\n$p")
   }
 
+  test("q82: benchmark shingle set broadcasts; corpus text never shuffles") {
+    val p = plan("q82_decontamination")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side shuffled for the benchmark join:\n$p")
+  }
+
+  test("q86/q87: quantizer codebooks are plan literals — assignment plans no join") {
+    for (name <- Seq("q86_pq_codes", "q87_kmeans_step")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name joins for a plan-literal codebook:\n$p")
+    }
+  }
+
+  test("q84: repetition stats are pure map-side work — only the output sort exchanges") {
+    val p = plan("q84_repetition_stats")
+    assert(p.split("Exchange").length - 1 == 1 && p.contains("rangepartitioning"),
+      s"per-row stats should not shuffle before the sort:\n$p")
+  }
+
   test("registry sweep: no query plans a cartesian product or an unexpected NLJ") {
     // ANN/near-dup queries intentionally broadcast-NLJ a small query set
     // against the corpus; everything else must stay equi-join shaped.
     // q79's probe-membership join (array_contains) is non-equi by design:
     // a tiny broadcast query side against the corpus scan, like q38
     val nljAllowed = Set("q38_ann_bruteforce", "q39_ann_ivf", "q40_embedding_dedup",
-      "q79_ann_multiprobe")
+      "q79_ann_multiprobe", "q88_pq_adc")
     val offenders = Registry.all.flatMap { q =>
       val p =
         try Registry.queries(q.name)(spark, dir).queryExecution.executedPlan.toString
