@@ -28,19 +28,17 @@ object Quantize {
 
   /** Grid-exact per-cell mean vectors, collected to the driver (cells ×
     * dim scalars — the IVF coarse quantizer). `grid` is the exactness
-    * grid: components are rounded to 1/grid before the integer sum. */
+    * grid: components are rounded to 1/grid before the integer sum.
+    * Uses the native `GridVectorMean` aggregate: whole vectors reach the
+    * hash aggregate (n rows, not n×dim exploded rows) and the exchange
+    * carries one dim-long buffer per (partition, cell). */
   def trainCentroids(df: DataFrame, cellCol: String, vecCol: String,
                      grid: Double = 1e7): Map[Int, IndexedSeq[Double]] =
-    df.select(col(cellCol).cast("int").as("__cell"),
-        posexplode(col(vecCol)).as(Seq("__pos", "__v")))
-      .groupBy("__cell", "__pos")
-      .agg((sum(round(col("__v").cast("double") * grid).cast("long")).cast("double") /
-        grid / count(lit(1))).as("__c"))
+    df.groupBy(col(cellCol).cast("int").as("__cell"))
+      .agg(graft.functions.GridVectorMean.gridMeanVec(col(vecCol), grid).as("__m"))
       .collect()
-      .groupBy(_.getInt(0))
-      .map { case (cell, rows) =>
-        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq
-      }
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq)
+      .toMap
 
   /** Squared L2 distance from an array column to a literal centroid:
     * `zip_with` keeps element order and `aggregate` folds left-to-right,
@@ -74,12 +72,12 @@ object Quantize {
   def lloydStep(df: DataFrame, cents: Map[Int, IndexedSeq[Double]],
                 vecCol: String, grid: Double = 1e7): DataFrame =
     df.withColumn("__cl", assignNearest(col(vecCol), cents))
-      .select(col("__cl"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
-      .groupBy(col("__cl").as("cluster"), (col("__pos") + 1).as("pos"))
+      .groupBy(col("__cl").as("cluster"))
       .agg(
-        (sum(round(col("__v").cast("double") * grid).cast("long")).cast("double") /
-          grid / count(lit(1))).as("centroid"),
+        graft.functions.GridVectorMean.gridMeanVec(col(vecCol), grid).as("__m"),
         count(lit(1)).as("n"))
+      .select(col("cluster"), posexplode(col("__m")).as(Seq("__pos", "centroid")), col("n"))
+      .select(col("cluster"), (col("__pos") + 1).as("pos"), col("centroid"), col("n"))
 
   /** Slice a trained full-dimension codebook into `m` equal subspace
     * codebooks (dim must divide evenly). Product quantization trains each

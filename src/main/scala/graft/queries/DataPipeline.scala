@@ -377,13 +377,8 @@ object DataPipeline {
       ORDER BY qid, rnk""")) { (s, dir) =>
     val emb = Tables.load(s, dir, "embeddings")
     // quantizer output, driver-held (labels × dims scalars — q58's step)
-    val cents: Map[Int, IndexedSeq[Double]] = emb
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
-      .groupBy("label", "pos0")
-      .agg((sum(round(col("v").cast("double") * 10000000.0).cast("long")).cast("double") /
-        10000000.0 / count(lit(1))).as("c"))
-      .collect().groupBy(_.getInt(0))
-      .map { case (l, rows) => l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq }
+    val cents: Map[Int, IndexedSeq[Double]] =
+      Quantize.trainCentroids(emb, "label", "embedding")
     val probed = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       .withColumn("probes", Similarity.probeCells(col("qvec"), cents, nProbe = 2))
@@ -393,10 +388,11 @@ object DataPipeline {
   }
 
   /** Per-cell embedding centroids — the IVF coarse-quantizer training step
-    * (distributed vector mean): explode to (label, dim, component), group,
-    * exact decimal mean. One shuffle of scalar triples; at 100 TB the
-    * partial aggregation reduces each partition to nCells×dim rows before
-    * the exchange. */
+    * (distributed vector mean), via the native `GridVectorMean` aggregate:
+    * whole vectors reach the hash aggregate (no n×dim explode) and the
+    * exchange carries one dim-long buffer per (partition, cell). The
+    * oracle keeps the scalar unnest+sum formulation — the aggregate's
+    * contract is bit-equality with exactly that integer-grid mean. */
   val q58 = QueryDef(
     "q58_embedding_centroids",
     oracle = Some("""
@@ -411,10 +407,10 @@ object DataPipeline {
     // identically (decimal casts of raw float components are NOT
     // cross-engine reproducible — see Compat scaladoc)
     Tables.load(s, dir, "embeddings")
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
-      .groupBy(col("label"), (col("pos0") + 1).as("pos"))
-      .agg((sum(round(col("v").cast("double") * 10000000.0).cast("long")).cast("double") /
-        10000000.0 / count(lit(1))).as("centroid"))
+      .groupBy(col("label"))
+      .agg(graft.functions.GridVectorMean.gridMeanVec(col("embedding")).as("__m"))
+      .select(col("label"), posexplode(col("__m")).as(Seq("pos0", "centroid")))
+      .select(col("label"), (col("pos0") + 1).as("pos"), col("centroid"))
       .orderBy("label", "pos")
   }
 

@@ -113,6 +113,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q58: native vector-mean aggregate — whole vectors aggregate, no pre-agg explode") {
+    val p = plan("q58_embedding_centroids")
+    assert(p.contains("partial_grid_vector_mean"),
+      s"q58 lost the native GridVectorMean aggregate (or its map-side combine):\n$p")
+    // the posexplode now sits ABOVE the aggregate (640 result rows), so
+    // exactly two exchanges remain: hash by label, range for the sort
+    assert(p.split("Exchange").length - 1 == 2, s"unexpected exchange count:\n$p")
+  }
+
   test("q84: repetition stats are pure map-side work — only the output sort exchanges") {
     val p = plan("q84_repetition_stats")
     assert(p.split("Exchange").length - 1 == 1 && p.contains("rangepartitioning"),
@@ -124,8 +133,10 @@ class PlanSpec extends SparkSpec {
     // against the corpus; everything else must stay equi-join shaped.
     // q79's probe-membership join (array_contains) is non-equi by design:
     // a tiny broadcast query side against the corpus scan, like q38
+    // q89 broadcast-crossJoins a single-row scalar (corpus size N) into
+    // the tf table — the canonical scalar-subquery shape
     val nljAllowed = Set("q38_ann_bruteforce", "q39_ann_ivf", "q40_embedding_dedup",
-      "q79_ann_multiprobe", "q88_pq_adc")
+      "q79_ann_multiprobe", "q88_pq_adc", "q89_tfidf_topk")
     val offenders = Registry.all.flatMap { q =>
       val p =
         try Registry.queries(q.name)(spark, dir).queryExecution.executedPlan.toString
