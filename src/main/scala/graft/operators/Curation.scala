@@ -127,6 +127,30 @@ object Curation {
       .select(col(idCol), col("rnk"), col("term"), col("score"))
   }
 
+  /** Concat-and-chunk sequence packing (the GPT-style training-sequence
+    * layout): documents are concatenated in (`groupCol`, `orderCol`) order
+    * and sliced into fixed `budget`-token chunks; each document is
+    * assigned the chunk its first token lands in, and flagged if it
+    * straddles a chunk boundary. Packing is per-group (a group = one
+    * shard/source), so the window never globally sorts the corpus —
+    * groups pack in parallel and the layout is deterministic and
+    * repartition-stable. All arithmetic is integer-exact. */
+  def packSequences(docs: DataFrame, budget: Long, groupCol: String = "source",
+                    orderCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(groupCol), col(orderCol),
+        Text.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      // exact while cum_before < 2^53 (double holds the integer exactly)
+      .withColumn("chunk_id",
+        floor(col("cum_before").cast("double") / budget).cast("long"))
+      .withColumn("straddles",
+        (pmod(col("cum_before"), lit(budget)) + col("n_tok")) > budget)
+  }
+
   /** DuckDB mirror of `stratifiedSample`'s keep predicate (same md5-hex
     * uniform, same CASE rate table) for oracle queries. */
   def stratifiedSampleSql(rates: Map[String, Double],

@@ -14,7 +14,7 @@ object DataPipeline {
 
   def defs: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
-    q82, q83, q84, q85, q86, q87, q88, q89)
+    q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -669,6 +669,76 @@ object DataPipeline {
       ORDER BY doc_id, rnk""")) { (s, dir) =>
     Curation.tfIdfTopK(Tables.load(s, dir, "documents"), k = 3)
       .orderBy("doc_id", "rnk")
+  }
+
+  /** Sequence packing (concat-and-chunk, 256-token budget, packed per
+    * source in doc_id order): per (source, chunk) — documents starting in
+    * the chunk and boundary-straddlers. Packing per group keeps the
+    * window partitioned (no global sort); all values integer-exact. */
+  val q90 = QueryDef(
+    "q90_sequence_packing",
+    oracle = Some(s"""
+      WITH t AS (
+        SELECT source, doc_id, CAST(${Text.tokenCountSql("text")} AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT source, doc_id, n_tok,
+          COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM t)
+      SELECT source, cum_before // 256 AS chunk_id,
+        COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS tokens_started,
+        CAST(SUM(CASE WHEN cum_before % 256 + n_tok > 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+      FROM c
+      GROUP BY 1, 2
+      ORDER BY source, chunk_id""")) { (s, dir) =>
+    Curation.packSequences(Tables.load(s, dir, "documents"), budget = 256L)
+      .groupBy(col("source"), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("tokens_started"),
+        sum(col("straddles").cast("long")).as("n_straddle"))
+      .orderBy("source", "chunk_id")
+  }
+
+  /** Representative selection after near-dup clustering: components from
+    * shared-prefix edges (the q67 closed-form clique structure), each
+    * component keeping its highest-quality member (ties → lowest doc_id).
+    * The oracle recomputes components as prefix groups and the argmax
+    * independently; the quality score is exact fixed-order IEEE
+    * arithmetic, identical in both engines (as q31 relies on). */
+  val q91 = QueryDef(
+    "q91_dedup_representatives",
+    oracle = Some(s"""
+      WITH g AS (SELECT doc_id, SUBSTRING(text, 1, 12) AS h,
+                   ${Text.qualityScoreSql("text")} AS q
+                 FROM documents),
+      d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) > 1),
+      m AS (SELECT g.doc_id, g.q, MIN(g.doc_id) OVER (PARTITION BY g.h) AS component,
+              COUNT(*) OVER (PARTITION BY g.h) AS n_members,
+              ROW_NUMBER() OVER (PARTITION BY g.h ORDER BY g.q DESC, g.doc_id) AS rn
+            FROM g JOIN d USING (h))
+      SELECT component, doc_id AS rep_id, CAST(n_members AS BIGINT) AS n_members,
+        q AS rep_quality
+      FROM m WHERE rn = 1
+      ORDER BY component""")) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, dir, "documents")
+    val withH = docs.select(col("doc_id"), substring(col("text"), 1, 12).as("h"),
+      Text.qualityScore(col("text")).as("q"))
+    val a = withH.select(col("h").as("ha"), col("doc_id").as("id_a"))
+    val b = withH.select(col("h").as("hb"), col("doc_id").as("id_b"))
+    val pairs = a.join(b, col("ha") === col("hb") && col("id_a") < col("id_b"))
+    val comps = Dedup.components(pairs) // (id, component)
+    comps.join(withH, comps("id") === withH("doc_id"))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("component")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("component").orderBy(col("q").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("rep_id"),
+        col("n_members"), col("q").as("rep_quality"))
+      .orderBy("component")
   }
 
   // ---- multimodal ----

@@ -53,6 +53,22 @@ object EventStream {
     events.withWatermark(ts, watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stateless streaming document curation: quality filter + deterministic
+    * stratified mixture sampling over a document stream — the streaming
+    * face of `Curation.stratifiedSample`. Pure map-side column work, so it
+    * needs no state store or watermark; and because the keep decision is a
+    * pure function of (doc id, source rate), replayed or duplicated
+    * micro-batches make identical decisions — at-least-once delivery
+    * composes with downstream idempotent writes without a dedup stage. */
+  def curatedDocs(docs: DataFrame, rates: Map[String, Double],
+                  minQuality: Double = 0.5,
+                  groupCol: String = "source", idCol: String = "doc_id"): DataFrame =
+    graft.operators.Curation.stratifiedSample(
+      docs
+        .withColumn("quality", graft.functions.Text.qualityScore(col("text")))
+        .filter(col("quality") >= minQuality),
+      rates, groupCol, idCol)
+
   /** Incremental histogram fill: the streaming twin of `HistTable.fill`,
     * windowed so state stays bounded. Each emitted row is a bin-table
     * fragment `(window, <axis>_bin…, sumw, sumw2, n)`; downstream,

@@ -57,6 +57,25 @@ class CurationSpec extends SparkSpec {
     assert(once == Set(1L, 2L)) // all of "a" kept (u<1 always), all of "b" dropped
   }
 
+  test("packSequences: concat-and-chunk assignment with straddle flags") {
+    val s = spark
+    import s.implicits._
+    // token counts: 3, 4, 2, 5 — budget 5
+    val corpus = Seq(
+      (1L, "a b c", "x"),      // cum 0 → chunk 0
+      (2L, "d e f g", "x"),    // cum 3 → chunk 0, 3+4>5 straddles
+      (3L, "h i", "x"),        // cum 7 → chunk 1
+      (4L, "j k l m n", "y"))  // own group: cum 0 → chunk 0, exactly fits
+      .toDF("doc_id", "text", "source")
+    val out = Curation.packSequences(corpus, budget = 5L)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out == Map(1L -> ((0L, false)), 2L -> ((0L, true)),
+      3L -> ((1L, false)), 4L -> ((0L, false))))
+    val repart = Curation.packSequences(corpus.repartition(5), budget = 5L)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(4), r.getBoolean(5)))).toMap
+    assert(repart == out) // layout is repartition-stable
+  }
+
   test("tfIdfTopK ranks rare terms above common ones, ties by term") {
     val s = spark
     import s.implicits._

@@ -90,4 +90,33 @@ class StreamingSpec extends SparkSpec {
       .filter(_.getAs[Long]("event_id") != 99999L)
     assert(rows.map(_.getAs[Long]("event_id")).sorted == Seq(1L, 2L))
   }
+
+  test("streaming document curation matches its batch twin, even under replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val docs = (1L to 40L).map(i => Doc(i,
+      // long enough to clear the quality threshold for even ids
+      if (i % 2 == 0) ("spark scan table " * 40).trim else "tiny",
+      s"src${(i % 3).toInt}"))
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5) // src2 dropped
+    val input = MemoryStream[Doc]
+    val q = EventStream.curatedDocs(input.toDF(), rates)
+      .writeStream.format("memory").queryName("cur").outputMode("append").start()
+    try {
+      input.addData(docs.take(25))
+      q.processAllAvailable()
+      input.addData(docs.drop(25))
+      input.addData(docs.take(5)) // replayed micro-batch
+      q.processAllAvailable()
+      val streamed = s.table("cur").select("doc_id").collect().map(_.getLong(0)).toSeq
+      val batch = EventStream.curatedDocs(docs.toDF(), rates)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      // replay re-emits the same decisions — the distinct sets agree
+      assert(streamed.toSet == batch.toSet)
+      assert(batch.nonEmpty && batch.forall(_ % 2 == 0)) // quality gate held
+    } finally q.stop()
+  }
 }
+
+case class Doc(doc_id: Long, text: String, source: String)
