@@ -156,7 +156,9 @@ object Curation {
   def stratifiedSampleSql(rates: Map[String, Double],
                           groupExpr: String, idExpr: String): String = {
     val rate = rates.toSeq.sortBy(_._1)
-      .map { case (g, r) => s"WHEN $groupExpr = '$g' THEN $r" }
+      // '' is the SQL escape for a quote inside a string literal — keeps
+      // the mirror valid for any group key the Column side accepts
+      .map { case (g, r) => s"WHEN $groupExpr = '${g.replace("'", "''")}' THEN $r" }
       .mkString("CASE ", " ", " ELSE 0.0 END")
     s"${Rand.portableUniformSql(0, s"CAST($idExpr AS STRING)")} < ($rate)"
   }

@@ -36,6 +36,9 @@ object Quantize {
                      grid: Double = 1e7): Map[Int, IndexedSeq[Double]] =
     df.groupBy(col(cellCol).cast("int").as("__cell"))
       .agg(graft.functions.GridVectorMean.gridMeanVec(col(vecCol), grid).as("__m"))
+      // all-null cells aggregate to a null mean; skip them like the explode
+      // formulation (which produced no rows for such groups) did
+      .filter(col("__m").isNotNull)
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq)
       .toMap

@@ -161,13 +161,11 @@ object DataPipeline {
         sum(when(col("n_copies") > 1, col("n_copies")).otherwise(0L)).as("n_dup_docs"))
   }
 
-  private val shingleSql =
-    "list_distinct(list_transform(generate_series(1, len(regexp_extract_all(lower(text),'[a-z0-9]+'))-2), " +
-      "i -> array_to_string(regexp_extract_all(lower(text),'[a-z0-9]+')[i:i+2], ' ')))"
-
-  private val shingle2Sql =
-    "list_distinct(list_transform(generate_series(1, len(regexp_extract_all(lower(text),'[a-z0-9]+'))-1), " +
-      "i -> array_to_string(regexp_extract_all(lower(text),'[a-z0-9]+')[i:i+1], ' ')))"
+  // distinct n-gram sets share one template (gramsAllSql) so the tokenizer
+  // regex and slice arithmetic live in exactly one place — a tokenizer
+  // change that misses a copy would silently diverge oracle from Spark
+  private val shingleSql = s"list_distinct(${gramsAllSql(3)})"
+  private val shingle2Sql = s"list_distinct(${gramsAllSql(2)})"
 
   /** Blocked exact-Jaccard near-dup pairs (block = language). Recall note:
     * blocking trades recall for cost — cross-language duplicates are
@@ -430,11 +428,9 @@ object DataPipeline {
     * exact in both engines. */
   val q82 = QueryDef(
     "q82_decontamination",
-    oracle = Some("""
+    oracle = Some(s"""
       WITH sh AS (
-        SELECT doc_id, unnest(list_distinct(list_transform(
-          generate_series(1, len(regexp_extract_all(lower(text),'[a-z0-9]+'))-2),
-          i -> array_to_string(regexp_extract_all(lower(text),'[a-z0-9]+')[i:i+2], ' ')))) AS s
+        SELECT doc_id, unnest($shingleSql) AS s
         FROM documents),
       bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 3)
       SELECT doc_id, COUNT(*) AS n_shingles,

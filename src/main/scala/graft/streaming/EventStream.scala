@@ -61,12 +61,12 @@ object EventStream {
     * micro-batches make identical decisions — at-least-once delivery
     * composes with downstream idempotent writes without a dedup stage. */
   def curatedDocs(docs: DataFrame, rates: Map[String, Double],
-                  minQuality: Double = 0.5,
-                  groupCol: String = "source", idCol: String = "doc_id"): DataFrame =
+                  minQuality: Double = 0.5, groupCol: String = "source",
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     graft.operators.Curation.stratifiedSample(
-      docs
-        .withColumn("quality", graft.functions.Text.qualityScore(col("text")))
-        .filter(col("quality") >= minQuality),
+      // inline predicate: adds no column, so caller-owned columns (e.g. an
+      // upstream model's own `quality`) pass through untouched
+      docs.filter(graft.functions.Text.qualityScore(col(textCol)) >= minQuality),
       rates, groupCol, idCol)
 
   /** Incremental histogram fill: the streaming twin of `HistTable.fill`,
