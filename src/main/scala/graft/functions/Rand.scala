@@ -50,10 +50,8 @@ object Rand {
   private[graft] def portableHexNum(off: Int, keys: Column*): Column = {
     val hex = md5(concat_ws("|", keys: _*))
     (0 until 4).map { i =>
-      val ch = substring(hex, off + i + 1, 1)
-      "0123456789abcdef".zipWithIndex.map { case (d, idx) =>
-        when(ch === d.toString, idx).otherwise(0)
-      }.reduce(_ + _) * lit(1 << (4 * (3 - i)))
+      // one instr per digit — see Seeds.hexDigitVal for why not a when-chain
+      Seeds.hexDigitVal(substring(hex, off + i + 1, 1)) * lit(1 << (4 * (3 - i)))
     }.reduce(_ + _)
   }
 

@@ -47,19 +47,23 @@ object Seeds {
       .cast("long")
   }
 
-  /** First 4 hex digits of the portable seed as an integer in [0, 65536):
-    * built from substring + equality only, so any SQL engine reproduces it
-    * bit-for-bit (no hex-conversion builtins needed). */
+  /** Hex-digit value via one `instr` against the alphabet — the SQL-98
+    * shape every engine reproduces bit-for-bit (the oracle mirrors use
+    * the same `instr('0123456789abcdef', ch) - 1`). An equality-chain
+    * formulation is value-identical but ~16 string compares per digit —
+    * measured minutes-slow when a five-member aggregate draws the
+    * portable RNG ten times per row (q81). */
+  private[functions] def hexDigitVal(ch: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.StringInstr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit("0123456789abcdef")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(ch))) - 1
+
+  /** First 4 hex digits of the portable seed as an integer in [0, 65536). */
   def portableSeedNum(cols: Column*): Column = {
-    val hexDigits = "0123456789abcdef"
     val hex = portableSeed(cols: _*)
     (0 until 4).map { i =>
-      val ch = substring(hex, i + 1, 1)
-      // position of ch in the hex alphabet: sum over candidate digits
-      val v = hexDigits.zipWithIndex.map { case (d, idx) =>
-        when(ch === d.toString, idx).otherwise(0)
-      }.reduce(_ + _)
-      v * lit(1 << (4 * (3 - i)))
+      hexDigitVal(substring(hex, i + 1, 1)) * lit(1 << (4 * (3 - i)))
     }.reduce(_ + _)
   }
 

@@ -687,13 +687,18 @@ object Physics {
           ${mem("smear_down", s"pt * ($sc)", s"pt * ROUND(1 + (($wd) - ($wu)) * $g, 6)")}
         FROM m GROUP BY 1 ORDER BY o_orderkey"""
       }) { (s, dir) =>
+      val gkey = concat_ws("|", col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"), col("pt").cast("string"))
       val m = Tables.load(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"), col("l_extendedprice").as("pt"),
         (col("l_tax") * 25 - 1).as("eta"), (col("l_discount") * 10).as("r9"),
         (col("l_linenumber") % 3).as("gain"), (col("l_returnflag") === "R").as("is_data"))
-      val gkey = concat_ws("|", col("l_orderkey").cast("string"),
-        col("l_linenumber").cast("string"), col("pt").cast("string"))
-      val g = Rand.portableGaussian(gkey)
+        // one RNG draw per row, projected BEFORE the aggregate: five
+        // sibling members reference the same attribute instead of five
+        // inline md5+Box-Muller expansions (aggregate inputs don't share
+        // subexpressions across siblings)
+        .withColumn("g", Rand.portableGaussian(gkey))
+      val g = col("g")
       val sc = scaleC("gain" -> col("gain"), "eta" -> col("eta"))
       val su = suncC("eta" -> col("eta"))
       val wd = widthC("eta" -> col("eta"), "r9" -> col("r9"))
