@@ -82,6 +82,32 @@ object Quantize {
       .select(col("cluster"), posexplode(col("__m")).as(Seq("__pos", "centroid")), col("n"))
       .select(col("cluster"), (col("__pos") + 1).as("pos"), col("centroid"), col("n"))
 
+  /** Full Lloyd's algorithm: iterate `lloydStep` from `init` until the
+    * centroid set is exactly stable (grid-exact means make bitwise
+    * convergence well-defined — no epsilon tuning) or `maxIters`. Each
+    * iteration costs one corpus exchange; centroids travel driver ↔ plan
+    * as literals, so k iterations never shuffle the corpus itself.
+    * Returns the final centroids and the iteration count; clusters that
+    * lose all members drop out (standard Lloyd's). */
+  def kmeans(df: DataFrame, init: Map[Int, IndexedSeq[Double]], vecCol: String,
+             maxIters: Int = 20, grid: Double = 1e7)
+      : (Map[Int, IndexedSeq[Double]], Int) = {
+    var cents = init
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val next = lloydStep(df, cents, vecCol, grid)
+        .collect().groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq
+        }
+      converged = next == cents
+      cents = next
+      it += 1
+    }
+    (cents, it)
+  }
+
   /** Slice a trained full-dimension codebook into `m` equal subspace
     * codebooks (dim must divide evenly). Product quantization trains each
     * subspace independently in general; deriving all m slices from one

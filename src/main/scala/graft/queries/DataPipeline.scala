@@ -589,6 +589,7 @@ object DataPipeline {
     * ±ulps against O(1) margins between distinct code tuples. */
   val q88 = QueryDef(
     "q88_pq_adc",
+    bench = true,
     oracle = Some(s"""
       WITH $centUnnSql,
       qd AS (

@@ -63,6 +63,23 @@ class QuantizeSpec extends SparkSpec {
     intercept[IllegalArgumentException](Quantize.sliceCodebooks(cents, m = 3))
   }
 
+  test("kmeans recovers the blob means from a bad initialization") {
+    val s = spark
+    import s.implicits._
+    // blobs around (0,0) and (10,10); both init centroids inside blob A
+    val pts = Seq(
+      (1L, Seq(0f, 1f)), (2L, Seq(1f, 0f)), (3L, Seq(0f, 0f)),
+      (4L, Seq(10f, 11f)), (5L, Seq(11f, 10f)), (6L, Seq(10f, 10f)))
+      .toDF("vec_id", "v")
+    val init = Map(0 -> IndexedSeq(0.4, 0.4), 1 -> IndexedSeq(2.0, 2.0))
+    val (cents, iters) = Quantize.kmeans(pts, init, "v", maxIters = 10)
+    assert(iters <= 5, s"did not converge quickly: $iters")
+    val sorted = cents.values.toSeq.sortBy(_.head)
+    assert(sorted == Seq(
+      IndexedSeq(1.0 / 3, 1.0 / 3),
+      IndexedSeq(31.0 / 3, 31.0 / 3)))
+  }
+
   test("adcScore reproduces the table-free reconstruction distance") {
     val cents = Quantize.trainCentroids(vecs, "label", "embedding")
     val books = Quantize.sliceCodebooks(cents, m = 2)

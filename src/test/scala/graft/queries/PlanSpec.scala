@@ -67,8 +67,9 @@ class PlanSpec extends SparkSpec {
       "envelope should be a pure aggregation, not a join")
   }
 
-  test("q62/q75/q77: one exchange total — range partitioning serves both the agg and the sort") {
-    for (name <- Seq("q62_scale_envelope", "q75_muon_sr", "q77_dy_ptll_weight")) {
+  test("q62/q75/q77/q81: one exchange total — range partitioning serves both the agg and the sort") {
+    for (name <- Seq("q62_scale_envelope", "q75_muon_sr", "q77_dy_ptll_weight",
+        "q81_egamma_scale_smear")) {
       val p = plan(name)
       assert(p.split("Exchange").length - 1 == 1,
         s"$name: expected exactly one exchange (rangepartitioning):\n$p")
