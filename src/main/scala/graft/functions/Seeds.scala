@@ -54,10 +54,7 @@ object Seeds {
     * measured minutes-slow when a five-member aggregate draws the
     * portable RNG ten times per row (q81). */
   private[functions] def hexDigitVal(ch: Column): Column =
-    org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      org.apache.spark.sql.catalyst.expressions.StringInstr(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit("0123456789abcdef")),
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(ch))) - 1
+    call_function("instr", lit("0123456789abcdef"), ch) - 1
 
   /** First 4 hex digits of the portable seed as an integer in [0, 65536). */
   def portableSeedNum(cols: Column*): Column = {

@@ -87,11 +87,14 @@ object Quantize {
     * convergence well-defined — no epsilon tuning) or `maxIters`. Each
     * iteration costs one corpus exchange; centroids travel driver ↔ plan
     * as literals, so k iterations never shuffle the corpus itself.
-    * Returns the final centroids and the iteration count; clusters that
-    * lose all members drop out (standard Lloyd's). */
+    * Returns the final centroids, the iteration count, and whether the
+    * set actually stabilized — exhausting `maxIters` while centroids are
+    * still moving is otherwise indistinguishable from converging on the
+    * last allowed iteration. Clusters that lose all members drop out
+    * (standard Lloyd's). */
   def kmeans(df: DataFrame, init: Map[Int, IndexedSeq[Double]], vecCol: String,
              maxIters: Int = 20, grid: Double = 1e7)
-      : (Map[Int, IndexedSeq[Double]], Int) = {
+      : (Map[Int, IndexedSeq[Double]], Int, Boolean) = {
     var cents = init
     var it = 0
     var converged = false
@@ -105,7 +108,7 @@ object Quantize {
       cents = next
       it += 1
     }
-    (cents, it)
+    (cents, it, converged)
   }
 
   /** Slice a trained full-dimension codebook into `m` equal subspace

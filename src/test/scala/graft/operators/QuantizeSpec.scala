@@ -72,8 +72,8 @@ class QuantizeSpec extends SparkSpec {
       (4L, Seq(10f, 11f)), (5L, Seq(11f, 10f)), (6L, Seq(10f, 10f)))
       .toDF("vec_id", "v")
     val init = Map(0 -> IndexedSeq(0.4, 0.4), 1 -> IndexedSeq(2.0, 2.0))
-    val (cents, iters) = Quantize.kmeans(pts, init, "v", maxIters = 10)
-    assert(iters <= 5, s"did not converge quickly: $iters")
+    val (cents, iters, converged) = Quantize.kmeans(pts, init, "v", maxIters = 10)
+    assert(converged && iters <= 5, s"did not converge quickly: $iters")
     val sorted = cents.values.toSeq.sortBy(_.head)
     assert(sorted == Seq(
       IndexedSeq(1.0 / 3, 1.0 / 3),
