@@ -71,4 +71,46 @@ class CurationPipelineSpec extends SparkSpec {
     val reread = pipe.stage("curated", "v1") { rebuilt = true; kept }
     assert(!rebuilt && reread.count() == nKept)
   }
+
+  test("decontaminate → derepeat → sample → pack composes with exact accounting") {
+    import graft.operators.Curation
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 17 === 3)
+    val corpus = docs.filter(col("doc_id") % 17 =!= 3)
+
+    // --- benchmark decontamination (q82 operator): drop overlapping docs
+    val dirty = Curation.contamination(corpus, bench, n = 3)
+      .filter(col("hit_frac") >= 0.5).select("doc_id")
+    val clean = corpus.join(dirty, Seq("doc_id"), "left_anti")
+    assert(clean.count() == corpus.count() - dirty.count())
+
+    // --- repetition gate (q84 operator); null dup_frac (no 2-grams) keeps
+    val keepRep = Curation.repetitionStats(clean, n = 2)
+      .filter(coalesce(col("dup_frac") < 0.9, lit(true))).select("doc_id")
+    val gated = clean.join(keepRep, Seq("doc_id"), "left_semi")
+
+    // --- deterministic mixture sampling (q85 operator)
+    val rates = (0 until 20).map(i => s"src$i" -> 0.7).toMap
+    val sampled = Curation.stratifiedSample(gated, rates, "source")
+    val ids = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty && ids.subsetOf(
+      gated.select("doc_id").collect().map(_.getLong(0)).toSet))
+
+    // --- sequence packing (q90 operator), checked against an independent
+    //     sequential re-simulation of concat-and-chunk in plain Scala
+    val budget = 128L
+    val packed = Curation.packSequences(sampled, budget)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getBoolean(5)))
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (_, _, nTok, chunkId, straddles) =>
+        assert(chunkId == cum / budget)
+        assert(straddles == (cum % budget + nTok > budget))
+        cum += nTok
+      }
+    }
+    assert(packed.map(_._3).sum ==
+      sampled.select(sum(graft.functions.Text.tokenCount(col("text")))).head.getLong(0))
+  }
 }
