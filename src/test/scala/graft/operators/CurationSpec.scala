@@ -57,6 +57,19 @@ class CurationSpec extends SparkSpec {
     assert(once == Set(1L, 2L)) // all of "a" kept (u<1 always), all of "b" dropped
   }
 
+  test("stratifiedSample is monotone in rate: raising a rate only adds documents") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def keep(r: Double) = Curation.stratifiedSample(
+      real, (0 until 20).map(i => s"src$i" -> r).toMap, "source")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val lo = keep(0.2)
+    val hi = keep(0.7)
+    assert(lo.nonEmpty && lo.subsetOf(hi)) // u < r ⇒ monotone in r
+    // the md5 uniform is roughly uniform: empirical rate lands in a loose band
+    val n = real.count().toDouble
+    assert(math.abs(hi.size / n - 0.7) < 0.1 && math.abs(lo.size / n - 0.2) < 0.1)
+  }
+
   test("packSequences: concat-and-chunk assignment with straddle flags") {
     val s = spark
     import s.implicits._
