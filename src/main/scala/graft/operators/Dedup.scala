@@ -311,4 +311,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
       .filter(col("jac") >= threshold)
   }
+
+  /** Blocked containment pairs — the asymmetric cousin of Jaccard:
+    * `|A∩B| / |A|` flags documents whose shingle set is (mostly) contained
+    * in another's, which Jaccard misses whenever the containing document
+    * is much longer (excerpts, quotations, boilerplate-wrapped copies —
+    * the dedup mode a Jaccard threshold cannot express). Emits ordered
+    * (id_a < id_b) pairs with both directions' containment; a pair
+    * qualifies when EITHER direction clears the threshold. Same
+    * block-join scale contract as `blockedJaccardPairs`. */
+  def blockedContainmentPairs(docs: DataFrame, blockCols: Seq[String],
+                              id: String = "doc_id", text: String = "text",
+                              shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(
+      (blockCols.map(col) :+ col(id).as("__id") :+
+        array_distinct(Text.shingles(col(text), shingleN)).as("__sh")): _*)
+      .filter(size(col("__sh")) > 0)
+    val a = sh.select(blockCols.map(c => col(c).as(s"${c}_a")) :+ col("__id").as("id_a") :+ col("__sh").as("sh_a"): _*)
+    val b = sh.select(blockCols.map(c => col(c).as(s"${c}_b")) :+ col("__id").as("id_b") :+ col("__sh").as("sh_b"): _*)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    a.join(b, blockCols.map(c => col(s"${c}_a") === col(s"${c}_b")).reduce(_ && _) && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (inter / size(col("sh_a"))).as("cont_a_in_b"),
+        (inter / size(col("sh_b"))).as("cont_b_in_a"))
+      .filter(col("cont_a_in_b") >= threshold || col("cont_b_in_a") >= threshold)
+  }
 }

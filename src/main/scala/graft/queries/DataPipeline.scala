@@ -14,7 +14,7 @@ object DataPipeline {
 
   def defs: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
-    q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
+    q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -736,6 +736,28 @@ object DataPipeline {
       .select(col("component"), col("doc_id").as("rep_id"),
         col("n_members"), col("q").as("rep_quality"))
       .orderBy("component")
+  }
+
+  /** Containment near-dup pairs (blocked by language): |A∩B|/|A| and the
+    * reverse — catches excerpt/quotation containment that a symmetric
+    * Jaccard threshold misses when the containing document is much
+    * longer. Integer-ratio containments are exact in both engines. */
+  val q92 = QueryDef(
+    "q92_containment_pairs",
+    oracle = Some(s"""
+      WITH tok AS (
+        SELECT doc_id, lang, $shingleSql AS sh FROM documents
+        WHERE len($shingleSql) > 0)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) AS cont_a_in_b,
+        len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh) AS cont_b_in_a
+      FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) >= 0.5
+         OR len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh) >= 0.5
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+    Dedup.blockedContainmentPairs(
+      Tables.load(s, dir, "documents"), blockCols = Seq("lang"), threshold = 0.5)
+      .orderBy("id_a", "id_b")
   }
 
   // ---- multimodal ----

@@ -28,6 +28,24 @@ class DataPipelineSpec extends SparkSpec {
     assert(row.getString(2) == "brown dog fox") // sorted distinct, first 3
   }
 
+  test("containment catches an excerpt that Jaccard misses") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps", "en", "a"), // excerpt of doc 2
+      (2L, "the quick brown fox jumps over the lazy dog", "en", "a"),
+      (3L, "completely different content here now", "en", "a"))
+      .toDF("doc_id", "text", "lang", "source")
+    val cont = Dedup.blockedContainmentPairs(corpus, Seq("lang"), threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    // all 3 trigrams of doc 1 appear in doc 2 → full containment one way
+    assert(cont.keySet == Set((1L, 2L)))
+    assert(cont((1L, 2L)) == ((1.0, 3.0 / 7.0)))
+    // symmetric Jaccard at the same bar sees 3/7 ≈ 0.43 and misses the pair
+    val jac = Dedup.blockedJaccardPairs(corpus, Seq("lang"), threshold = 0.8)
+    assert(jac.count() == 0)
+  }
+
   test("exact dedup keeps one representative per content") {
     val out = Dedup.exactDedup(docs)
     assert(out.count() == 4)
