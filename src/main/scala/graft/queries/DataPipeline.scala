@@ -14,7 +14,7 @@ object DataPipeline {
 
   def defs: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
-    q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
+    q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -383,6 +383,74 @@ object DataPipeline {
     Similarity.multiProbeTopK(emb, probed, k = 3, cell = "label")
       .select(col("qid"), col("rnk"), col("neighbor"), round(col("cos"), 6).as("cos6"))
       .orderBy("qid", "rnk")
+  }
+
+  /** ANN recall evaluation: per query, how many of the exact top-3
+    * (brute force, q38) the multi-probe IVF search (q79's nProbe=2
+    * configuration) actually returned — the recall@k measurement that
+    * tunes the probe-count dial. The oracle re-derives BOTH rankings and
+    * the overlap; rankings are separation-robust (see q79/q86 notes). */
+  val q93 = QueryDef(
+    "q93_ann_recall",
+    oracle = Some(s"""
+      WITH cent AS (
+        SELECT label, CAST(pos AS INT) AS pos,
+          CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE) / 10000000.0 / COUNT(*) AS c
+        FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+        GROUP BY 1, 2),
+      qv AS (
+        SELECT vec_id AS qid, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos,
+          ${normSql("embeddings")} AS qnorm
+        FROM embeddings WHERE vec_id < 10),
+      qc AS (
+        SELECT qid, cent.label,
+          SUM(CAST(qv.v AS DOUBLE) * cent.c) /
+            (ANY_VALUE(qv.qnorm) * sqrt(SUM(cent.c * cent.c))) AS ccos
+        FROM qv JOIN cent ON qv.pos = cent.pos
+        GROUP BY 1, 2),
+      probes AS (
+        SELECT qid, label FROM (
+          SELECT qid, label,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ccos DESC, label) AS pr
+          FROM qc) WHERE pr <= 2),
+      exact AS (
+        SELECT qid, neighbor FROM (
+          SELECT q.vec_id AS qid, a.vec_id AS neighbor,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY $dotSql / (${normSql("a")} * ${normSql("q")}) DESC, a.vec_id) AS rnk
+          FROM embeddings a JOIN embeddings q
+            ON q.vec_id < 10 AND a.vec_id <> q.vec_id)
+        WHERE rnk <= 3),
+      approx AS (
+        SELECT qid, neighbor FROM (
+          SELECT q.vec_id AS qid, a.vec_id AS neighbor,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY $dotSql / (${normSql("a")} * ${normSql("q")}) DESC, a.vec_id) AS rnk
+          FROM embeddings a
+          JOIN embeddings q ON q.vec_id < 10 AND a.vec_id <> q.vec_id
+          JOIN probes p ON p.qid = q.vec_id AND a.label = p.label)
+        WHERE rnk <= 3)
+      SELECT e.qid AS qid, COUNT(x.neighbor) AS n_found
+      FROM exact e LEFT JOIN approx x
+        ON e.qid = x.qid AND e.neighbor = x.neighbor
+      GROUP BY 1
+      ORDER BY e.qid""")) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .select(col("qid"), col("neighbor"))
+    val cents = Quantize.trainCentroids(emb, "label", "embedding")
+    val probed = queries
+      .withColumn("probes", Similarity.probeCells(col("qvec"), cents, nProbe = 2))
+    val approx = Similarity.multiProbeTopK(emb, probed, k = 3, cell = "label")
+      .select(col("qid").as("xqid"), col("neighbor").as("xneighbor"), lit(1).as("__hit"))
+    exact.join(approx,
+        col("qid") === col("xqid") && col("neighbor") === col("xneighbor"), "left")
+      .groupBy("qid")
+      .agg(count(col("__hit")).as("n_found"))
+      .orderBy("qid")
   }
 
   /** Per-cell embedding centroids — the IVF coarse-quantizer training step
