@@ -14,7 +14,7 @@ object DataPipeline {
 
   def defs: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
-    q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93)
+    q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -826,6 +826,45 @@ object DataPipeline {
     Dedup.blockedContainmentPairs(
       Tables.load(s, dir, "documents"), blockCols = Seq("lang"), threshold = 0.5)
       .orderBy("id_a", "id_b")
+  }
+
+  /** Per-source token-distribution entropy (mixture diagnostics: low
+    * entropy flags template/boilerplate-dominated sources). Each
+    * −p·ln p term is rounded at 1e-9 (libm parity; term·10⁹ ≈ 10⁸ puts
+    * the tie window ~8 orders below the grid) and summed as an exact
+    * decimal, so the aggregate is order-free in both engines; p itself
+    * is an exact integer-ratio divide. */
+  val q94 = QueryDef(
+    "q94_source_entropy",
+    oracle = Some(s"""
+      WITH tf AS (
+        SELECT source, t, COUNT(*) AS tf
+        FROM (SELECT source, unnest(${Text.tokensSql("text")}) AS t FROM documents)
+        GROUP BY 1, 2),
+      tot AS (SELECT source, SUM(tf) AS total, COUNT(*) AS n_distinct FROM tf GROUP BY 1)
+      SELECT tf.source,
+        CAST(MAX(tot.total) AS BIGINT) AS n_tokens,
+        CAST(MAX(tot.n_distinct) AS BIGINT) AS n_distinct,
+        CAST(SUM(CAST(ROUND(-(CAST(tf.tf AS DOUBLE) / tot.total) *
+          ln(CAST(tf.tf AS DOUBLE) / tot.total), 9) AS DECIMAL(18,9))) AS DOUBLE) AS entropy
+      FROM tf JOIN tot USING (source)
+      GROUP BY 1
+      ORDER BY source""")) { (s, dir) =>
+    val tf = Tables.load(s, dir, "documents")
+      .select(col("source"), explode(Text.tokens(col("text"))).as("t"))
+      .groupBy("source", "t")
+      .agg(count(lit(1)).as("tf"))
+    val tot = tf.groupBy("source")
+      .agg(sum("tf").as("total"), count(lit(1)).as("n_distinct"))
+    val p = col("tf").cast("double") / col("total").cast("double")
+    tf.join(broadcast(tot), Seq("source"))
+      .withColumn("term", round(-p * log(p), 9).cast("decimal(18,9)"))
+      .groupBy("source")
+      .agg(
+        max("total").as("n_tokens"),
+        max("n_distinct").as("n_distinct"),
+        sum("term").cast("double").as("entropy"))
+      .orderBy("source")
   }
 
   // ---- multimodal ----

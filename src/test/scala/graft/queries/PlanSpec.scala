@@ -137,7 +137,8 @@ class PlanSpec extends SparkSpec {
     // q89 broadcast-crossJoins a single-row scalar (corpus size N) into
     // the tf table — the canonical scalar-subquery shape
     val nljAllowed = Set("q38_ann_bruteforce", "q39_ann_ivf", "q40_embedding_dedup",
-      "q79_ann_multiprobe", "q88_pq_adc", "q89_tfidf_topk")
+      "q79_ann_multiprobe", "q88_pq_adc", "q89_tfidf_topk",
+      "q93_ann_recall") // composes q38's broadcast-NLJ exact ranking
     val offenders = Registry.all.flatMap { q =>
       val p =
         try Registry.queries(q.name)(spark, dir).queryExecution.executedPlan.toString
