@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins: as-of (most-recent-prior match) and band (interval)
+  * joins over event streams.
+  *
+  * The reference framework has no temporal-join operator — its event
+  * loops are per-chunk Python (reference: columnflow/columnar_util.py
+  * ChunkedIOHandler drives row-group batches) — but any event-stream
+  * pipeline built on this engine needs one, and a naive SQL formulation
+  * (`t2.ts <= t1.ts` theta-join + argmax) explodes quadratically per key.
+  *
+  * Scale design:
+  *   - `asOfJoin` is the union-sort trick: tag both sides, one shuffle on
+  *     the key, one in-partition sort by time, then `last(payload,
+  *     ignoreNulls)` over an unbounded-preceding window. Cost is one
+  *     exchange of (left + right) rows — the same plan a merge-join based
+  *     engine (pandas merge_asof, DuckDB ASOF JOIN) runs, and it never
+  *     materializes candidate pairs. 100 TB of events shuffle once.
+  *   - `bandPairs` blocks time into buckets of the band width, so each
+  *     left row probes at most two buckets and each candidate pair is
+  *     produced exactly once. With join keys the bucket rides behind the
+  *     equi-key (bounding skew per key); with NO keys it alone prevents
+  *     the cartesian blow-up a pure range predicate would plan (Spark
+  *     would nested-loop it). Candidate count is |pairs within width|,
+  *     not |L|x|R|.
+  */
+object TemporalJoin {
+
+  /** Backward as-of join: for each left row, attach the payload of the
+    * right row with the largest `rightTime` <= `leftTime` for the same
+    * key (ties: the right row at exactly `leftTime` matches). Left rows
+    * with no prior right row keep null payloads (left-outer semantics).
+    *
+    * Time columns must be numeric (e.g. epoch micros) so tolerance
+    * arithmetic stays exact. For a deterministic payload the right side
+    * must be unique per (keys, rightTime) — dedup upstream if not.
+    *
+    * @param tolerance max allowed `leftTime - rightTime`; matches farther
+    *                  back are nulled out (pandas merge_asof semantics).
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "asOfJoin needs at least one equi-key")
+    val leftCols = left.columns.toSeq
+    val lStruct = struct(leftCols.map(left(_)): _*)
+    val pStruct = struct(payload.map(right(_)): _*)
+    val pType = right.select(pStruct.as("__p")).schema("__p").dataType
+    val lType = left.select(lStruct.as("__l")).schema("__l").dataType
+
+    // __side orders right (0) before left (1) at equal time, so an
+    // equal-timestamp right row is visible to the left row's window.
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).cast("long").as("__t"), lit(1).as("__side"),
+        lStruct.as("__l"), lit(null).cast(pType).as("__p")): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).cast("long").as("__t"), lit(0).as("__side"),
+        lit(null).cast(lType).as("__l"), pStruct.as("__p")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r)
+      .withColumn("__m", last("__p", ignoreNulls = true).over(w))
+      .withColumn("__mt", last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val inTol = tolerance match {
+      case Some(tol) => col("__mt").isNotNull && (col("__t") - col("__mt") <= tol)
+      case None      => col("__mt").isNotNull
+    }
+    val out = matched.withColumn("__m", when(inTol, col("__m")))
+    out.select(
+      leftCols.map(c => col(s"__l.$c").as(c)) ++
+        payload.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
+  /** Inner band-join candidate pairs: all (left, right) row pairs with the
+    * same keys and `rightTime` in `[leftTime + lower, leftTime + upper)`.
+    * Returns left.* ++ payload columns, one row per matching pair.
+    *
+    * `keys` may be empty: blocking then happens purely on the time bucket
+    * (bucket width = band width, each left row probes its two covering
+    * buckets), which keeps a keyless range join linear in true matches.
+    * Aggregate downstream; re-join to the left table for outer semantics.
+    */
+  def bandPairs(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      lower: Long,
+      upper: Long): DataFrame = {
+    require(upper > lower, s"empty band [$lower, $upper)")
+    val width = upper - lower
+    val leftCols = left.columns.toSeq
+
+    // Window [t+lower, t+upper) spans at most two width-sized buckets.
+    val lb = left
+      .withColumn("__lt", col(leftTime).cast("long"))
+      .withColumn("__b", explode(array_distinct(array(
+        floorDiv(col("__lt") + lower, width),
+        floorDiv(col("__lt") + upper - 1, width)))))
+    val rb = right.select(
+      keys.map(right(_)) ++ Seq(
+        col(rightTime).cast("long").as("__rt"),
+        struct(payload.map(right(_)): _*).as("__p")): _*)
+      .withColumn("__b", floorDiv(col("__rt"), width))
+
+    val cond = col("__rt") >= col("__lt") + lower && col("__rt") < col("__lt") + upper
+    lb.join(rb, (keys :+ "__b").map(n => lb(n) === rb(n)).reduce(_ && _))
+      .filter(cond)
+      .select(leftCols.map(lb(_)) ++ payload.map(c => col(s"__p.$c").as(c)): _*)
+  }
+
+  /** Exact floor division for longs (Spark's `/` is double, `div` truncates
+    * toward zero — wrong for negative timestamps). */
+  private def floorDiv(x: Column, d: Long): Column =
+    // x - pmod(x, d) is an exact multiple of d, so the double division is
+    // exact for |quotient| < 2^53 — epoch micros over any sane band width
+    // stay far below that.
+    ((x - pmod(x, lit(d))) / lit(d)).cast("long")
+}

@@ -15,7 +15,7 @@ import Compat._
   */
 object Events {
 
-  def defs: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19)
+  def defs: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q95, q96)
 
   /** JSON field extraction (scalar function family, SURVEY §2.9 date/json). */
   val q14 = QueryDef(
@@ -145,5 +145,70 @@ object Events {
       .groupBy("user_id")
       .agg(countDistinct("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
       .orderBy("user_id")
+  }
+
+  /** Backward as-of join: each purchase picks up the user's most recent
+    * prior view (union-sort plan, one shuffle — graft.operators.TemporalJoin).
+    * DuckDB's native ASOF JOIN is the oracle. Views are deduped to one row
+    * per (user, ts) so the matched payload is deterministic. */
+  val q95 = QueryDef(
+    "q95_asof_join",
+    oracle = Some("""
+      WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tus
+                 FROM events WHERE event_type = 'purchase'),
+      v AS (SELECT user_id, epoch_us(ts) AS vtus, MAX(event_id) AS view_event_id
+            FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id, v.view_event_id, p.tus - v.vtus AS gap_us
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.tus >= v.vtus
+      ORDER BY event_id""")) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "tus")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("tus").as("vtus"))
+      .agg(max("event_id").as("view_event_id"))
+    graft.operators.TemporalJoin
+      .asOfJoin(p, v, Seq("user_id"), "tus", "vtus", Seq("view_event_id", "vtus"))
+      .select(
+        col("event_id"), col("user_id"), col("view_event_id"),
+        (col("tus") - col("vtus")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** Band (interval) join: clicks by the same user in the hour before each
+    * purchase. Candidate pairs come from TemporalJoin.bandPairs (bucketed
+    * blocking — linear in true matches, no theta-join); outer semantics are
+    * restored by re-joining the purchase spine. */
+  val q96 = QueryDef(
+    "q96_band_join",
+    oracle = Some("""
+      WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tus
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, epoch_us(ts) AS ctus, value
+            FROM events WHERE event_type = 'click')
+      SELECT p.event_id, p.user_id,
+        COUNT(c.ctus) AS n_clicks,
+        CAST(COALESCE(SUM(CAST(c.value AS DECIMAL(18,4))), 0) AS DOUBLE) AS click_value
+      FROM p LEFT JOIN c
+        ON p.user_id = c.user_id
+        AND c.ctus >= p.tus - 3600000000 AND c.ctus < p.tus
+      GROUP BY 1, 2
+      ORDER BY event_id""")) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "tus")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus").as("ctus"), col("value"))
+    val pairs = graft.operators.TemporalJoin.bandPairs(
+      p, c, Seq("user_id"), "tus", "ctus", Seq("ctus", "value"),
+      lower = -3600000000L, upper = 0L)
+    val agg = pairs.groupBy("event_id")
+      .agg(count(lit(1)).as("nc"), sum(money(col("value"))).as("cv"))
+    p.join(agg, Seq("event_id"), "left")
+      .select(
+        col("event_id"), col("user_id"),
+        coalesce(col("nc"), lit(0L)).as("n_clicks"),
+        coalesce(col("cv").cast("double"), lit(0.0)).as("click_value"))
+      .orderBy("event_id")
   }
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** TemporalJoin vs brute-force formulations on data small enough to
+  * theta-join: the bucketed/windowed plans must reproduce the naive
+  * semantics exactly (the point of the operator is plan shape, not
+  * different answers). */
+class TemporalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, time, id) — deliberate equal-timestamp tie at (1, 50) and a
+  // key with no right rows at all.
+  private lazy val left = Seq(
+    (1L, 50L, 100L), (1L, 80L, 101L), (1L, 10L, 102L),
+    (2L, 60L, 103L), (3L, 30L, 104L)
+  ).toDF("k", "t", "lid")
+  private lazy val right = Seq(
+    (1L, 50L, 200L), (1L, 40L, 201L), (1L, 70L, 202L),
+    (2L, 5L, 203L), (2L, 61L, 204L)
+  ).toDF("k", "rt", "rid")
+
+  test("asOfJoin matches brute-force argmax, ties matching equal timestamps") {
+    val got = TemporalJoin
+      .asOfJoin(left, right, Seq("k"), "t", "rt", Seq("rid", "rt"))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    // brute force: latest right with rt <= t per key
+    val want = left.as[(Long, Long, Long)].collect().map { case (k, t, lid) =>
+      val cands = right.as[(Long, Long, Long)].collect()
+        .filter(r => r._1 == k && r._2 <= t)
+      lid -> (if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
+    }.toMap
+    assert(got === want)
+    assert(got(100L) === Some(200L)) // the equal-timestamp tie matches
+    assert(got(104L) === None)       // key 3 has no right rows
+  }
+
+  test("asOfJoin tolerance nulls matches farther back than the bound") {
+    val got = TemporalJoin
+      .asOfJoin(left, right, Seq("k"), "t", "rt", Seq("rid"), tolerance = Some(10L))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(got(100L) === Some(200L)) // gap 0 <= 10
+    assert(got(101L) === Some(202L)) // gap 10 <= 10 (inclusive)
+    assert(got(102L) === None)       // no prior at all
+    assert(got(103L) === None)       // nearest prior is 55 back
+  }
+
+  test("bandPairs equals the filtered cross join (keyed)") {
+    val got = TemporalJoin
+      .bandPairs(left, right, Seq("k"), "t", "rt", Seq("rid"), -30L, 0L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val want = left.crossJoin(right.withColumnRenamed("k", "rk"))
+      .filter($"k" === $"rk" && $"rt" >= $"t" - 30 && $"rt" < $"t")
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
+  test("bandPairs with no keys blocks on time buckets alone") {
+    val got = TemporalJoin
+      .bandPairs(left, right, Seq.empty, "t", "rt", Seq("rid"), 0L, 25L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val want = left.crossJoin(right)
+      .filter($"rt" >= $"t" && $"rt" < $"t" + 25)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
+  test("bandPairs handles negative times (floor, not truncate, bucketing)") {
+    val l = Seq((1L, -10L, 1L)).toDF("k", "t", "lid")
+    val r = Seq((1L, -12L, 9L), (1L, -35L, 8L), (1L, 3L, 7L)).toDF("k", "rt", "rid")
+    val got = TemporalJoin
+      .bandPairs(l, r, Seq("k"), "t", "rt", Seq("rid"), -20L, 0L)
+      .select("rid").as[Long].collect().toSet
+    assert(got === Set(9L))
+  }
+}
