@@ -113,6 +113,34 @@ object Text {
   def fingerprint(text: Column, k: Int = 8): Column =
     concat_ws(" ", slice(array_sort(array_distinct(tokens(text))), 1, k))
 
+  // --- PII detection / redaction ---
+
+  /** PII patterns written to the RE2/Java-regex common subset (no
+    * lookaround, no \p classes): email, dotted-quad IPv4, and
+    * international-prefix phone numbers. Phone requires a leading `+` so
+    * the three classes are disjoint (no digit-run inside an IP or email
+    * ever double-counts as a phone). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d[\\d -]{6,}\\d"
+
+  def piiEmailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0)))
+  def piiIpCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0)))
+  def piiPhoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
+
+  /** Sequential redaction: emails, then IPs, then phones (counts are
+    * computed per pattern on the ORIGINAL text; redaction is ordered so
+    * later patterns can't match inside earlier placeholders). Pure
+    * codegen'd column work — a 100 TB scrub is a scan, no exchange. */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "[EMAIL]")
+    val i = regexp_replace(e, Ipv4Re, "[IP]")
+    regexp_replace(i, PhoneRe, "[PHONE]")
+  }
+
   // --- SQL mirrors (DuckDB) for oracle queries ---
 
   def tokensSql(e: String) = s"regexp_extract_all(lower($e), '[a-z0-9]+')"
@@ -146,4 +174,12 @@ object Text {
   }
   def fingerprintSql(e: String, k: Int = 8): String =
     s"array_to_string(list_sort(list_distinct(${tokensSql(e)}))[1:$k], ' ')"
+  // DuckDB plain strings treat backslash literally, so the Scala pattern
+  // constants interpolate into SQL unchanged.
+  def piiEmailCountSql(e: String) = s"len(regexp_extract_all($e, '$EmailRe'))"
+  def piiIpCountSql(e: String) = s"len(regexp_extract_all($e, '$Ipv4Re'))"
+  def piiPhoneCountSql(e: String) = s"len(regexp_extract_all($e, '$PhoneRe'))"
+  def redactPiiSql(e: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($e, " +
+      s"'$EmailRe', '[EMAIL]', 'g'), '$Ipv4Re', '[IP]', 'g'), '$PhoneRe', '[PHONE]', 'g')"
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Text
+
+/** Corpus retrieval / language-model scoring: Okapi BM25 ranking and
+  * unigram cross-entropy (negative log-likelihood) document scoring.
+  *
+  * Both are staples of training-data curation — BM25 powers "find corpus
+  * documents relevant to X" sweeps (and is the classic lexical baseline
+  * next to the ANN operators in [[Similarity]]), unigram NLL is the
+  * cheapest perplexity proxy for quality filtering (documents whose token
+  * distribution diverges from the corpus score high).
+  *
+  * Scale design (100 TB corpus):
+  *   - token explode happens map-side next to the scan; what shuffles is
+  *     (token, partial count) after map-side combine, never document text.
+  *   - corpus-level scalars (N, avgdl, total tokens) reduce to one row and
+  *     re-enter the plan via a broadcast cross-join (bytes, not data).
+  *   - BM25's per-term statistics are |terms| rows — broadcast.
+  *   - the unigram vocabulary join shuffles (token, count) against the
+  *     token stream; Spark/AQE picks broadcast automatically while the
+  *     vocab fits, and degrades to a shuffle join when it doesn't (no
+  *     collect of the vocab to the driver either way).
+  *
+  * Cross-engine determinism: libm `ln` values are rounded to a fixed
+  * decimal scale before any aggregation (see [[graft.queries.Compat]]);
+  * everything else is integer or IEEE-exact arithmetic.
+  */
+object Retrieval {
+
+  /** Okapi BM25 score of every document containing at least one query
+    * term: `sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`
+    * with the Lucene idf `ln((N - df + 0.5)/(df + 0.5) + 1)`.
+    *
+    * Returns (idCol, bm25). idf and per-term scores are rounded to 6
+    * decimals (idf is libm-ln; rounding before the order-free decimal sum
+    * keeps the result engine-independent).
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("__t"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"), sum("__dl").as("__sumdl"))
+    val tf = toks.filter(col("__t").isInCollection(terms))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+    val df = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+
+    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
+    val idf = round(
+      log((col("__n").cast("double") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0), 6)
+      .cast(DecimalType(18, 6)).cast("double")
+    val termScore = idf * (col("__tf") * lit(k1 + 1)) /
+      (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / avgdl))
+
+    tf.join(broadcast(df), Seq("__t"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("__s", round(termScore, 6).cast(DecimalType(18, 6)))
+      .groupBy(col(idCol))
+      .agg(sum("__s").cast("double").as("bm25"))
+  }
+
+  /** Per-document unigram negative log-likelihood: mean over the
+    * document's tokens of `-ln(count(t)/total)` under the corpus unigram
+    * distribution (self-scored). Returns (idCol, n_tok, nll); documents
+    * with no tokens are absent. Per-token NLL is rounded to 9 decimals
+    * before the exact decimal mean. */
+  def unigramNll(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("__t"))
+    val vocab = toks.groupBy("__t").agg(count(lit(1)).as("__cnt"))
+    val total = vocab.agg(sum("__cnt").as("__total"))
+    val nll = round(-log(col("__cnt").cast("double") / col("__total").cast("double")), 9)
+      .cast(DecimalType(18, 9))
+    toks
+      .join(vocab, Seq("__t"))
+      .crossJoin(broadcast(total))
+      .withColumn("__nll", nll)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        (sum("__nll").cast("double") / count(lit(1))).as("nll"))
+  }
+}

@@ -14,7 +14,7 @@ object DataPipeline {
 
   def defs: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
-    q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94)
+    q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -865,6 +865,103 @@ object DataPipeline {
         max("n_distinct").as("n_distinct"),
         sum("term").cast("double").as("entropy"))
       .orderBy("source")
+  }
+
+  /** Okapi BM25 top-10 for a literal term query (`operators/Retrieval.bm25`):
+    * the lexical-retrieval baseline next to the ANN stack. idf and per-term
+    * scores round to 6 decimals before the order-free decimal sum (ln is
+    * libm). Constants interpolate from the same Scala doubles on both
+    * sides, so k1/b parse to bit-identical values. */
+  val q97 = {
+    val terms = Seq("spark", "merge", "window")
+    val (k1, b) = (1.2, 0.75)
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    QueryDef(
+      "q97_bm25",
+      oracle = Some(s"""
+        WITH toks AS (SELECT doc_id, unnest(${Text.tokensSql("text")}) AS t FROM documents),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dl),
+        tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks WHERE t IN ($termList) GROUP BY 1, 2),
+        df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+        term AS (
+          SELECT tf.doc_id,
+            CAST(CAST(ROUND(ln((CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0), 6)
+                 AS DECIMAL(18,6)) AS DOUBLE)
+              * (tf.tf * ${k1 + 1}) /
+                (tf.tf + $k1 * (${1 - b} + $b * dl.dl /
+                  (CAST(stats.sumdl AS DOUBLE) / CAST(stats.n AS DOUBLE)))) AS s
+          FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats)
+        SELECT doc_id, CAST(SUM(CAST(ROUND(s, 6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        FROM term GROUP BY 1
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 10""")) { (s, dir) =>
+      graft.operators.Retrieval
+        .bm25(Tables.load(s, dir, "documents"), terms, k1, b)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(10)
+    }
+  }
+
+  /** Unigram cross-entropy scoring (`Retrieval.unigramNll`): per-document
+    * mean `-ln p(token)` under the corpus's own unigram distribution —
+    * the cheapest perplexity proxy for quality filtering. */
+  val q98 = QueryDef(
+    "q98_unigram_nll",
+    oracle = Some(s"""
+      WITH toks AS (SELECT doc_id, unnest(${Text.tokensSql("text")}) AS t FROM documents),
+      v AS (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY 1),
+      tot AS (SELECT SUM(cnt) AS total FROM v)
+      SELECT toks.doc_id,
+        COUNT(*) AS n_tok,
+        CAST(SUM(CAST(ROUND(-ln(CAST(v.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)), 9)
+             AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS nll
+      FROM toks JOIN v USING (t) CROSS JOIN tot
+      GROUP BY 1
+      ORDER BY doc_id""",
+    ),
+    bench = true) { (s, dir) =>
+    graft.operators.Retrieval
+      .unigramNll(Tables.load(s, dir, "documents"))
+      .orderBy("doc_id")
+  }
+
+  /** PII scan + redaction (`Text.redactPii`): deterministic synthetic PII
+    * (email / IPv4 / phone, keyed on doc_id) appended to real corpus rows,
+    * then pattern counts on the original and the redacted length after the
+    * sequential scrub. Patterns live in the RE2/Java common subset so both
+    * engines match identically; pure map-side column work. */
+  val q99 = QueryDef(
+    "q99_pii_redact",
+    oracle = Some(s"""
+      WITH t AS (SELECT doc_id, text ||
+        CASE WHEN doc_id % 4 = 0 THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com'
+             WHEN doc_id % 4 = 1 THEN ' server 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 up'
+             WHEN doc_id % 4 = 2 THEN ' call +1 555-0199 now'
+             ELSE '' END AS t2
+        FROM documents)
+      SELECT doc_id,
+        ${Text.piiEmailCountSql("t2")} AS n_email,
+        ${Text.piiIpCountSql("t2")} AS n_ip,
+        ${Text.piiPhoneCountSql("t2")} AS n_phone,
+        len(${Text.redactPiiSql("t2")}) AS red_len
+      FROM t
+      ORDER BY doc_id""")) { (s, dir) =>
+    val injected = Tables.load(s, dir, "documents")
+      .withColumn("t2", concat(col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" reach me at user"), col("doc_id").cast("string"), lit("@example.com")))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit(" server 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1 up")))
+          .when(pmod(col("doc_id"), lit(4)) === 2, lit(" call +1 555-0199 now"))
+          .otherwise(lit(""))))
+    injected.select(
+      col("doc_id"),
+      Text.piiEmailCount(col("t2")).cast("long").as("n_email"),
+      Text.piiIpCount(col("t2")).cast("long").as("n_ip"),
+      Text.piiPhoneCount(col("t2")).cast("long").as("n_phone"),
+      length(Text.redactPii(col("t2"))).cast("long").as("red_len"))
+      .orderBy("doc_id")
   }
 
   // ---- multimodal ----

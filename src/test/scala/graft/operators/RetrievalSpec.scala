@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+/** Retrieval operators vs straight-line Scala reimplementations on a
+  * corpus small enough to compute by hand. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "spark shuffles the big table and the small table"),
+    (2L, "merge sort merge join window"),
+    (3L, "window window window spark"),
+    (4L, "nothing relevant here at all"),
+    (5L, "spark spark spark merge")
+  ).toDF("doc_id", "text")
+
+  private def toksOf(t: String): Seq[String] =
+    "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+
+  test("bm25 matches the textbook formula") {
+    val terms = Seq("spark", "merge", "window")
+    val (k1, b) = (1.2, 0.75)
+    val corpus = docs.as[(Long, String)].collect().toSeq
+    val dls = corpus.map { case (id, t) => id -> toksOf(t).size }.toMap
+    val n = corpus.size.toDouble
+    val avgdl = dls.values.sum.toDouble / n
+    val dfs = terms.map(t => t -> corpus.count(d => toksOf(d._2).contains(t))).toMap
+
+    def round6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val want = corpus.flatMap { case (id, t) =>
+      val tf = toksOf(t).groupBy(identity).view.mapValues(_.size)
+      val scores = terms.flatMap { q =>
+        tf.get(q).map { f =>
+          val idf = round6(math.log((n - dfs(q) + 0.5) / (dfs(q) + 0.5) + 1.0)).toDouble
+          round6(idf * (f * (k1 + 1)) / (f + k1 * (1 - b + b * dls(id) / avgdl)))
+        }
+      }
+      if (scores.isEmpty) None else Some(id -> scores.sum.toDouble)
+    }.toMap
+
+    val got = Retrieval.bm25(docs, terms, k1, b)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet === want.keySet)
+    for ((id, s) <- want) assert(math.abs(got(id) - s) < 1e-12, s"doc $id")
+    assert(!got.contains(4L)) // no query term → absent
+  }
+
+  test("unigramNll matches hand computation") {
+    val corpus = docs.as[(Long, String)].collect().toSeq
+    val all = corpus.flatMap(d => toksOf(d._2))
+    val counts = all.groupBy(identity).view.mapValues(_.size).toMap
+    val total = all.size.toDouble
+    def round9(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val want = corpus.map { case (id, t) =>
+      val ts = toksOf(t)
+      val s = ts.map(tok => round9(-math.log(counts(tok) / total))).sum
+      (id, ts.size.toLong, s.toDouble / ts.size)
+    }.toSet
+    val got = Retrieval.unigramNll(docs).as[(Long, Long, Double)].collect()
+      .map { case (id, nt, nll) => (id, nt, math.rint(nll * 1e9) / 1e9) }.toSet
+    val wantR = want.map { case (id, nt, nll) => (id, nt, math.rint(nll * 1e9) / 1e9) }
+    assert(got === wantR)
+  }
+
+  test("pii counts and redaction") {
+    val rows = Seq(
+      (1L, "mail a.smith@example.com or BOB@MAIL.CO today"),
+      (2L, "host 192.168.0.1 and 10.0.0.254 online"),
+      (3L, "call +1 555-0199 or +44 20 7946 0958 now"),
+      (4L, "no pii here"),
+      (5L, "x@y.io at 8.8.8.8 dial +1 202-555-0142")
+    ).toDF("id", "text")
+    val got = rows.select(
+      col("id"),
+      Text.piiEmailCount(col("text")).as("e"),
+      Text.piiIpCount(col("text")).as("i"),
+      Text.piiPhoneCount(col("text")).as("p"),
+      Text.redactPii(col("text")).as("r"))
+      .as[(Long, Int, Int, Int, String)].collect()
+      .map { case (id, e, i, p, r) => id -> ((e, i, p, r)) }.toMap
+
+    assert(got(1L) === ((2, 0, 0, "mail [EMAIL] or [EMAIL] today")))
+    assert(got(2L) === ((0, 2, 0, "host [IP] and [IP] online")))
+    assert(got(3L) === ((0, 0, 2, "call [PHONE] or [PHONE] now")))
+    assert(got(4L) === ((0, 0, 0, "no pii here")))
+    assert(got(5L) === ((1, 1, 1, "[EMAIL] at [IP] dial [PHONE]")))
+  }
+}
