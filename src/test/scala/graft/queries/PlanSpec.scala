@@ -136,9 +136,12 @@ class PlanSpec extends SparkSpec {
     // a tiny broadcast query side against the corpus scan, like q38
     // q89 broadcast-crossJoins a single-row scalar (corpus size N) into
     // the tf table — the canonical scalar-subquery shape
+    // q97/q98 broadcast-crossJoin one-row corpus scalars (N/avgdl, total
+    // token count) like q89 — a broadcast of bytes, not data
     val nljAllowed = Set("q38_ann_bruteforce", "q39_ann_ivf", "q40_embedding_dedup",
       "q79_ann_multiprobe", "q88_pq_adc", "q89_tfidf_topk",
-      "q93_ann_recall") // composes q38's broadcast-NLJ exact ranking
+      "q93_ann_recall", // composes q38's broadcast-NLJ exact ranking
+      "q97_bm25", "q98_unigram_nll")
     val offenders = Registry.all.flatMap { q =>
       val p =
         try Registry.queries(q.name)(spark, dir).queryExecution.executedPlan.toString
@@ -148,6 +151,18 @@ class PlanSpec extends SparkSpec {
       if (cartesian || nlj) Some(q.name) else None
     }
     assert(offenders.isEmpty, s"cartesian/NLJ plans: $offenders")
+  }
+
+  test("q95: as-of join is union-sort-window — no join operator, no pair blow-up") {
+    val p = plan("q95_asof_join")
+    assert(!p.contains("Join"), s"as-of join should plan joinless:\n$p")
+    assert(p.contains("Window"), s"expected the window formulation:\n$p")
+  }
+
+  test("q96: band join stays equi-shaped (bucket key), never nested-loop") {
+    val p = plan("q96_band_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"band join fell off the bucketed equi-join path:\n$p")
   }
 
   test("whole-stage codegen covers the scan-filter-project pipeline") {
