@@ -58,6 +58,39 @@ object UpdateMerge {
     merged.select((base.columns ++ diffOnly.toSeq.sorted).map(col): _*)
   }
 
+  /** Row-level upsert (SQL MERGE semantics) — the companion of [[merge]]
+    * one level up: where `merge` folds new COLUMNS into existing rows,
+    * `upsertRows` folds new ROWS into an existing table.
+    *
+    *   - update: an update row whose keys match a base row replaces it
+    *     (column-wise: update values win, base fills update-side nulls
+    *     for columns the update doesn't carry)
+    *   - insert: update rows with no base match are appended
+    *   - delete: update rows with `deleteCol` = true remove the base row
+    *
+    * One shuffle join on the key (full-outer); both sides bucketed by the
+    * key (see [[bucketedCheckpoint]]) makes the 100 TB incremental load
+    * shuffle-free. Updates must be unique per key — enforce upstream, as
+    * duplicate update keys would fan out the join. */
+  def upsertRows(base: DataFrame, updates: DataFrame, keys: Seq[String],
+                 deleteCol: Option[String] = None): DataFrame = {
+    val dataCols = base.columns.filterNot(keys.contains).toSeq
+    val updCols = updates.columns.toSet
+    require(keys.forall(updCols), s"updates must carry the keys $keys")
+    val renamed = dataCols.filter(updCols).foldLeft(
+      deleteCol.map(c => updates.withColumnRenamed(c, "__del")).getOrElse(updates)) {
+      (d, c) => d.withColumnRenamed(c, s"__upd_$c")
+    }
+    val joined = base.join(renamed, keys, "full_outer")
+    val kept = deleteCol match {
+      case Some(_) => joined.filter(!coalesce(col("__del"), lit(false)))
+      case None    => joined
+    }
+    kept.select(keys.map(col) ++ dataCols.map { c =>
+      (if (updCols(c)) coalesce(col(s"__upd_$c"), col(c)) else col(c)).as(c)
+    }: _*)
+  }
+
   /** Write a stage checkpoint bucketed by the merge key so downstream
     * merges are co-partitioned zip-joins without a shuffle — the Spark
     * equivalent of the reference's positionally-zipped chunk files

@@ -16,7 +16,8 @@ import Compat._
   */
 object Relational {
 
-  def defs: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13)
+  def defs: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13,
+    q100, q101)
 
   /** Flagship: TPC-H Q1-style pricing summary. Single scan, map-side
     * partial aggregation, 6-group output — the canonical "selection
@@ -302,5 +303,74 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .select("o_orderkey", "o_totalprice")
       .limit(10)
+  }
+
+  /** Row-level upsert (SQL MERGE semantics, `core/UpdateMerge.upsertRows`):
+    * deterministic updates (+100 on every 10th key), deletes (every 20th),
+    * and inserts (negated every-100th keys, guaranteed absent) folded into
+    * `orders` with one full-outer join; output slices the affected keys.
+    * Inserts carry no o_orderstatus — null on both engines. */
+  val q100 = QueryDef(
+    "q100_upsert",
+    oracle = Some("""
+      WITH upd AS (
+        SELECT o_orderkey AS k, o_totalprice + 100 AS p,
+               (o_orderkey % 20 = 0) AS del
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT -o_orderkey, o_totalprice, false
+        FROM orders WHERE o_orderkey % 100 = 0),
+      merged AS (
+        SELECT COALESCE(u.k, o.o_orderkey) AS o_orderkey,
+               COALESCE(u.p, o.o_totalprice) AS o_totalprice,
+               o.o_orderstatus
+        FROM orders o FULL JOIN upd u ON o.o_orderkey = u.k
+        WHERE NOT COALESCE(u.del, false))
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM merged
+      WHERE o_orderkey % 10 = 0 OR o_orderkey < 0
+      ORDER BY o_orderkey""")) { (s, dir) =>
+    val orders = Tables.load(s, dir, "orders")
+    val upd = orders.filter(col("o_orderkey") % 10 === 0)
+      .select(
+        col("o_orderkey"),
+        (col("o_totalprice") + 100).as("o_totalprice"),
+        (col("o_orderkey") % 20 === 0).as("del"))
+      .unionByName(orders.filter(col("o_orderkey") % 100 === 0)
+        .select(
+          (-col("o_orderkey")).as("o_orderkey"),
+          col("o_totalprice"),
+          lit(false).as("del")))
+    graft.core.UpdateMerge
+      .upsertRows(orders, upd, Seq("o_orderkey"), deleteCol = Some("del"))
+      .filter(col("o_orderkey") % 10 === 0 || col("o_orderkey") < 0)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  /** Wide→long unpivot (melt) of a grouped aggregate — the inverse of the
+    * q47 pivot, via the native Dataset.unpivot (no Union of re-scans). */
+  val q101 = QueryDef(
+    "q101_unpivot",
+    oracle = Some("""
+      WITH w AS (
+        SELECT l_returnflag,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+      UNION ALL
+      SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM w
+      ORDER BY l_returnflag, measure""")) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        dsum(money(col("l_quantity"))).as("sum_qty"),
+        dsum(money(col("l_extendedprice"))).as("sum_price"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")),
+        "measure", "value")
+      .orderBy("l_returnflag", "measure")
   }
 }

@@ -55,4 +55,35 @@ class UpdateMergeSpec extends SparkSpec {
     assert(out(0).getSeq[Int](1) == Seq(9))  // null base ++ diff = diff
     assert(out(1).getSeq[Int](1) == Seq(3))  // base ++ null diff = base
   }
+
+  test("upsertRows: update, insert, delete, and partial-column updates") {
+    val s = spark
+    import s.implicits._
+    val b = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    // update k=1 (v only — name untouched), delete k=2, insert k=9
+    val u = Seq(
+      (1L, Option.empty[String], Some(11.0), false),
+      (2L, Option.empty[String], Option.empty[Double], true),
+      (9L, Some("new"), Some(90.0), false)
+    ).toDF("k", "name", "v", "del")
+    val out = UpdateMerge.upsertRows(b, u, Seq("k"), deleteCol = Some("del"))
+      .orderBy("k")
+      .as[(Long, Option[String], Option[Double])].collect().toSeq
+    assert(out === Seq(
+      (1L, Some("a"), Some(11.0)),  // updated v, kept name
+      (3L, Some("c"), Some(30.0)),  // untouched
+      (9L, Some("new"), Some(90.0)) // inserted
+    ))
+  }
+
+  test("upsertRows without delete column keeps all rows") {
+    val s = spark
+    import s.implicits._
+    val b = Seq((1L, 10.0)).toDF("k", "v")
+    val u = Seq((1L, 11.0), (2L, 22.0)).toDF("k", "v")
+    val out = UpdateMerge.upsertRows(b, u, Seq("k"))
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 11.0), (2L, 22.0)))
+  }
 }
