@@ -98,6 +98,30 @@ object Curation {
     docs.filter(u < rate)
   }
 
+  /** Deterministic weighted sample without replacement (Efraimidis–
+    * Spirakis A-ES): each row draws the portable uniform keyed on its id
+    * and gets sort key `-ln(u)/w`; the k smallest keys are the sample,
+    * with inclusion probability proportional to `w`. Fully deterministic
+    * (same md5-derived u as [[stratifiedSample]]) — repartition-, retry-,
+    * and engine-reproducible. The key is rounded to 9 decimals for
+    * cross-engine ln parity.
+    *
+    * Scale: the global top-k is TakeOrdered (per-partition partial top-k,
+    * then a k-row merge on the driver) — no full sort, no shuffle of the
+    * corpus. */
+  def weightedSample(docs: DataFrame, k: Int, weightCol: String,
+                     idCol: String = "doc_id"): DataFrame = {
+    val u = Rand.portableUniform(0, col(idCol).cast("string"))
+    docs
+      .withColumn("skey", round(-log(u) / col(weightCol), 9))
+      .orderBy(col("skey"), col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB mirror of `weightedSample`'s sort key. */
+  def weightedSampleKeySql(weightExpr: String, idExpr: String): String =
+    s"ROUND(-ln(${Rand.portableUniformSql(0, s"CAST($idExpr AS STRING)")}) / $weightExpr, 9)"
+
   /** Per-document top-k TF-IDF terms: tf = in-document term count, idf =
     * ln(N/df) rounded to 1e-9 (libm cross-engine parity — factor-scale
     * values are tie-safe at 9 digits), score = tf·idf, ranked per

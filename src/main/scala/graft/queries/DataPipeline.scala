@@ -14,7 +14,8 @@ object DataPipeline {
 
   def defs: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
-    q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99)
+    q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
+    q102)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -962,6 +963,21 @@ object DataPipeline {
       Text.piiPhoneCount(col("t2")).cast("long").as("n_phone"),
       length(Text.redactPii(col("t2"))).cast("long").as("red_len"))
       .orderBy("doc_id")
+  }
+
+  /** Deterministic weighted sampling (`Curation.weightedSample`, A-ES):
+    * documents sampled ∝ n_chars with a reproducible md5-derived key —
+    * the length-weighted variant of q85's stratified sampling. */
+  val q102 = QueryDef(
+    "q102_weighted_sample",
+    oracle = Some(s"""
+      SELECT doc_id, n_chars,
+        ${Curation.weightedSampleKeySql("n_chars", "doc_id")} AS skey
+      FROM documents
+      ORDER BY skey, doc_id
+      LIMIT 25""")) { (s, dir) =>
+    Curation.weightedSample(Tables.load(s, dir, "documents"), 25, "n_chars")
+      .select("doc_id", "n_chars", "skey")
   }
 
   // ---- multimodal ----

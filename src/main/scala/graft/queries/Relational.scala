@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import Compat._
@@ -17,7 +18,7 @@ import Compat._
 object Relational {
 
   def defs: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13,
-    q100, q101)
+    q100, q101, q103)
 
   /** Flagship: TPC-H Q1-style pricing summary. Single scan, map-side
     * partial aggregation, 6-group output — the canonical "selection
@@ -372,5 +373,32 @@ object Relational {
         Array(col("sum_qty"), col("sum_price")),
         "measure", "value")
       .orderBy("l_returnflag", "measure")
+  }
+
+  /** Distribution-rank window family: ntile / percent_rank / cume_dist
+    * per status partition. The window ordering (o_totalprice, o_orderkey)
+    * is total, so no tie groups — both rank ratios are exact integer
+    * ratios and engine-identical. Output sampled to every 50th key. */
+  val q103 = QueryDef(
+    "q103_rank_windows",
+    oracle = Some("""
+      SELECT * FROM (
+        SELECT o_orderkey, o_orderstatus,
+          CAST(NTILE(4) OVER w AS INT) AS quartile,
+          PERCENT_RANK() OVER w AS pr,
+          CUME_DIST() OVER w AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey))
+      WHERE o_orderkey % 50 = 0
+      ORDER BY o_orderkey""")) { (s, dir) =>
+    val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    Tables.load(s, dir, "orders")
+      .select(
+        col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .filter(col("o_orderkey") % 50 === 0)
+      .orderBy("o_orderkey")
   }
 }
