@@ -77,6 +77,28 @@ class UpdateMergeSpec extends SparkSpec {
     ))
   }
 
+  test("bucketedCheckpoint joins are exchange-free (the shuffle-free merge claim)") {
+    val s = spark
+    import s.implicits._
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val base = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+      val diff = (1 to 1000).map(i => (i.toLong, i * 3.0)).toDF("k", "w")
+      UpdateMerge.bucketedCheckpoint(base, "bt_base", Seq("k"), buckets = 8)
+      UpdateMerge.bucketedCheckpoint(diff, "bt_diff", Seq("k"), buckets = 8)
+      val j = s.table("bt_base").join(s.table("bt_diff"), "k")
+      assert(j.count() === 1000)
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed join should not shuffle either side:\n$p")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.sql("DROP TABLE IF EXISTS bt_base")
+      s.sql("DROP TABLE IF EXISTS bt_diff")
+    }
+  }
+
   test("upsertRows without delete column keeps all rows") {
     val s = spark
     import s.implicits._
