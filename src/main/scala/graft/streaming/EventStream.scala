@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming transforms for the event-stream shape of the
   * testdata (`events`: event_id, ts, user_id, event_type, value).
@@ -91,5 +92,46 @@ object EventStream {
         sum(col("__w")).cast("double").as("sumw"),
         sum(col("__w") * col("__w")).cast("double").as("sumw2"),
         count(lit(1)).as("n"))
+  }
+
+  /** Stream-static enrichment: join the stream against a static dimension
+    * on `keys`. Spark broadcasts the static side per micro-batch (no
+    * stream-side state, no watermark needed) — the streaming twin of the
+    * q3/q4 broadcast dimension joins. */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
+  /** Running per-user totals with explicit state — the
+    * `flatMapGroupsWithState` lifecycle (SURVEY §2.10 custom state): state
+    * is a (count, exact-decimal cents sum) pair per user, updated per
+    * micro-batch, emitting the new running totals for every user touched.
+    * The decimal-cents state keeps the running sum order-independent, so
+    * replaying the same events through different batch boundaries yields
+    * the same totals (asserted in StreamingSpec).
+    *
+    * State per key is O(1); a 100 TB/day firehose holds |active users|
+    * entries, sharded by the groupByKey exchange. */
+  case class UserStat(user_id: Long, n_events: Long, total_cents: Long)
+
+  def runningUserStats(events: DataFrame, user: String = "user_id",
+                       value: String = "value"): Dataset[UserStat] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      // exact decimal cents (a double *100 truncation would drop a cent)
+      .select(col(user).cast("long"),
+        (col(value).cast("decimal(18,2)") * 100).cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), UserStat](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0
+          var sum = s0
+          rows.foreach { r => n += 1; sum += r._2 }
+          state.update((n, sum))
+          Iterator(UserStat(uid, n, sum))
+      }
   }
 }

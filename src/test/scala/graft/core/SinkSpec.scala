@@ -1,0 +1,43 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class SinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (1L to 100L)
+    .map(i => (i, s"doc $i body", s"src${i % 4}"))
+    .toDF("doc_id", "text", "source")
+
+  test("partitioned parquet: hive layout, partition-pruned read") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/docs"
+    Sink.partitionedParquet(docs, dir, Seq("source"), sortWithin = Seq("doc_id"))
+    // hive directory layout
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("source=src0", "source=src1", "source=src2", "source=src3"))
+
+    val back = spark.read.parquet(dir).filter($"source" === "src1")
+    assert(back.count() === 25)
+    // the filter must prune partitions at plan time, not post-filter rows
+    val p = back.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("src1"),
+      s"expected partition pruning in:\n$p")
+    assert(!p.toLowerCase.contains("filter source"), s"unexpected row filter:\n$p")
+  }
+
+  test("jsonl round trip with explicit schema preserves values") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString + "/docs"
+    Sink.writeJsonl(docs, dir, partitionCols = Seq("source"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    val back = Sink.readJsonl(spark, dir, schema)
+      .select("doc_id", "text", "source")
+    val a = back.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = docs.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+}

@@ -117,6 +117,41 @@ class StreamingSpec extends SparkSpec {
       assert(batch.nonEmpty && batch.forall(_ % 2 == 0)) // quality gate held
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins the dimension per micro-batch") {
+    val s = spark
+    import s.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val evs = Seq(Ev(1, t(0), 1, "click", 1.0), Ev(2, t(1), 3, "view", 2.0))
+    val rows = runStream(evs, df => EventStream.enrich(df, dim, Seq("user_id")))
+      .filter(_.getAs[Long]("event_id") != 99999L)
+    val tiers = rows.map(r => r.getAs[Long]("event_id") -> r.getAs[String]("tier")).toMap
+    assert(tiers === Map(1L -> "gold", 2L -> null)) // left join keeps unmatched
+  }
+
+  test("flatMapGroupsWithState running totals accumulate across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.runningUserStats(input.toDF())
+      .writeStream.format("memory").queryName("rus").outputMode("update").start()
+    try {
+      input.addData(Ev(1, t(0), 1, "click", 10.25), Ev(2, t(1), 1, "click", 5.00),
+        Ev(3, t(2), 2, "view", 1.10))
+      q.processAllAvailable()
+      val afterB1 = s.table("rus").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(afterB1 === Set((1L, 2L, 1525L), (2L, 1L, 110L)))
+      input.addData(Ev(4, t(3), 1, "click", 0.75))
+      q.processAllAvailable()
+      val all = s.table("rus").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // state carried: user 1's second update starts from (2, 1525)
+      assert(all.contains((1L, 3L, 1600L)))
+      assert(all.contains((2L, 1L, 110L)))
+    } finally q.stop()
+  }
 }
 
 case class Doc(doc_id: Long, text: String, source: String)
