@@ -18,7 +18,7 @@ import Compat._
 object Relational {
 
   def defs: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13,
-    q100, q101, q103)
+    q100, q101, q103, q104, q105)
 
   /** Flagship: TPC-H Q1-style pricing summary. Single scan, map-side
     * partial aggregation, 6-group output — the canonical "selection
@@ -400,5 +400,61 @@ object Relational {
         cume_dist().over(w).as("cd"))
       .filter(col("o_orderkey") % 50 === 0)
       .orderBy("o_orderkey")
+  }
+
+  /** ANALYZE-style column profiling (`stats/Profile.columnProfile`): all
+    * columns' stats from ONE table scan, melted to a row per column. */
+  val q104 = QueryDef(
+    "q104_column_profile",
+    oracle = Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n,
+           COUNT(*) - COUNT($c) AS n_null,
+           COUNT(DISTINCT $c) AS n_distinct,
+           CAST(MIN($c) AS DOUBLE) AS min_v,
+           CAST(MAX($c) AS DOUBLE) AS max_v
+           FROM lineitem"""
+      }.mkString("", " UNION ALL ", " ORDER BY column_name")
+    }) { (s, dir) =>
+    graft.stats.Profile
+      .columnProfile(Tables.load(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("column_name")
+  }
+
+  /** Per-group z-score outlier counts over `events.value`. Group moments
+    * come from exact decimal sums (order-free), so mean/σ — and therefore
+    * every per-row z — are bit-identical across engines; the |z|>2 cut
+    * needs no rounding at all. */
+  val q105 = QueryDef(
+    "q105_group_outliers",
+    oracle = Some("""
+      WITH m AS (
+        SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+          CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sq
+        FROM events GROUP BY 1)
+      SELECT e.event_type, MAX(m.n) AS n,
+        CAST(SUM(CASE WHEN ABS((e.value - m.sv / m.n) /
+          sqrt((m.sq - m.sv * m.sv / m.n) / (m.n - 1))) > 2
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM events e JOIN m USING (event_type)
+      GROUP BY 1
+      ORDER BY event_type""")) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+    val m = ev.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(money(col("value"))).as("sv"),
+        sum((col("value") * col("value")).cast("decimal(18,6)")).cast("double").as("sq"))
+    val z = (col("value") - col("sv") / col("n")) /
+      sqrt((col("sq") - col("sv") * col("sv") / col("n")) / (col("n") - 1))
+    ev.join(broadcast(m), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        max("n").as("n"),
+        sum(when(abs(z) > 2, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
   }
 }
