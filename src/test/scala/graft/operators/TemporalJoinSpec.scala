@@ -68,6 +68,34 @@ class TemporalJoinSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("randomized instance: asOfJoin and bandPairs match brute force") {
+    val rnd = new scala.util.Random(42)
+    val L = Seq.tabulate(300)(i => (rnd.nextInt(12).toLong, rnd.nextInt(500).toLong - 100, i.toLong))
+    // right times unique per key so the as-of payload is deterministic
+    val R0 = Seq.tabulate(300)(i => (rnd.nextInt(12).toLong, rnd.nextInt(500).toLong - 100, 1000L + i))
+    val R = R0.groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toSeq
+    val l = L.toDF("k", "t", "lid")
+    val r = R.toDF("k", "rt", "rid")
+
+    val gotAsOf = TemporalJoin.asOfJoin(l, r, Seq("k"), "t", "rt", Seq("rid"), tolerance = Some(37L))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    val wantAsOf = L.map { case (k, t, lid) =>
+      val c = R.filter(x => x._1 == k && x._2 <= t && t - x._2 <= 37L)
+      lid -> (if (c.isEmpty) None else Some(c.maxBy(x => (x._2, x._3))._3))
+    }.toMap
+    assert(gotAsOf === wantAsOf)
+    assert(wantAsOf.values.exists(_.isDefined) && wantAsOf.values.exists(_.isEmpty))
+
+    val gotBand = TemporalJoin.bandPairs(l, r, Seq("k"), "t", "rt", Seq("rid"), -23L, 41L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val wantBand = (for {
+      (k, t, lid) <- L; (rk, rt, rid) <- R
+      if rk == k && rt >= t - 23 && rt < t + 41
+    } yield (lid, rid)).toSet
+    assert(gotBand === wantBand)
+    assert(wantBand.size > 100) // the instance actually exercises the band
+  }
+
   test("bandPairs handles negative times (floor, not truncate, bucketing)") {
     val l = Seq((1L, -10L, 1L)).toDF("k", "t", "lid")
     val r = Seq((1L, -12L, 9L), (1L, -35L, 8L), (1L, 3L, 7L)).toDF("k", "rt", "rid")
