@@ -43,16 +43,15 @@ object Quantize {
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq)
       .toMap
 
-  /** Squared L2 distance from an array column to a literal centroid:
-    * `zip_with` keeps element order and `aggregate` folds left-to-right,
-    * so the sum is a fixed left-associated chain of exact IEEE ops (`-`,
-    * `*`, `+`) — no libm, bit-stable on re-evaluation. (An unrolled
-    * 64-term `element_at` chain computes the same value but overflows
-    * janino's method-size limit once k centroids multiply it out.) */
+  /** Squared L2 distance from an array column to a literal centroid.
+    * Native fused kernel with the zip_with/aggregate fold order — a fixed
+    * left-associated chain of exact IEEE ops (`-`, `*`, `+`), no libm,
+    * bit-stable on re-evaluation and bit-identical to the HOF form
+    * (`VectorKernelsSpec`). The kernel call is one generated-code
+    * statement per centroid, so k×dim never approaches janino's 64 KB
+    * method limit the way an unrolled `element_at` chain does. */
   def dist2(vec: Column, cent: IndexedSeq[Double]): Column =
-    aggregate(
-      zip_with(vec.cast("array<double>"), typedlit(cent), (v, c) => (v - c) * (v - c)),
-      lit(0.0), (acc, d) => acc + d)
+    graft.functions.VectorKernels.l2ConstCol(vec, cent.toArray)
 
   /** Nearest-centroid id by squared L2; ties go to the lowest id.
     *

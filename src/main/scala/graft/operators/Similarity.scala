@@ -20,10 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ a_i·b_i in double (fixed left-to-right fold: deterministic). */
+  /** Σ a_i·b_i in double (fixed left-to-right fold: deterministic).
+    * Native fused kernel — bit-identical to the zip_with + aggregate
+    * chain (`VectorKernelsSpec`) without the per-pair intermediate array,
+    * which matters at |queries| × |corpus| evaluations. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorKernels.dotCol(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
