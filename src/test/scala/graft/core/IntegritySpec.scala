@@ -1,0 +1,31 @@
+package graft.core
+
+import graft.SparkSpec
+
+class IntegritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("finiteReport finds NaN and Inf per column, clean frames pass") {
+    val df = Seq(
+      (1L, 1.0, 2.0f),
+      (2L, Double.NaN, Float.NegativeInfinity),
+      (3L, Double.PositiveInfinity, 3.0f)
+    ).toDF("id", "d", "f")
+    assert(Integrity.finiteReport(df).toSet ===
+      Set(("d", 1L, 1L), ("f", 0L, 1L)))
+    val e = intercept[IllegalArgumentException](Integrity.assertFinite(df))
+    assert(e.getMessage.contains("d(nan=1, inf=1)"))
+    Integrity.assertFinite(Seq((1L, 1.0)).toDF("id", "v")) // clean: no throw
+    assert(Integrity.finiteReport(Seq((1L, "x")).toDF("id", "s")).isEmpty) // no float cols
+  }
+
+  test("assertNoOverlap flags a column produced twice, keys exempt") {
+    val a = Seq((1L, 2.0)).toDF("event", "x")
+    val b = Seq((1L, 3.0)).toDF("event", "y")
+    Integrity.assertNoOverlap(Seq("event"), a, b) // disjoint: fine
+    val c = Seq((1L, 4.0)).toDF("event", "x")
+    val e = intercept[IllegalArgumentException](
+      Integrity.assertNoOverlap(Seq("event"), a, b, c))
+    assert(e.getMessage.contains("'x'"))
+  }
+}
