@@ -98,6 +98,32 @@ object Curation {
     docs.filter(u < rate)
   }
 
+  /** Overlapping token-window chunking — the RAG/embedding-prep shape:
+    * each document yields windows of `window` tokens every `stride`
+    * tokens (the final window clamps at the end; documents shorter than
+    * one window yield one chunk). Emits (id, chunk_idx, n_tok,
+    * chunk_hash) with a portable md5 chunk content hash, so chunk-level
+    * dedup can run across engines.
+    *
+    * Pure map-side work: tokenize once per row, explode the start
+    * positions — output rows ≈ tokens/stride per document, no exchange.
+    * A 100 TB corpus chunks inside the scan. */
+  def chunkDocuments(docs: DataFrame, window: Int, stride: Int,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 1 && stride >= 1)
+    val toks = docs
+      .select(col(idCol), Text.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) > 0)
+    toks
+      .withColumn("__s", explode(sequence(
+        lit(1), greatest(size(col("__t")) - (window - 1), lit(1)), lit(stride))))
+      .select(
+        col(idCol),
+        ((col("__s") - 1) / stride).cast("long").as("chunk_idx"),
+        size(slice(col("__t"), col("__s"), lit(window))).cast("long").as("n_tok"),
+        md5(concat_ws(" ", slice(col("__t"), col("__s"), lit(window)))).as("chunk_hash"))
+  }
+
   /** Deterministic weighted sample without replacement (Efraimidis–
     * Spirakis A-ES): each row draws the portable uniform keyed on its id
     * and gets sort key `-ln(u)/w`; the k smallest keys are the sample,

@@ -15,7 +15,7 @@ object DataPipeline {
   def defs: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
-    q102)
+    q102, q106)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -978,6 +978,26 @@ object DataPipeline {
       LIMIT 25""")) { (s, dir) =>
     Curation.weightedSample(Tables.load(s, dir, "documents"), 25, "n_chars")
       .select("doc_id", "n_chars", "skey")
+  }
+
+  /** Overlapping-window chunking (`Curation.chunkDocuments`): 32-token
+    * windows, stride 16, portable md5 chunk hashes — chunk identity
+    * hash-checked across engines. */
+  val q106 = QueryDef(
+    "q106_chunking",
+    oracle = Some(s"""
+      WITH toks AS (SELECT doc_id, ${Text.tokensSql("text")} AS t FROM documents),
+      starts AS (
+        SELECT doc_id, t,
+          unnest(generate_series(1, greatest(len(t) - 31, 1), 16)) AS s
+        FROM toks WHERE len(t) > 0)
+      SELECT doc_id, CAST((s - 1) / 16 AS BIGINT) AS chunk_idx,
+        len(t[s : s + 31]) AS n_tok,
+        md5(array_to_string(t[s : s + 31], ' ')) AS chunk_hash
+      FROM starts
+      ORDER BY doc_id, chunk_idx""")) { (s, dir) =>
+    Curation.chunkDocuments(Tables.load(s, dir, "documents"), window = 32, stride = 16)
+      .orderBy("doc_id", "chunk_idx")
   }
 
   // ---- multimodal ----
