@@ -35,7 +35,17 @@ final class Pipeline(spark: SparkSession, root: String) {
     * DIFFERENT version is invalidated and rebuilt instead of silently
     * reused. The empty default keeps _SUCCESS-only semantics for
     * exploratory use. */
-  def stage(name: String, version: String = "")(build: => DataFrame): DataFrame = {
+  def stage(name: String, version: String = "")(build: => DataFrame): DataFrame =
+    stageChecked(name, version, checkFinite = false)(build)
+
+  /** [[stage]] with the reference's finite-output task guard
+    * (`check_finite_output`, law.cfg:75-78): when `checkFinite` is set,
+    * the freshly-built checkpoint is audited for NaN/±Inf in every float
+    * column (one aggregation over the just-written files) BEFORE it is
+    * returned — a corrupt stage fails its own run instead of poisoning
+    * every consumer. Already-completed checkpoints are not re-audited. */
+  def stageChecked(name: String, version: String = "", checkFinite: Boolean = false)(
+      build: => DataFrame): DataFrame = {
     val stale = version.nonEmpty && done(name) && {
       val vf = versionFile(name)
       !Files.exists(vf) || new String(Files.readAllBytes(vf), "UTF-8") != version
@@ -43,6 +53,9 @@ final class Pipeline(spark: SparkSession, root: String) {
     if (stale) invalidate(name)
     if (!done(name)) {
       build.write.mode("overwrite").parquet(s"$root/$name")
+      if (checkFinite)
+        try graft.core.Integrity.assertFinite(spark.read.parquet(s"$root/$name"))
+        catch { case e: IllegalArgumentException => invalidate(name); throw e }
       if (version.nonEmpty)
         Files.write(versionFile(name), version.getBytes("UTF-8")): Unit
     }

@@ -28,6 +28,20 @@ class SinkSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("filter source"), s"unexpected row filter:\n$p")
   }
 
+  test("schema evolution: mergeSchema unions old and new file schemas") {
+    val root = Files.createTempDirectory("graft_evo").toString
+    val v1 = Seq((1L, "a")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "b", "en")).toDF("doc_id", "text", "lang") // column added later
+    v1.write.parquet(s"$root/batch=1")
+    v2.write.parquet(s"$root/batch=2")
+    val back = spark.read.option("mergeSchema", "true").parquet(root)
+    assert(back.columns.toSet === Set("doc_id", "text", "lang", "batch"))
+    val rows = back.select("doc_id", "lang").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    // pre-evolution rows null-fill the new column instead of failing the read
+    assert(rows === Seq((1L, None), (2L, Some("en"))))
+  }
+
   test("jsonl round trip with explicit schema preserves values") {
     val dir = Files.createTempDirectory("graft_jsonl").toString + "/docs"
     Sink.writeJsonl(docs, dir, partitionCols = Seq("source"))

@@ -64,6 +64,22 @@ class PipelineSpec extends SparkSpec {
     assert(pipe.stage("sel", "v3")(build(5.0)).head.getDouble(1) == 5.0)
   }
 
+  test("checked stages reject non-finite outputs and leave no checkpoint behind") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-pipe-f").toString
+    val pipe = new Pipeline(spark, root)
+    val e = intercept[IllegalArgumentException] {
+      pipe.stageChecked("bad", checkFinite = true)(
+        Seq((1L, Double.NaN)).toDF("event", "x"))
+    }
+    assert(e.getMessage.contains("nan=1"))
+    // the poisoned checkpoint was invalidated: a clean rebuild succeeds
+    val ok = pipe.stageChecked("bad", checkFinite = true)(
+      Seq((1L, 2.5)).toDF("event", "x"))
+    assert(ok.head.getDouble(1) == 2.5)
+  }
+
   test("stageShifted materializes one checkpoint per shift") {
     val s = spark
     import s.implicits._
