@@ -18,7 +18,7 @@ import Compat._
 object Relational {
 
   def defs: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13,
-    q100, q101, q103, q104, q105)
+    q100, q101, q103, q104, q105, q107)
 
   /** Flagship: TPC-H Q1-style pricing summary. Single scan, map-side
     * partial aggregation, 6-group output — the canonical "selection
@@ -400,6 +400,55 @@ object Relational {
         cume_dist().over(w).as("cd"))
       .filter(col("o_orderkey") % 50 === 0)
       .orderBy("o_orderkey")
+  }
+
+  /** TPC-H Q5-shaped star join: two fact tables and four dimensions, with
+    * the local-supplier correlation (customer and supplier in the same
+    * nation). The planner must broadcast all four dims and shuffle only
+    * the orders⋈lineitem fact join; the selective region/date predicates
+    * reach their scans (asserted in PlanSpec). */
+  val q107 = QueryDef(
+    "q107_local_supplier_volume",
+    oracle = Some("""
+      SELECT n_name,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name"""),
+    bench = true) { (s, dir) =>
+    val cust = Tables.load(s, dir, "customer")
+    val ord = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.load(s, dir, "lineitem")
+    val sup = Tables.load(s, dir, "supplier")
+    val nat = Tables.load(s, dir, "nation")
+    val reg = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+    // customer/supplier SCALE with the dataset — never hard-broadcast
+    // them; AQE upgrades these to broadcast at small SF on its own.
+    // nation/region are constant-size: always broadcast.
+    ord
+      .join(cust, col("c_custkey") === col("o_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .join(sup,
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(
+        dsum(norm6(money(col("l_extendedprice")) * (lit(1) - frac(col("l_discount"))))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
   }
 
   /** ANALYZE-style column profiling (`stats/Profile.columnProfile`): all

@@ -165,6 +165,14 @@ class PlanSpec extends SparkSpec {
       s"band join fell off the bucketed equi-join path:\n$p")
   }
 
+  test("q107: selective predicates reach the scans; constant dims broadcast") {
+    val p = plan("q107_local_supplier_volume")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") || p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"date filter not pushed to the orders scan:\n$p")
+    assert(p.contains("EqualTo(r_name,ASIA)"), s"region filter not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation/region should broadcast:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // codegen stages ('*(n)' prefixes) only appear in the FINAL adaptive
     // plan, so execute before inspecting
