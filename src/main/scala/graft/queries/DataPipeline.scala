@@ -15,7 +15,7 @@ object DataPipeline {
   def defs: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
-    q102, q106)
+    q102, q106, q108)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -998,6 +998,24 @@ object DataPipeline {
       ORDER BY doc_id, chunk_idx""")) { (s, dir) =>
     Curation.chunkDocuments(Tables.load(s, dir, "documents"), window = 32, stride = 16)
       .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Hashing-trick featurization (`ml/Features.hashedFeatures`): sparse
+    * (doc, dim, tf) features from the portable 16-bit token hash — the
+    * no-vocabulary featurizer feeding `ml/Trainer`. Engine-reproducible,
+    * so the DuckDB oracle re-derives every feature index. */
+  val q108 = QueryDef(
+    "q108_hashed_features",
+    oracle = Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(${Text.tokensSql("text")}) AS t FROM documents)
+      SELECT doc_id, ${graft.ml.Features.dimSql("t", 64)} AS dim, COUNT(*) AS tf
+      FROM tok
+      GROUP BY 1, 2
+      ORDER BY doc_id, dim""")) { (s, dir) =>
+    graft.ml.Features
+      .hashedFeatures(Tables.load(s, dir, "documents"), dims = 64)
+      .orderBy("doc_id", "dim")
   }
 
   // ---- multimodal ----
