@@ -18,7 +18,7 @@ import Compat._
 object Relational {
 
   def defs: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13,
-    q100, q101, q103, q104, q105, q107)
+    q100, q101, q103, q104, q105, q107, q109)
 
   /** Flagship: TPC-H Q1-style pricing summary. Single scan, map-side
     * partial aggregation, 6-group output — the canonical "selection
@@ -449,6 +449,44 @@ object Relational {
         dsum(norm6(money(col("l_extendedprice")) * (lit(1) - frac(col("l_discount"))))).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Per-group Pearson correlation from exact decimal moment sums — the
+    * `corr` aggregate rebuilt order-free: every sum is exact decimal
+    * (l_quantity is integral, prices have 2 decimals, so products have
+    * ≤ 2 decimals and the casts never round), and the final r is pure
+    * IEEE arithmetic on identical inputs — bit-equal with no rounding. */
+  val q109 = QueryDef(
+    "q109_group_corr",
+    oracle = Some("""
+      SELECT l_returnflag, n,
+        (n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS r
+      FROM (
+        SELECT l_returnflag,
+          CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+          CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY 1)
+      ORDER BY l_returnflag""")) { (s, dir) =>
+    val m = Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sx"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sy"),
+        sum((col("l_quantity") * col("l_quantity")).cast("decimal(28,2)")).cast("double").as("sxx"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast("decimal(28,4)")).cast("double").as("syy"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(28,2)")).cast("double").as("sxy"))
+    m.select(
+      col("l_returnflag"), col("n"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("r"))
+      .orderBy("l_returnflag")
   }
 
   /** ANALYZE-style column profiling (`stats/Profile.columnProfile`): all
