@@ -15,7 +15,7 @@ import Compat._
   */
 object Events {
 
-  def defs: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q95, q96)
+  def defs: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q95, q96, q110)
 
   /** JSON field extraction (scalar function family, SURVEY §2.9 date/json). */
   val q14 = QueryDef(
@@ -144,6 +144,37 @@ object Events {
       .withColumn("session_id", sum("new_session").over(cum))
       .groupBy("user_id")
       .agg(countDistinct("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** Builtin `session_window` in BATCH mode, oracled against the
+    * lag-and-running-flag formulation (q19's oracle verbatim): proves the
+    * native session operator and the manual CTE agree on real data. (The
+    * two differ only when a gap is EXACTLY the threshold — session_window
+    * ends are exclusive where the lag test is > — measure-zero on ns
+    * timestamps.) */
+  val q110 = QueryDef(
+    "q110_session_window",
+    oracle = Some("""
+      WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus,
+          CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    > 1800000000 THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      sessions AS (
+        SELECT user_id,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged)
+      SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions, COUNT(*) AS n_events
+      FROM sessions
+      GROUP BY user_id
+      ORDER BY user_id""")) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts_us"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"))
       .orderBy("user_id")
   }
 

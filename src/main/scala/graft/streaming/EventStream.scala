@@ -101,6 +101,22 @@ object EventStream {
   def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** Stream-stream band join — the streaming twin of
+    * `TemporalJoin.bandPairs` (q96): right-stream rows within
+    * `[leftTs - band, leftTs)` for the same key, both sides watermarked so
+    * the join state is bounded (rows older than watermark + band are
+    * evicted; that eviction is what makes an always-on two-firehose join
+    * hold O(band) state per key instead of growing forever). */
+  def bandJoinStream(left: DataFrame, right: DataFrame, key: String,
+                     leftTs: String, rightTs: String,
+                     band: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r, expr(
+      s"l.$key = r.$key AND r.$rightTs >= l.$leftTs - INTERVAL $band AND r.$rightTs < l.$leftTs"))
+  }
+
   /** Running per-user totals with explicit state — the
     * `flatMapGroupsWithState` lifecycle (SURVEY §2.10 custom state): state
     * is a (count, exact-decimal cents sum) pair per user, updated per

@@ -129,6 +129,30 @@ class StreamingSpec extends SparkSpec {
     assert(tiers === Map(1L -> "gold", 2L -> null)) // left join keeps unmatched
   }
 
+  test("stream-stream band join matches its batch twin") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val purchases = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = EventStream.bandJoinStream(
+      purchases.toDF().select($"event_id".as("pid"), $"user_id", $"ts"),
+      clicks.toDF().select($"event_id".as("cid"), $"user_id", $"ts".as("cts")),
+      key = "user_id", leftTs = "ts", rightTs = "cts")
+      .writeStream.format("memory").queryName("bj").outputMode("append").start()
+    try {
+      clicks.addData(Ev(10, t(30), 1, "click", 1.0), Ev(11, t(100), 1, "click", 1.0),
+        Ev(12, t(40), 2, "click", 1.0))
+      purchases.addData(Ev(1, t(60), 1, "purchase", 5.0), Ev(2, t(45), 2, "purchase", 2.0))
+      q.processAllAvailable()
+      val pairs = s.table("bj").select("pid", "cid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // purchase 1 @60: click 10 @30 in (0,60) window ✓; click 11 @100 is after ✗
+      // purchase 2 @45: click 12 @40 ✓
+      assert(pairs === Set((1L, 10L), (2L, 12L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals accumulate across micro-batches") {
     val s = spark
     import s.implicits._
