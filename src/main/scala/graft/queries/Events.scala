@@ -15,7 +15,7 @@ import Compat._
   */
 object Events {
 
-  def defs: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q95, q96, q110)
+  def defs: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q95, q96, q110, q111)
 
   /** JSON field extraction (scalar function family, SURVEY §2.9 date/json). */
   val q14 = QueryDef(
@@ -176,6 +176,32 @@ object Events {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"))
       .orderBy("user_id")
+  }
+
+  /** Top-k per group via the bounded-buffer AGGREGATE
+    * (`functions/TopK`): identical output to the q8-style window
+    * formulation (the oracle), but the exchange carries at most k rows
+    * per (partition, group) instead of every row — the difference between
+    * sorting the corpus and sorting k·|groups| at 100 TB. */
+  val q111 = QueryDef(
+    "q111_topk_agg",
+    oracle = Some("""
+      SELECT event_type, rnk, event_id, value FROM (
+        SELECT event_type, event_id, value,
+          CAST(ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY value DESC, event_id) AS BIGINT) AS rnk
+        FROM events WHERE value IS NOT NULL)
+      WHERE rnk <= 5
+      ORDER BY event_type, rnk""")) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(graft.functions.TopK.topK(col("value"), col("event_id"), 5).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(
+        col("event_type"), (col("i") + 1).cast("long").as("rnk"),
+        col("e.id").as("event_id"), col("e.key").as("value"))
+      .orderBy("event_type", "rnk")
   }
 
   /** Backward as-of join: each purchase picks up the user's most recent
