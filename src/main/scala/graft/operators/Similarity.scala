@@ -42,9 +42,20 @@ object Similarity {
     val scored = corpus.join(broadcast(queries), col(id) =!= col(qid))
       .select(col(qid), col(id).as("neighbor"),
         cosine(col(qvec), col(vec)).as("cos"))
-    val w = Window.partitionBy(qid).orderBy(col("cos").desc, col("neighbor"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    topKPerQuery(scored, qid, k)
   }
+
+  /** Shared top-k tail: the bounded-buffer aggregate (`functions/TopK`)
+    * instead of a row_number window — same output (cos desc, ties by
+    * neighbor asc, rnk 1..k), but the exchange after scoring carries at
+    * most k rows per (partition, query) rather than every scored pair.
+    * Null/NaN scores are excluded (a zero-norm vector has no rank). */
+  private def topKPerQuery(scored: DataFrame, qid: String, k: Int): DataFrame =
+    scored.groupBy(col(qid))
+      .agg(graft.functions.TopK.topK(col("cos"), col("neighbor"), k).as("__top"))
+      .select(col(qid), posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col(qid), col("__e.id").as("neighbor"), col("__e.key").as("cos"),
+        (col("__i") + 1).as("rnk"))
 
   /** IVF-style top-k: each query searches only its own cell. `cell` is the
     * coarse-quantizer assignment column present on both sides. */
@@ -56,8 +67,7 @@ object Similarity {
       col(cell) === col(qcell) && col(id) =!= col(qid))
       .select(col(qid), col(id).as("neighbor"),
         cosine(col(qvec), col(vec)).as("cos"))
-    val w = Window.partitionBy(qid).orderBy(col("cos").desc, col("neighbor"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    topKPerQuery(scored, qid, k)
   }
 
   /** nProbe nearest cells by centroid cosine — the IVF probe list
@@ -92,8 +102,7 @@ object Similarity {
       array_contains(col(probes), col(cell)) && col(id) =!= col(qid))
       .select(col(qid), col(id).as("neighbor"),
         cosine(col(qvec), col(vec)).as("cos"))
-    val w = Window.partitionBy(qid).orderBy(col("cos").desc, col("neighbor"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    topKPerQuery(scored, qid, k)
   }
 
   /** Embedding near-duplicate pairs within cells: cosine ≥ threshold.
