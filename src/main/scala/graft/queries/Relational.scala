@@ -18,7 +18,7 @@ import Compat._
 object Relational {
 
   def defs: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13,
-    q100, q101, q103, q104, q105, q107, q109)
+    q100, q101, q103, q104, q105, q107, q109, q112)
 
   /** Flagship: TPC-H Q1-style pricing summary. Single scan, map-side
     * partial aggregation, 6-group output — the canonical "selection
@@ -449,6 +449,29 @@ object Relational {
         dsum(norm6(money(col("l_extendedprice")) * (lit(1) - frac(col("l_discount"))))).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** INTERSECT / EXCEPT set semantics (distinct rows), spliced into one
+    * result with a tag column: nations having both customers and
+    * suppliers vs customer-only nations. */
+  val q112 = QueryDef(
+    "q112_set_ops",
+    oracle = Some("""
+      SELECT 'both' AS side, n_nationkey FROM (
+        SELECT c_nationkey AS n_nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT 'cust_only', n_nationkey FROM (
+        SELECT c_nationkey AS n_nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier)
+      ORDER BY side, n_nationkey""")) { (s, dir) =>
+    val c = Tables.load(s, dir, "customer").select(col("c_nationkey").as("n_nationkey"))
+    val sup = Tables.load(s, dir, "supplier").select(col("s_nationkey").as("n_nationkey"))
+    c.intersect(sup).select(lit("both").as("side"), col("n_nationkey"))
+      .unionByName(c.except(sup).select(lit("cust_only").as("side"), col("n_nationkey")))
+      .orderBy("side", "n_nationkey")
   }
 
   /** Per-group Pearson correlation from exact decimal moment sums — the
