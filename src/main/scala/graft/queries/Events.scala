@@ -15,7 +15,7 @@ import Compat._
   */
 object Events {
 
-  def defs: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q95, q96, q110, q111)
+  def defs: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q95, q96, q110, q111, q113)
 
   /** JSON field extraction (scalar function family, SURVEY §2.9 date/json). */
   val q14 = QueryDef(
@@ -202,6 +202,30 @@ object Events {
         col("event_type"), (col("i") + 1).cast("long").as("rnk"),
         col("e.id").as("event_id"), col("e.key").as("value"))
       .orderBy("event_type", "rnk")
+  }
+
+  /** Value-based RANGE window frame (vs q16's ROWS frame): per-user
+    * rolling one-hour value sum over microsecond offsets. Peers at equal
+    * timestamps are included by both engines' RANGE semantics; the sum is
+    * exact decimal. */
+  val q113 = QueryDef(
+    "q113_range_frame",
+    oracle = Some("""
+      SELECT event_id, user_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+          PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+      FROM events
+      ORDER BY event_id""")) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("tus")
+      .rangeBetween(-3600000000L, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select(
+        col("event_id"), col("user_id"), expr("ts div 1000").as("tus"), col("value"))
+      .select(
+        col("event_id"), col("user_id"),
+        sum(money(col("value"))).over(w).cast("double").as("hour_sum"))
+      .orderBy("event_id")
   }
 
   /** Backward as-of join: each purchase picks up the user's most recent
