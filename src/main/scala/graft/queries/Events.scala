@@ -15,7 +15,8 @@ import Compat._
   */
 object Events {
 
-  def defs: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q95, q96, q110, q111, q113)
+  def defs: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q95, q96, q110, q111, q113,
+    q114, q115)
 
   /** JSON field extraction (scalar function family, SURVEY §2.9 date/json). */
   val q14 = QueryDef(
@@ -226,6 +227,64 @@ object Events {
         col("event_id"), col("user_id"),
         sum(money(col("value"))).over(w).cast("double").as("hour_sum"))
       .orderBy("event_id")
+  }
+
+  /** Cohort retention: weeks-since-signup activity buckets. The signup
+    * anchor is a per-user MIN aggregate joined back onto the stream
+    * (broadcast at small SF via AQE, shuffle join at scale); the week
+    * bucket is floor of a nonnegative exact-integer ratio — identical in
+    * any engine. */
+  val q114 = QueryDef(
+    "q114_cohort_retention",
+    oracle = Some("""
+      WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS signup
+                 FROM events WHERE event_type = 'signup' GROUP BY 1),
+      a AS (SELECT e.user_id,
+              CAST(FLOOR((epoch_us(e.ts) - s.signup) / 604800000000) AS BIGINT) AS wk
+            FROM events e JOIN s USING (user_id)
+            WHERE epoch_us(e.ts) >= s.signup)
+      SELECT wk, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      FROM a GROUP BY 1 ORDER BY wk""")) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("tus").as("signup"))
+    ev.join(signup, Seq("user_id"))
+      .filter(col("tus") >= col("signup"))
+      .select(col("user_id"),
+        floor((col("tus") - col("signup")) / 604800000000L).cast("long").as("wk"))
+      .groupBy("wk")
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy("wk")
+  }
+
+  /** Ordered funnel: view → click → purchase with strictly increasing
+    * first-occurrence times. Null-propagating comparisons mean a missing
+    * step simply fails the predicate in both engines. */
+  val q115 = QueryDef(
+    "q115_funnel",
+    oracle = Some("""
+      WITH m AS (
+        SELECT user_id,
+          MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+          MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+          MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+        FROM events GROUP BY 1)
+      SELECT COUNT(*) AS n_users,
+        CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+        CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+        CAST(SUM(CASE WHEN t_click > t_view AND t_buy > t_click THEN 1 ELSE 0 END) AS BIGINT) AS step_buy
+      FROM m""")) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+    val m = ev.groupBy("user_id").agg(
+      min(when(col("event_type") === "view", col("tus"))).as("t_view"),
+      min(when(col("event_type") === "click", col("tus"))).as("t_click"),
+      min(when(col("event_type") === "purchase", col("tus"))).as("t_buy"))
+    m.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("step_view"),
+      sum(when(col("t_click") > col("t_view"), 1L).otherwise(0L)).as("step_click"),
+      sum(when(col("t_click") > col("t_view") && col("t_buy") > col("t_click"), 1L)
+        .otherwise(0L)).as("step_buy"))
   }
 
   /** Backward as-of join: each purchase picks up the user's most recent
