@@ -15,7 +15,7 @@ object DataPipeline {
   def defs: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
-    q102, q106, q108)
+    q102, q106, q108, q116, q117)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -1016,6 +1016,74 @@ object DataPipeline {
     graft.ml.Features
       .hashedFeatures(Tables.load(s, dir, "documents"), dims = 64)
       .orderBy("doc_id", "dim")
+  }
+
+  /** Cross-source duplicate-leakage matrix: for every duplicate group
+    * (q67's 12-char-prefix identity), the pair count spanning each source
+    * pair — the "is my eval set leaking into training sources" accounting.
+    * Pure combinatorics on per-(group, source) counts: n_a x n_b pairs,
+    * never materializing the pairs themselves. */
+  val q116 = QueryDef(
+    "q116_leakage_matrix",
+    oracle = Some("""
+      WITH g AS (SELECT SUBSTRING(text, 1, 12) AS h, source FROM documents),
+      c AS (SELECT h, source, COUNT(*) AS n FROM g GROUP BY 1, 2),
+      p AS (SELECT a.source AS src_a, b.source AS src_b, a.n * b.n AS npairs
+            FROM c a JOIN c b ON a.h = b.h AND a.source < b.source)
+      SELECT src_a, src_b, CAST(SUM(npairs) AS BIGINT) AS n_pairs
+      FROM p GROUP BY 1, 2
+      ORDER BY src_a, src_b""")) { (s, dir) =>
+    val c = Tables.load(s, dir, "documents")
+      .select(substring(col("text"), 1, 12).as("h"), col("source"))
+      .groupBy("h", "source").agg(count(lit(1)).as("n"))
+    val a = c.select(col("h"), col("source").as("src_a"), col("n").as("na"))
+    val b = c.select(col("h"), col("source").as("src_b"), col("n").as("nb"))
+    a.join(b, a("h") === b("h") && col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(col("na") * col("nb")).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Gopher/C4-style rule accounting: per-rule failure counts over the
+    * corpus (the dashboard view a curation run reports before filtering).
+    * Every rule is an exact integer-ratio or IEEE comparison — no
+    * rounding anywhere. */
+  val q117 = QueryDef(
+    "q117_quality_rules",
+    oracle = Some(s"""
+      WITH d AS (
+        SELECT ${Text.tokenCountSql("text")} AS n_tok,
+          ${Text.meanTokenLengthSql("text")} AS mtl,
+          ${Text.qualityScoreSql("text")} AS q,
+          CASE WHEN len(${gramsAllSql(2)}) > 0
+            THEN 1.0 - CAST(len(list_distinct(${gramsAllSql(2)})) AS DOUBLE) / len(${gramsAllSql(2)})
+          END AS dup_frac
+        FROM documents)
+      SELECT COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) AS BIGINT) AS fail_short,
+        CAST(SUM(CASE WHEN mtl > 8 THEN 1 ELSE 0 END) AS BIGINT) AS fail_long_words,
+        CAST(SUM(CASE WHEN dup_frac > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS fail_repetition,
+        CAST(SUM(CASE WHEN q < 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS fail_low_quality,
+        CAST(SUM(CASE WHEN n_tok >= 20 AND NOT (mtl > 8)
+          AND NOT (dup_frac > 0.2) AND NOT (q < 0.4) THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      FROM d""")) { (s, dir) =>
+    val t = col("text")
+    val grams = Text.shingles(t, 2)
+    val d = Tables.load(s, dir, "documents").select(
+      Text.tokenCount(t).as("n_tok"),
+      Text.meanTokenLength(t).as("mtl"),
+      Text.qualityScore(t).as("q"),
+      when(size(grams) > 0,
+        lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
+        .as("dup_frac"))
+    d.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("n_tok") < 20, 1L).otherwise(0L)).as("fail_short"),
+      sum(when(col("mtl") > 8, 1L).otherwise(0L)).as("fail_long_words"),
+      sum(when(col("dup_frac") > 0.2, 1L).otherwise(0L)).as("fail_repetition"),
+      sum(when(col("q") < 0.4, 1L).otherwise(0L)).as("fail_low_quality"),
+      sum(when(col("n_tok") >= 20 && !(col("mtl") > 8) &&
+        !(col("dup_frac") > 0.2) && !(col("q") < 0.4), 1L).otherwise(0L)).as("n_pass"))
   }
 
   // ---- multimodal ----
