@@ -39,11 +39,19 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      id: String = "vec_id", vec: String = "embedding",
                      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
-    val scored = corpus.join(broadcast(queries), col(id) =!= col(qid))
-      .select(col(qid), col(id).as("neighbor"),
-        cosine(col(qvec), col(vec)).as("cos"))
+    val scored = corpus.withColumn("__nv", norm(col(vec)))
+      .join(broadcast(queries.withColumn("__nq", norm(col(qvec)))), col(id) =!= col(qid))
+      .select(col(qid), col(id).as("neighbor"), pairCos(qvec, vec).as("cos"))
     topKPerQuery(scored, qid, k)
   }
+
+  /** Per-pair cosine with the norms precomputed ONCE per row/query
+    * (`__nq`/`__nv`) instead of per pair — value-identical to
+    * `cosine(qvec, vec)` (same `dot / (normQ * normV)` association, same
+    * sqrt inputs), but the corpus-side norm is evaluated once per row
+    * rather than once per (row × query). */
+  private def pairCos(qvec: String, vec: String): Column =
+    dot(col(qvec), col(vec)) / (col("__nq") * col("__nv"))
 
   /** Shared top-k tail: the bounded-buffer aggregate (`functions/TopK`)
     * instead of a row_number window — same output (cos desc, ties by
@@ -63,10 +71,10 @@ object Similarity {
                cell: String, qcell: String,
                id: String = "vec_id", vec: String = "embedding",
                qid: String = "qid", qvec: String = "qvec"): DataFrame = {
-    val scored = corpus.join(broadcast(queries),
-      col(cell) === col(qcell) && col(id) =!= col(qid))
-      .select(col(qid), col(id).as("neighbor"),
-        cosine(col(qvec), col(vec)).as("cos"))
+    val scored = corpus.withColumn("__nv", norm(col(vec)))
+      .join(broadcast(queries.withColumn("__nq", norm(col(qvec)))),
+        col(cell) === col(qcell) && col(id) =!= col(qid))
+      .select(col(qid), col(id).as("neighbor"), pairCos(qvec, vec).as("cos"))
     topKPerQuery(scored, qid, k)
   }
 
@@ -98,10 +106,10 @@ object Similarity {
                      cell: String, probes: String = "probes",
                      id: String = "vec_id", vec: String = "embedding",
                      qid: String = "qid", qvec: String = "qvec"): DataFrame = {
-    val scored = corpus.join(broadcast(probedQueries),
-      array_contains(col(probes), col(cell)) && col(id) =!= col(qid))
-      .select(col(qid), col(id).as("neighbor"),
-        cosine(col(qvec), col(vec)).as("cos"))
+    val scored = corpus.withColumn("__nv", norm(col(vec)))
+      .join(broadcast(probedQueries.withColumn("__nq", norm(col(qvec)))),
+        array_contains(col(probes), col(cell)) && col(id) =!= col(qid))
+      .select(col(qid), col(id).as("neighbor"), pairCos(qvec, vec).as("cos"))
     topKPerQuery(scored, qid, k)
   }
 
@@ -111,10 +119,13 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, threshold: Double,
                    cell: String, id: String = "vec_id",
                    vec: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(cell).as("cell_a"), col(id).as("id_a"), col(vec).as("v_a"))
-    val b = corpus.select(col(cell).as("cell_b"), col(id).as("id_b"), col(vec).as("v_b"))
+    val a = corpus.select(col(cell).as("cell_a"), col(id).as("id_a"),
+      col(vec).as("v_a"), norm(col(vec)).as("__na"))
+    val b = corpus.select(col(cell).as("cell_b"), col(id).as("id_b"),
+      col(vec).as("v_b"), norm(col(vec)).as("__nb"))
     a.join(b, col("cell_a") === col("cell_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("v_a"), col("v_b")) / (col("__na") * col("__nb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }
