@@ -42,6 +42,25 @@ class SinkSpec extends SparkSpec {
     assert(rows === Seq((1L, None), (2L, Some("en"))))
   }
 
+  test("csv and orc round trips preserve values; orc pushes filters") {
+    val root = Files.createTempDirectory("graft_fmt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+
+    Sink.writeCsv(docs, s"$root/csv")
+    val csvBack = Sink.readCsv(spark, s"$root/csv", schema)
+    assert(csvBack.orderBy("doc_id").collect().map(_.toSeq).toSeq ===
+      docs.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+
+    Sink.writeOrc(docs, s"$root/orc")
+    val orcBack = Sink.readOrc(spark, s"$root/orc").filter($"doc_id" === 7L)
+    assert(orcBack.count() === 1)
+    val p = orcBack.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("doc_id"),
+      s"orc scan should push the id predicate:\n$p")
+  }
+
   test("jsonl round trip with explicit schema preserves values") {
     val dir = Files.createTempDirectory("graft_jsonl").toString + "/docs"
     Sink.writeJsonl(docs, dir, partitionCols = Seq("source"))
