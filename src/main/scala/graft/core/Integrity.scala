@@ -17,12 +17,21 @@ import org.apache.spark.sql.types.{DoubleType, FloatType}
 object Integrity {
 
   /** Per-column NaN / ±Inf counts over the float/double columns (or an
-    * explicit subset). One scan; only offending columns appear. */
+    * explicit subset). One scan; only offending columns appear.
+    *
+    * Explicitly requested columns must exist and be float/double —
+    * otherwise a typo'd list would silently audit nothing and
+    * `assertFinite` would pass vacuously. */
   def finiteReport(df: DataFrame, cols: Seq[String] = Nil): Seq[(String, Long, Long)] = {
-    val floaty = df.schema.fields
+    val allFloaty = df.schema.fields
       .filter(f => f.dataType == DoubleType || f.dataType == FloatType)
       .map(_.name)
-      .filter(n => cols.isEmpty || cols.contains(n))
+    cols.foreach { c =>
+      require(df.columns.contains(c), s"finiteReport: column '$c' does not exist")
+      require(allFloaty.contains(c),
+        s"finiteReport: column '$c' is not float/double — a finite check on it is vacuous")
+    }
+    val floaty = allFloaty.filter(n => cols.isEmpty || cols.contains(n))
     if (floaty.isEmpty) return Seq.empty
     val aggs = floaty.flatMap { c =>
       Seq(

@@ -68,6 +68,11 @@ object UpdateMerge {
     *   - insert: update rows with no base match are appended
     *   - delete: update rows with `deleteCol` = true remove the base row
     *
+    * LIMITATION: because the column-wise resolution is
+    * `coalesce(update, base)`, an update can never set an existing
+    * column to an explicit NULL — the base value resurrects. Model
+    * "clear this field" as a sentinel value or a delete+insert pair.
+    *
     * One shuffle join on the key (full-outer); both sides bucketed by the
     * key (see [[bucketedCheckpoint]]) makes the 100 TB incremental load
     * shuffle-free. Updates must be unique per key — enforce upstream, as
@@ -77,6 +82,12 @@ object UpdateMerge {
     val dataCols = base.columns.filterNot(keys.contains).toSeq
     val updCols = updates.columns.toSet
     require(keys.forall(updCols), s"updates must carry the keys $keys")
+    // a base data column with the delete marker's name would be consumed
+    // by the __del rename and break the final select — fail fast instead
+    deleteCol.foreach { d =>
+      require(!dataCols.contains(d),
+        s"upsertRows: base carries a data column named '$d' (the deleteCol); rename one of them")
+    }
     val renamed = dataCols.filter(updCols).foldLeft(
       deleteCol.map(c => updates.withColumnRenamed(c, "__del")).getOrElse(updates)) {
       (d, c) => d.withColumnRenamed(c, s"__upd_$c")

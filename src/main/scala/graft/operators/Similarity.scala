@@ -29,9 +29,20 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Division that yields NULL (not an ANSI DIVIDE_BY_ZERO error) for a
+    * zero divisor: under Spark 4's default ANSI mode a zero-norm vector
+    * anywhere in a 100 TB corpus would otherwise kill the whole job. A
+    * null cosine then drops out of top-k rankings and `>=` filters. */
+  private def safeDiv(n: Column, d: Column): Column = try_divide(n, d)
+
+  def cosine(a: Column, b: Column): Column = safeDiv(dot(a, b), norm(a) * norm(b))
 
   /** Exact top-k neighbours for each query row.
+    *
+    * Degenerate pairs — zero-norm vectors or mismatched lengths — score
+    * NaN/null and are EXCLUDED from the ranking (may yield < k rows for a
+    * query). This intentionally diverges from a `row_number` window over
+    * `cos DESC`, which would rank NaN first; pinned in `SimilaritySpec`.
     *
     * @param queries  (qid, qvec) — must be small enough to broadcast
     * @param corpus   (id, vec)
@@ -51,7 +62,7 @@ object Similarity {
     * sqrt inputs), but the corpus-side norm is evaluated once per row
     * rather than once per (row × query). */
   private def pairCos(qvec: String, vec: String): Column =
-    dot(col(qvec), col(vec)) / (col("__nq") * col("__nv"))
+    safeDiv(dot(col(qvec), col(vec)), col("__nq") * col("__nv"))
 
   /** Shared top-k tail: the bounded-buffer aggregate (`functions/TopK`)
     * instead of a row_number window — same output (cos desc, ties by
@@ -66,7 +77,9 @@ object Similarity {
         (col("__i") + 1).as("rnk"))
 
   /** IVF-style top-k: each query searches only its own cell. `cell` is the
-    * coarse-quantizer assignment column present on both sides. */
+    * coarse-quantizer assignment column present on both sides.
+    * Degenerate (NaN/null-scoring) pairs are excluded — see
+    * [[bruteForceTopK]]. */
   def cellTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                cell: String, qcell: String,
                id: String = "vec_id", vec: String = "embedding",
@@ -88,7 +101,7 @@ object Similarity {
     val entries = centroids.toSeq.sortBy(_._1).map { case (l, c) =>
       val cArr = array(c.map(lit): _*)
       val cn = math.sqrt(c.map(x => x * x).sum)
-      struct((dot(qvec, cArr) / (norm(qvec) * lit(cn))).as("cos"), lit(l).as("cell"))
+      struct(safeDiv(dot(qvec, cArr), norm(qvec) * lit(cn)).as("cos"), lit(l).as("cell"))
     }
     val sorted = array_sort(array(entries: _*), (a, b) =>
       when(a.getField("cos") > b.getField("cos"), -1)
@@ -101,7 +114,9 @@ object Similarity {
     * cells (`probes`: array<cell> column on the query side, from
     * [[probeCells]]). Each corpus row belongs to exactly one cell, so the
     * membership join scores it at most once per query; at 100 TB with the
-    * corpus partitioned by cell this scans nProbe/nCells of the data. */
+    * corpus partitioned by cell this scans nProbe/nCells of the data.
+    * Degenerate (NaN/null-scoring) pairs are excluded — see
+    * [[bruteForceTopK]]. */
   def multiProbeTopK(corpus: DataFrame, probedQueries: DataFrame, k: Int,
                      cell: String, probes: String = "probes",
                      id: String = "vec_id", vec: String = "embedding",
@@ -125,7 +140,7 @@ object Similarity {
       col(vec).as("v_b"), norm(col(vec)).as("__nb"))
     a.join(b, col("cell_a") === col("cell_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (dot(col("v_a"), col("v_b")) / (col("__na") * col("__nb"))).as("cos"))
+        safeDiv(dot(col("v_a"), col("v_b")), col("__na") * col("__nb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

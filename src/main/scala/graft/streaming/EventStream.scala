@@ -134,6 +134,11 @@ object EventStream {
     val s = events.sparkSession
     import s.implicits._
     events
+      // drop null keys/values BEFORE the primitive-tuple cast: the corpus
+      // has nullable `value`, and a null reaching the (Long, Long) encoder
+      // kills the streaming query with "Null value appeared in
+      // non-nullable field" at runtime
+      .filter(col(user).isNotNull && col(value).isNotNull)
       // exact decimal cents (a double *100 truncation would drop a cent)
       .select(col(user).cast("long"),
         (col(value).cast("decimal(18,2)") * 100).cast("long"))

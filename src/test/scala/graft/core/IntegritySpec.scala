@@ -19,6 +19,18 @@ class IntegritySpec extends SparkSpec {
     assert(Integrity.finiteReport(Seq((1L, "x")).toDF("id", "s")).isEmpty) // no float cols
   }
 
+  test("finiteReport rejects missing or non-float requested columns (no vacuous pass)") {
+    val df = Seq((1L, Double.NaN, "x")).toDF("id", "d", "s")
+    val typo = intercept[IllegalArgumentException](
+      Integrity.assertFinite(df, Seq("dd")))
+    assert(typo.getMessage.contains("'dd'"))
+    val nonFloat = intercept[IllegalArgumentException](
+      Integrity.assertFinite(df, Seq("s")))
+    assert(nonFloat.getMessage.contains("not float/double"))
+    // a correctly-named float column still checks
+    intercept[IllegalArgumentException](Integrity.assertFinite(df, Seq("d")))
+  }
+
   test("assertNoOverlap flags a column produced twice, keys exempt") {
     val a = Seq((1L, 2.0)).toDF("event", "x")
     val b = Seq((1L, 3.0)).toDF("event", "y")

@@ -108,4 +108,14 @@ class UpdateMergeSpec extends SparkSpec {
       .orderBy("k").as[(Long, Double)].collect().toSeq
     assert(out === Seq((1L, 11.0), (2L, 22.0)))
   }
+
+  test("upsertRows fails fast if base carries a data column named like deleteCol") {
+    val s = spark
+    import s.implicits._
+    val b = Seq((1L, 10.0, false)).toDF("k", "v", "del")
+    val u = Seq((1L, 11.0, false)).toDF("k", "v", "del")
+    val e = intercept[IllegalArgumentException](
+      UpdateMerge.upsertRows(b, u, Seq("k"), deleteCol = Some("del")))
+    assert(e.getMessage.contains("'del'"))
+  }
 }

@@ -176,6 +176,27 @@ class StreamingSpec extends SparkSpec {
       assert(all.contains((2L, 1L, 110L)))
     } finally q.stop()
   }
+
+  test("runningUserStats survives null user/value rows (dropped, not a crash)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[NullableEv]
+    val q = EventStream.runningUserStats(input.toDF())
+      .writeStream.format("memory").queryName("rusnull").outputMode("update").start()
+    try {
+      // the corpus has nullable `value`: a null here used to kill the query
+      // with "Null value appeared in non-nullable field" at the tuple cast
+      input.addData(NullableEv(Some(1L), Some(2.50)), NullableEv(Some(1L), None),
+        NullableEv(None, Some(9.99)))
+      q.processAllAvailable()
+      val rows = s.table("rusnull").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows === Set((1L, 1L, 250L)))
+    } finally q.stop()
+  }
 }
+
+case class NullableEv(user_id: Option[Long], value: Option[Double])
 
 case class Doc(doc_id: Long, text: String, source: String)
