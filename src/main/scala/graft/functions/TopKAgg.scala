@@ -33,6 +33,7 @@ case class TopK(
     child: Expression,
     k: Int,
     largest: Boolean,
+    distinct: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopK.Buffer] with UnaryLike[Expression] {
@@ -64,6 +65,9 @@ case class TopK(
     // find insertion point (k is small — linear is fine and branch-cheap)
     var pos = if (buf.n == k) k - 1 else buf.n
     while (pos > 0 && better(key, id, buf.keys(pos - 1), buf.ids(pos - 1))) pos -= 1
+    // distinct mode (KMV sketches): an exact (key, id) duplicate sits
+    // immediately before the insertion point (ordering is total) — skip it
+    if (distinct && pos > 0 && buf.keys(pos - 1) == key && buf.ids(pos - 1) == id) return
     var i = math.min(buf.n, k - 1)
     while (i > pos) { buf.keys(i) = buf.keys(i - 1); buf.ids(i) = buf.ids(i - 1); i -= 1 }
     buf.keys(pos) = key
@@ -129,4 +133,16 @@ object TopK {
         ColumnBridge.expression(
           struct(order.cast("double").as("key"), id.cast("long").as("id"))),
         k, largest).toAggregateExpression())
+
+  /** Bottom-k DISTINCT (key, id) pairs — the KMV-sketch building block:
+    * k smallest distinct hashes per group in O(k) state. Exactness trick:
+    * order by (double(h), h) — the double cast is monotone, exact-long
+    * ties break on the id — so the buffer holds the exact k smallest
+    * longs even where doubles collide. */
+  def bottomKDistinct(order: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopK(
+        ColumnBridge.expression(
+          struct(order.cast("double").as("key"), id.cast("long").as("id"))),
+        k, largest = false, distinct = true).toAggregateExpression())
 }

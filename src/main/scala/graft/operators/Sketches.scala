@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Seeds, TopK}
+
+/** Mergeable cardinality / frequency sketches for 100 TB-scale profiling.
+  *
+  * Exact `COUNT(DISTINCT x)` over a petabyte table is a full shuffle of
+  * every distinct value; exact per-key frequencies need a groupBy as wide
+  * as the key space. The sketch versions bound both state and exchange:
+  *
+  *   - KMV (k minimum values) distinct-count sketch: keep the k smallest
+  *     DISTINCT hash values per group — O(k) state via the bounded-buffer
+  *     [[graft.functions.TopK]] aggregate, so the exchange carries ≤ k
+  *     longs per (partition, group) with full map-side partial
+  *     aggregation. Estimator: (k−1)/U(k) where U(k) is the k-th order
+  *     statistic mapped to [0,1). Sketches MERGE (union, re-take k
+  *     smallest) — the rollup property exact distinct counts lack.
+  *   - Count-min frequency sketch: a d×w counter grid; every value
+  *     increments one counter per row via independent salted hashes, a
+  *     point estimate is the min over its d counters (always ≥ truth).
+  *     Building is a map-side-combined count onto d·w cells — a 100 TB
+  *     scan exchanges kilobytes.
+  *
+  * Both use the engine-portable md5-lower-64 hash ([[Seeds.portableHash64]])
+  * so a DuckDB oracle re-derives identical sketches, and both estimators
+  * are pure IEEE `+ / cast` arithmetic — bit-identical across engines with
+  * no rounding tolerance needed.
+  */
+object Sketches {
+
+  private val TWO63 = 9223372036854775808.0 // 2^63 (exact double)
+  private val TWO64 = 1.8446744073709551616e19 // 2^64 (exact double)
+
+  /** Signed portable hash of a value (md5 lower 64, two's complement). */
+  def valueHash(value: Column): Column = Seeds.portableHash64(value.cast("string"))
+
+  /** KMV sketch column: ascending array of the k smallest distinct signed
+    * hashes of `value` (signed order == unsigned-uniform order shifted —
+    * the estimator accounts for the shift). Use inside `groupBy(...).agg`. */
+  def kmvSketch(value: Column, k: Int): Column = {
+    val h = valueHash(value)
+    transform(TopK.bottomKDistinct(h, h, k), _.getField("id"))
+  }
+
+  /** Distinct-count estimate from a KMV sketch: exact size when the set
+    * never filled the buffer, else (k−1)/U(k) with
+    * U(k) = (h(k) + 2^63) / 2^64 ∈ (0, 1). */
+  def kmvEstimate(kmv: Column, k: Int): Column =
+    when(size(kmv) < k, size(kmv).cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        ((element_at(kmv, k).cast("double") + lit(TWO63)) / lit(TWO64)))
+
+  /** Merge two KMV sketches: k smallest distinct of the union. Pure
+    * builtin HOFs — mergeable in SQL, in a reduce, or across files. */
+  def kmvMerge(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** DuckDB mirror of the signed lower-64 md5 hash given a hex column
+    * reference (16 digit extractions re-signed through HUGEINT). */
+  def signed64FromHexSql(hx: String): String = {
+    val terms = (0 until 16).map { i =>
+      s"CAST(instr('0123456789abcdef', substring($hx, ${17 + i}, 1)) - 1 AS HUGEINT) * ${BigInt(16).pow(15 - i)}"
+    }.mkString(" + ")
+    s"CAST(CASE WHEN ($terms) >= 9223372036854775808 THEN ($terms) - 18446744073709551616 ELSE ($terms) END AS BIGINT)"
+  }
+
+  /** DuckDB mirror of [[kmvEstimate]] given a sorted distinct-hash list
+    * column `hs` and its length `nd`. */
+  def kmvEstimateSql(hs: String, nd: String, k: Int): String =
+    s"CASE WHEN $nd < $k THEN CAST($nd AS DOUBLE) ELSE ${(k - 1).toDouble} / " +
+      s"((CAST($hs[$k] AS DOUBLE) + 9223372036854775808.0) / 18446744073709551616.0) END"
+
+  // ---- count-min ----
+
+  private def cmsCol(value: Column, j: Int, w: Int): Column =
+    pmod(valueHash(concat(lit(s"cms$j|"), value.cast("string"))), lit(w.toLong))
+
+  /** Build the d×w counter grid over `value` (optionally weighted):
+    * one row per non-empty cell — (row_idx, col_idx, counter). */
+  def cmsSketch(df: DataFrame, value: Column, d: Int = 4, w: Int = 256,
+                weight: Column = lit(1L)): DataFrame = {
+    require(d >= 1 && w >= 2)
+    df.select(weight.cast("long").as("__w"),
+        posexplode(array((0 until d).map(j => cmsCol(value, j, w)): _*))
+          .as(Seq("row_idx", "col_idx")))
+      .groupBy("row_idx", "col_idx")
+      .agg(sum("__w").as("counter"))
+  }
+
+  /** Point-frequency estimates for `probes` (column `probe`): min over the
+    * d counters each probe hashes to. The sketch is d·w rows — broadcast;
+    * absent cells count 0. Estimates are exact-or-over, never under. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, d: Int = 4, w: Int = 256): DataFrame = {
+    val exploded = probes.select(col("probe"),
+      posexplode(array((0 until d).map(j => cmsCol(col("probe"), j, w)): _*))
+        .as(Seq("row_idx", "col_idx")))
+    exploded.join(broadcast(sketch), Seq("row_idx", "col_idx"), "left")
+      .groupBy("probe")
+      .agg(min(coalesce(col("counter"), lit(0L))).as("est"))
+  }
+}

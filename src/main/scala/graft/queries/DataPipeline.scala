@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.Text
-import graft.operators.{Curation, Dedup, Multimodal, Quantize, Similarity}
+import graft.operators.{Curation, Dedup, Multimodal, Quantize, Similarity, Sketches}
 
 /** LLM-training-data pipeline family over `documents` and `embeddings`:
   * text analysis, deduplication (exact / MinHash-LSH / SimHash / blocked
@@ -15,7 +15,7 @@ object DataPipeline {
   def defs: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
-    q102, q106, q108, q116, q117)
+    q102, q106, q108, q116, q117, q118, q119)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -1119,5 +1119,85 @@ object DataPipeline {
         countDistinct(col("stats.content_digest")).as("n_distinct_payload"),
         sum(col("meta.width").cast("long")).as("sum_width"))
       .orderBy("source")
+  }
+
+  // ---- sketches ----
+
+  /** KMV distinct-count sketch vs exact: per order priority, estimate
+    * distinct customers from the k=128 smallest distinct portable hashes
+    * (O(k) aggregation state — the 100 TB COUNT DISTINCT without the
+    * distinct shuffle) next to the true count. The oracle re-derives the
+    * identical sketch; the estimator is pure IEEE `+ / cast` arithmetic,
+    * so the estimate hash-matches bit-for-bit. */
+  val q118 = QueryDef(
+    "q118_kmv_distinct",
+    oracle = Some(s"""
+      WITH s AS (
+        SELECT o_orderpriority AS priority,
+          ${Sketches.signed64FromHexSql("md5(CAST(o_custkey AS VARCHAR))")} AS h
+        FROM orders),
+      d AS (
+        SELECT priority, list_sort(list(DISTINCT h)) AS hs, COUNT(DISTINCT h) AS nd
+        FROM s GROUP BY priority),
+      x AS (
+        SELECT o_orderpriority AS priority,
+          COUNT(DISTINCT o_custkey) AS exact_distinct
+        FROM orders GROUP BY 1)
+      SELECT d.priority, exact_distinct,
+        ${Sketches.kmvEstimateSql("hs", "nd", 128)} AS est_distinct
+      FROM d JOIN x USING (priority)
+      ORDER BY priority""")) { (s, dir) =>
+    val orders = Tables.load(s, dir, "orders")
+    orders.groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        Sketches.kmvSketch(col("o_custkey"), k = 128).as("kmv"),
+        countDistinct(col("o_custkey")).as("exact_distinct"))
+      .select(col("priority"), col("exact_distinct"),
+        Sketches.kmvEstimate(col("kmv"), k = 128).as("est_distinct"))
+      .orderBy("priority")
+  }
+
+  /** Count-min frequency sketch vs exact: build a 4×256 counter grid over
+    * lineitem suppliers (map-side-combined — a 100 TB scan exchanges
+    * kilobytes), then point-estimate ten probe suppliers. CMS never
+    * underestimates; the oracle rebuilds the identical grid from the same
+    * salted portable hashes, so estimates match exactly. */
+  val q119 = QueryDef(
+    "q119_cms_heavy",
+    oracle = Some(s"""
+      WITH arms AS (SELECT unnest([0, 1, 2, 3]) AS row_idx),
+      cells AS (
+        SELECT row_idx,
+          ((${Sketches.signed64FromHexSql("md5('cms' || row_idx || '|' || CAST(l_suppkey AS VARCHAR))")} % 256) + 256) % 256 AS col_idx,
+          CAST(COUNT(*) AS BIGINT) AS counter
+        FROM lineitem CROSS JOIN arms
+        GROUP BY 1, 2),
+      probes AS (
+        SELECT s_suppkey AS probe, row_idx,
+          ((${Sketches.signed64FromHexSql("md5('cms' || row_idx || '|' || CAST(s_suppkey AS VARCHAR))")} % 256) + 256) % 256 AS col_idx
+        FROM supplier CROSS JOIN arms
+        WHERE s_suppkey <= 10),
+      est AS (
+        SELECT probe, MIN(COALESCE(counter, 0)) AS est
+        FROM probes LEFT JOIN cells USING (row_idx, col_idx)
+        GROUP BY probe),
+      x AS (
+        SELECT l_suppkey AS probe, CAST(COUNT(*) AS BIGINT) AS exact_count
+        FROM lineitem WHERE l_suppkey <= 10 GROUP BY 1)
+      SELECT probe, exact_count, est AS est_count
+      FROM est JOIN x USING (probe)
+      ORDER BY probe""")) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+    val sketch = Sketches.cmsSketch(li, col("l_suppkey"), d = 4, w = 256)
+    val probes = Tables.load(s, dir, "supplier")
+      .filter(col("s_suppkey") <= 10).select(col("s_suppkey").as("probe"))
+    val exact = li.filter(col("l_suppkey") <= 10)
+      .groupBy(col("l_suppkey").as("probe"))
+      .agg(count(lit(1)).as("exact_count"))
+    Sketches.cmsEstimate(sketch, probes, d = 4, w = 256)
+      .withColumnRenamed("est", "est_count")
+      .join(exact, Seq("probe"))
+      .select(col("probe"), col("exact_count"), col("est_count"))
+      .orderBy("probe")
   }
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TopK
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bottomKDistinct keeps each hash once (duplicates don't eat buffer slots)") {
+    // 3 distinct values, each repeated 5 times; k=3 must capture all 3
+    val df = (0 until 15).map(i => ("g", s"v${i % 3}")).toDF("g", "v")
+    val out = df.groupBy("g")
+      .agg(Sketches.kmvSketch(col("v"), k = 3).as("kmv"))
+      .select(size(col("kmv"))).as[Int].head()
+    assert(out === 3)
+  }
+
+  test("kmvEstimate is exact below k and within tolerance above") {
+    val df = (1 to 2000).map(i => (if (i <= 40) "small" else "big", s"val$i"))
+      .toDF("g", "v")
+    val est = df.groupBy("g")
+      .agg(Sketches.kmvSketch(col("v"), k = 128).as("kmv"))
+      .select(col("g"), Sketches.kmvEstimate(col("kmv"), k = 128).as("est"))
+      .as[(String, Double)].collect().toMap
+    assert(est("small") === 40.0) // below k: exact
+    // 1960 distinct with k=128: relative error ~1/sqrt(k) ≈ 9%
+    assert(math.abs(est("big") - 1960.0) / 1960.0 < 0.3)
+  }
+
+  test("kmvMerge of group sketches equals the sketch of the union") {
+    val k = 64
+    val df = (1 to 1000).map(i => (s"g${i % 4}", s"item$i")).toDF("g", "v")
+    val merged = df.groupBy("g")
+      .agg(Sketches.kmvSketch(col("v"), k).as("kmv"))
+      .agg(collect_list(col("kmv")).as("all"))
+      .select(aggregate(col("all"),
+        typedLit(Seq.empty[Long]),
+        (acc, x) => Sketches.kmvMerge(acc, x, k)).as("m"))
+      .as[Seq[Long]].head()
+    val direct = df.groupBy(lit(1))
+      .agg(Sketches.kmvSketch(col("v"), k).as("kmv"))
+      .select(col("kmv")).as[Seq[Long]].head()
+    assert(merged === direct)
+  }
+
+  test("repartition-stable: the sketch is identical under different partitionings") {
+    val df = (1 to 500).map(i => ("g", s"x$i")).toDF("g", "v")
+    def sketch(parts: Int) = df.repartition(parts).groupBy("g")
+      .agg(Sketches.kmvSketch(col("v"), 32).as("kmv"))
+      .select(col("kmv")).as[Seq[Long]].head()
+    assert(sketch(1) === sketch(7))
+  }
+
+  test("cmsEstimate never underestimates and is exact for dominant keys") {
+    val rows = (1 to 900).map(i => s"k${i % 3}") ++ Seq.fill(100)("heavy")
+    val df = rows.toDF("v")
+    val sketch = Sketches.cmsSketch(df, col("v"), d = 4, w = 64)
+    val probes = Seq("k0", "k1", "k2", "heavy", "absent").toDF("probe")
+    val est = Sketches.cmsEstimate(sketch, probes, d = 4, w = 64)
+      .as[(String, Long)].collect().toMap
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    Seq("k0", "k1", "k2", "heavy").foreach { p =>
+      assert(est(p) >= truth(p), s"$p underestimated")
+    }
+    // w=64 with 4 distinct keys: collisions vanishingly unlikely → exact
+    assert(est("heavy") === 100L)
+    assert(est("absent") <= 300L) // bounded by collisions, never huge
+  }
+
+  test("TopK largest mode is unaffected by the distinct flag default") {
+    val df = Seq((1.0, 10L), (3.0, 30L), (2.0, 20L), (3.0, 31L)).toDF("v", "id")
+    val out = df.agg(TopK.topK(col("v"), col("id"), 2).as("t"))
+      .select(transform(col("t"), _.getField("id")).as("ids"))
+      .as[Seq[Long]].head()
+    assert(out === Seq(30L, 31L))
+  }
+}
