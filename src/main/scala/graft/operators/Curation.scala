@@ -201,6 +201,27 @@ object Curation {
         (pmod(col("cum_before"), lit(budget)) + col("n_tok")) > budget)
   }
 
+  /** Deterministic global shuffle for training-data ordering: assign each
+    * row a shard and an intra-shard position from a salted portable hash.
+    * This is how a 100 TB corpus is "shuffled" without a global sort —
+    * shard assignment is pure map-side arithmetic, and only each shard
+    * (corpus/nShards) is sorted, in parallel, by its own window. Changing
+    * `salt` produces an independent permutation (per-epoch reshuffles);
+    * the result is repartition-stable and engine-portable (md5 hash).
+    * Hash ties (≈2⁻⁶⁴) break on the id, keeping the order total. */
+  def deterministicShuffle(df: DataFrame, idCol: String, nShards: Int,
+                           salt: String = "shuffle"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards >= 1)
+    val h = graft.functions.Seeds.portableHash64(
+      concat(lit(s"$salt|"), col(idCol).cast("string")))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("__h"), col(idCol))))
+      .drop("__h")
+  }
+
   /** DuckDB mirror of `stratifiedSample`'s keep predicate (same md5-hex
     * uniform, same CASE rate table) for oracle queries. */
   def stratifiedSampleSql(rates: Map[String, Double],

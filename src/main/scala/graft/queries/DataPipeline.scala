@@ -15,7 +15,7 @@ object DataPipeline {
   def defs: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
-    q102, q106, q108, q116, q117, q118, q119)
+    q102, q106, q108, q116, q117, q118, q119, q120)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -1199,5 +1199,35 @@ object DataPipeline {
       .join(exact, Seq("probe"))
       .select(col("probe"), col("exact_count"), col("est_count"))
       .orderBy("probe")
+  }
+
+  /** Deterministic training-data shuffle: salted-hash shard assignment +
+    * intra-shard order — the 100 TB reshuffle with no global sort (shards
+    * sort in parallel; the salt is the epoch). The order fingerprint
+    * Σ doc_id·pos pins the exact permutation, so the hash-match proves
+    * both engines derive the identical shuffled order. */
+  val q120 = QueryDef(
+    "q120_deterministic_shuffle",
+    oracle = Some(s"""
+      WITH h AS (
+        SELECT doc_id,
+          ${Sketches.signed64FromHexSql("md5('epoch1|' || CAST(doc_id AS VARCHAR))")} AS h
+        FROM documents),
+      s AS (
+        SELECT doc_id, ((h % 8) + 8) % 8 AS shard,
+          ROW_NUMBER() OVER (PARTITION BY ((h % 8) + 8) % 8 ORDER BY h, doc_id) AS pos
+        FROM h)
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(doc_id * pos) AS BIGINT) AS order_fingerprint,
+        MIN(CASE WHEN pos = 1 THEN doc_id END) AS first_doc
+      FROM s GROUP BY shard ORDER BY shard""")) { (s, dir) =>
+    Curation.deterministicShuffle(
+        Tables.load(s, dir, "documents"), idCol = "doc_id", nShards = 8, salt = "epoch1")
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id") * col("pos")).as("order_fingerprint"),
+        min(when(col("pos") === 1, col("doc_id"))).as("first_doc"))
+      .orderBy("shard")
   }
 }

@@ -16,7 +16,7 @@ import Compat._
 object Events {
 
   def defs: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q95, q96, q110, q111, q113,
-    q114, q115)
+    q114, q115, q121, q122)
 
   /** JSON field extraction (scalar function family, SURVEY §2.9 date/json). */
   val q14 = QueryDef(
@@ -350,5 +350,75 @@ object Events {
         coalesce(col("nc"), lit(0L)).as("n_clicks"),
         coalesce(col("cv").cast("double"), lit(0.0)).as("click_value"))
       .orderBy("event_id")
+  }
+
+  /** SCD-2 history build (`History.scd2`): every purchase becomes a
+    * versioned dimension row with its validity interval — one window per
+    * user, no self-join. Micros longs keep the intervals integer-exact. */
+  val q121 = QueryDef(
+    "q121_scd2_history",
+    oracle = Some("""
+      SELECT user_id, event_id, value,
+        epoch_us(ts) AS eff_from,
+        LEAD(epoch_us(ts)) OVER
+          (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS eff_to,
+        CAST(CASE WHEN LEAD(epoch_us(ts)) OVER
+          (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+          THEN 1 ELSE 0 END AS INT) AS is_current
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+      ORDER BY user_id, eff_from, event_id""")) { (s, dir) =>
+    val changes = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts_us")).as("tus"))
+    graft.operators.History.scd2(changes, Seq("user_id"), "tus", "event_id")
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("eff_from"), col("eff_to"), col("is_current"))
+      .orderBy("user_id", "eff_from", "event_id")
+  }
+
+  /** Fixed-point PageRank (`Graph.pageRankScaled`) over the user↔item
+    * click graph (items from the props JSON, namespaced at 10^6). Ranks
+    * are scaled longs with integer floor-division updates — order-free
+    * sums, so three unrolled oracle iterations hash-match bit-for-bit.
+    * Each Spark iteration is one key-shuffle; hub skew is AQE's job. */
+  val q122 = QueryDef(
+    "q122_pagerank",
+    oracle = Some {
+      def step(i: Int, prev: String) = s"""
+      s$i AS (SELECT e.dst AS node, SUM(r.r // d.d) AS s
+        FROM edges e JOIN $prev r ON e.src = r.node JOIN deg d ON e.src = d.src
+        GROUP BY 1),
+      r$i AS (SELECT nodes.node,
+        CAST(((15 * (1000000000000 // cnt.n)) // 100)
+          + ((85 * COALESCE(s$i.s, 0)) // 100) AS BIGINT) AS r
+        FROM nodes CROSS JOIN cnt LEFT JOIN s$i ON nodes.node = s$i.node)"""
+      s"""
+      WITH e0 AS (SELECT DISTINCT user_id AS u,
+          1000000 + CAST(json_extract_string(props, '$$.k') AS BIGINT) AS it
+        FROM events WHERE event_type = 'click'),
+      edges AS (SELECT u AS src, it AS dst FROM e0
+                UNION ALL SELECT it AS src, u AS dst FROM e0),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      cnt AS (SELECT COUNT(*) AS n FROM nodes),
+      deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+      r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes CROSS JOIN cnt),
+      ${step(1, "r0")},
+      ${step(2, "r1")},
+      ${step(3, "r2")}
+      SELECT node, r AS rank_scaled FROM r3
+      ORDER BY rank_scaled DESC, node LIMIT 20"""
+    }) { (s, dir) =>
+    val clicks = Tables.load(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("u"),
+        (get_json_object(col("props"), "$.k").cast("long") + 1000000L).as("it"))
+      .distinct()
+    val edges = clicks.select(col("u").as("src"), col("it").as("dst"))
+      .union(clicks.select(col("it").as("src"), col("u").as("dst")))
+    graft.operators.Graph.pageRankScaled(edges, iterations = 3)
+      .orderBy(col("rank_scaled").desc, col("node"))
+      .limit(20)
   }
 }

@@ -18,7 +18,7 @@ import Compat._
 object Relational {
 
   def defs: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13,
-    q100, q101, q103, q104, q105, q107, q109, q112)
+    q100, q101, q103, q104, q105, q107, q109, q112, q123, q124)
 
   /** Flagship: TPC-H Q1-style pricing summary. Single scan, map-side
     * partial aggregation, 6-group output — the canonical "selection
@@ -566,5 +566,61 @@ object Relational {
         max("n").as("n"),
         sum(when(abs(z) > 2, 1L).otherwise(0L)).as("n_outliers"))
       .orderBy("event_type")
+  }
+
+  /** ROLLUP hierarchy with GROUPING flags — the subtotal companion of
+    * q6's CUBE: per-(flag, status), per-flag, and grand-total rows
+    * distinguished by the grouping level, one aggregation pass. */
+  val q123 = QueryDef(
+    "q123_rollup",
+    oracle = Some("""
+      SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        COALESCE(l_linestatus, 'ALL') AS lstatus,
+        CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS lvl,
+        COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY lvl, rflag, lstatus""")) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("int").as("lvl"),
+        count(lit(1)).as("n"),
+        sum("l_quantity").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("lvl"), col("n"), col("sum_qty"))
+      .orderBy("lvl", "rflag", "lstatus")
+  }
+
+  /** Z-order (Morton) locality audit (`Layout.zValue16`): interleave two
+    * 8-bit key projections and show that every 1/64 z-range bounds BOTH
+    * dimensions tightly — the file-statistics property a z-ordered layout
+    * gives multi-column data skipping at 100 TB. Pure shift/mask integer
+    * arithmetic, identical in any engine. */
+  val q124 = QueryDef(
+    "q124_zorder_locality",
+    oracle = Some(s"""
+      WITH z AS (
+        SELECT ${graft.operators.Layout.zValue16Sql("l_partkey % 256", "l_suppkey % 256")} AS zv,
+          l_partkey % 256 AS px, l_suppkey % 256 AS sx
+        FROM lineitem)
+      SELECT zv >> 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        MIN(px) AS min_p, MAX(px) AS max_p,
+        MIN(sx) AS min_s, MAX(sx) AS max_s
+      FROM z GROUP BY bucket ORDER BY bucket""")) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .select(
+        pmod(col("l_partkey"), lit(256L)).as("px"),
+        pmod(col("l_suppkey"), lit(256L)).as("sx"))
+      .withColumn("zv", graft.operators.Layout.zValue16(col("px"), col("sx")))
+      .groupBy(shiftright(col("zv"), 10).as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min("px").as("min_p"), max("px").as("max_p"),
+        min("sx").as("min_s"), max("sx").as("max_s"))
+      .orderBy("bucket")
   }
 }

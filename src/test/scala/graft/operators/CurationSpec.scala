@@ -106,4 +106,32 @@ class CurationSpec extends SparkSpec {
     assert(out((3L, 1)) == (("shared", 0.0)))
     assert(!out.contains((3L, 2)))
   }
+
+  test("deterministicShuffle is a permutation: contiguous positions, stable, salt-sensitive") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 300L).toDF("id")
+    val out = Curation.deterministicShuffle(df, "id", nShards = 4, salt = "e1")
+    assert(out.count() === 300)
+    // every shard's positions are exactly 1..n_shard
+    val byShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"),
+        countDistinct("pos").as("nd"))
+      .collect()
+    assert(byShard.length === 4)
+    byShard.foreach { r =>
+      assert(r.getAs[Long]("mn") === 1L)
+      assert(r.getAs[Int]("mx").toLong === r.getAs[Long]("n"))
+      assert(r.getAs[Long]("nd") === r.getAs[Long]("n"))
+    }
+    // repartition-stable
+    val again = Curation.deterministicShuffle(df.repartition(7), "id", 4, "e1")
+    assert(out.orderBy("shard", "pos").collect().toSeq ===
+      again.orderBy("shard", "pos").collect().toSeq)
+    // a different salt yields a different permutation
+    val other = Curation.deterministicShuffle(df, "id", 4, "e2")
+    val a = out.orderBy("shard", "pos").select("id").as[Long].collect().toSeq
+    val b = other.orderBy("shard", "pos").select("id").as[Long].collect().toSeq
+    assert(a !== b)
+  }
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // undirected path a—b—c (symmetrized): b has degree 2, a and c degree 1
+  private def pathEdges = Seq(
+    (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)
+  ).toDF("src", "dst")
+
+  test("pageRankScaled matches the hand-unrolled fixed-point update") {
+    val out = Graph.pageRankScaled(pathEdges, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // n=3, scale=1e12: r0 = 333333333333 each; base = (15 * r0) / 100
+    val r0 = 1000000000000L / 3
+    val base = (15L * r0) / 100
+    // a receives b's half; b receives a + c whole; c receives b's half
+    val half = r0 / 2
+    assert(out(1L) === base + (85L * half) / 100)
+    assert(out(2L) === base + (85L * (r0 + r0)) / 100)
+    assert(out(3L) === base + (85L * half) / 100)
+  }
+
+  test("the hub outranks leaves and total mass stays ≈ scale") {
+    val ranks = Graph.pageRankScaled(pathEdges, iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(2L) > ranks(1L) && ranks(2L) > ranks(3L))
+    val total = ranks.values.sum
+    // floor losses only: within 100 units of the scale per node
+    assert(math.abs(total - 1000000000000L) < 1000L)
+  }
+
+  test("integer ranks are bit-identical under different partitionings") {
+    val edges = (1L to 40L).flatMap { i =>
+      val j = i % 20 + 1 // ring-ish multigraph
+      Seq((i, j), (j, i))
+    }.toDF("src", "dst")
+    def run(parts: Int) = Graph.pageRankScaled(edges.repartition(parts), 4)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(2) === run(13))
+  }
+}
