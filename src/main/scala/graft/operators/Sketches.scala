@@ -101,4 +101,45 @@ object Sketches {
       .groupBy("probe")
       .agg(min(coalesce(col("counter"), lit(0L))).as("est"))
   }
+
+  // ---- bloom ----
+
+  /** 63 usable bits per word: bit positions stay ≤ 62 so `1 << bit` never
+    * overflows a signed 64-bit value in ANY engine (DuckDB raises on
+    * `1::BIGINT << 63`). */
+  private val BloomBitsPerWord = 63L
+
+  private def bloomPos(value: Column, j: Int, mBits: Long): Column =
+    pmod(valueHash(concat(lit(s"bloom$j|"), value.cast("string"))), lit(mBits))
+
+  /** Build a Bloom filter over `value`: (word_idx, bits) rows, one per
+    * non-empty word — `bit_or` partial-aggregates map-side, so a 100 TB
+    * key scan exchanges at most `words` longs per partition. The filter
+    * then BROADCASTS to membership tests — the decontamination pattern
+    * that replaces joining the corpus against the eval set with a
+    * map-side bit probe. */
+  def bloomBuild(df: DataFrame, value: Column, words: Int, k: Int): DataFrame = {
+    require(words >= 1 && k >= 1)
+    val mBits = words * BloomBitsPerWord
+    df.select(explode(array((0 until k).map(j => bloomPos(value, j, mBits)): _*)).as("p"))
+      .select(expr(s"p div $BloomBitsPerWord").as("word_idx"),
+        expr(s"shiftleft(bigint(1), int(p % $BloomBitsPerWord))").as("mask"))
+      .groupBy("word_idx")
+      .agg(expr("bit_or(mask)").as("bits"))
+  }
+
+  /** Membership test: 1 iff ALL k bits are set (may false-positive, never
+    * false-negative). `probes` carries a `probe` column. */
+  def bloomMightContain(sketch: DataFrame, probes: DataFrame, words: Int, k: Int): DataFrame = {
+    val mBits = words * BloomBitsPerWord
+    probes
+      .select(col("probe"),
+        explode(array((0 until k).map(j => bloomPos(col("probe"), j, mBits)): _*)).as("p"))
+      .select(col("probe"), expr(s"p div $BloomBitsPerWord").as("word_idx"),
+        expr(s"shiftleft(bigint(1), int(p % $BloomBitsPerWord))").as("mask"))
+      .join(broadcast(sketch), Seq("word_idx"), "left")
+      .groupBy("probe")
+      .agg(min(when(coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) === col("mask"), 1)
+        .otherwise(0)).cast("int").as("might_contain"))
+  }
 }

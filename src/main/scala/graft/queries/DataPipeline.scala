@@ -15,7 +15,7 @@ object DataPipeline {
   def defs: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
-    q102, q106, q108, q116, q117, q118, q119, q120)
+    q102, q106, q108, q116, q117, q118, q119, q120, q125)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -1229,5 +1229,61 @@ object DataPipeline {
         sum(col("doc_id") * col("pos")).as("order_fingerprint"),
         min(when(col("pos") === 1, col("doc_id"))).as("first_doc"))
       .orderBy("shard")
+  }
+
+  /** Bloom-filter decontamination: build a (deliberately small — 126-bit,
+    * k=3) filter over the eval-set digests, probe the whole corpus with a
+    * broadcast bit test — the pattern that replaces joining 100 TB
+    * against the eval set. The accounting proves the contract in the
+    * hash: every true hit is flagged (no false negatives) and the exact
+    * false-positive count matches the oracle's identical bit arithmetic. */
+  val q125 = QueryDef(
+    "q125_bloom_decontamination",
+    oracle = Some(s"""
+      WITH d AS (SELECT md5(text) AS key, doc_id FROM documents),
+      ev AS (SELECT DISTINCT key FROM d WHERE doc_id % 20 = 0),
+      corpus AS (SELECT DISTINCT key FROM d),
+      arms AS (SELECT unnest([0, 1, 2]) AS j),
+      pos AS (
+        SELECT ((${Sketches.signed64FromHexSql("md5('bloom' || j || '|' || key)")} % 126) + 126) % 126 AS p
+        FROM ev CROSS JOIN arms),
+      words AS (
+        SELECT p // 63 AS word_idx, bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+        FROM pos GROUP BY 1),
+      probe AS (
+        SELECT key,
+          ((${Sketches.signed64FromHexSql("md5('bloom' || j || '|' || key)")} % 126) + 126) % 126 AS p
+        FROM corpus CROSS JOIN arms),
+      chk AS (
+        SELECT key, MIN(CASE WHEN (COALESCE(bits, 0) & (1::BIGINT << CAST(p % 63 AS INT)))
+                                  = (1::BIGINT << CAST(p % 63 AS INT)) THEN 1 ELSE 0 END) AS mc
+        FROM (SELECT key, p // 63 AS word_idx, p FROM probe) pr
+        LEFT JOIN words USING (word_idx)
+        GROUP BY key)
+      SELECT
+        CAST(SUM(CASE WHEN e.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_keys,
+        CAST(COUNT(*) AS BIGINT) AS n_corpus_keys,
+        CAST(SUM(mc) AS BIGINT) AS n_flagged,
+        CAST(SUM(CASE WHEN e.key IS NOT NULL AND mc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_hits,
+        CAST(SUM(CASE WHEN e.key IS NULL AND mc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+      FROM chk LEFT JOIN ev e USING (key)""")) { (s, dir) =>
+    val d = Tables.load(s, dir, "documents")
+      .select(md5(col("text")).as("key"), col("doc_id"))
+    val ev = d.filter(pmod(col("doc_id"), lit(20L)) === 0).select("key").distinct()
+    val corpus = d.select("key").distinct()
+    val sketch = Sketches.bloomBuild(ev, col("key"), words = 2, k = 3)
+    val flagged = Sketches.bloomMightContain(
+      sketch, corpus.withColumnRenamed("key", "probe"), words = 2, k = 3)
+    flagged
+      .join(ev.select(col("key").as("probe")).withColumn("in_eval", lit(1)),
+        Seq("probe"), "left")
+      .agg(
+        sum(coalesce(col("in_eval"), lit(0))).cast("long").as("n_eval_keys"),
+        count(lit(1)).as("n_corpus_keys"),
+        sum(col("might_contain")).cast("long").as("n_flagged"),
+        sum(when(col("in_eval") === 1 && col("might_contain") === 1, 1).otherwise(0))
+          .cast("long").as("n_true_hits"),
+        sum(when(col("in_eval").isNull && col("might_contain") === 1, 1).otherwise(0))
+          .cast("long").as("n_false_pos"))
   }
 }

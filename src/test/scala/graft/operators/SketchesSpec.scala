@@ -68,6 +68,19 @@ class SketchesSpec extends SparkSpec {
     assert(est("absent") <= 300L) // bounded by collisions, never huge
   }
 
+  test("bloom filter: no false negatives, bounded false positives, broadcast probe") {
+    val keys = (1 to 50).map(i => s"key$i").toDF("v")
+    val sketch = Sketches.bloomBuild(keys, col("v"), words = 8, k = 3)
+    val probes = ((1 to 50).map(i => s"key$i") ++ (1 to 200).map(i => s"other$i"))
+      .toDF("probe")
+    val mc = Sketches.bloomMightContain(sketch, probes, words = 8, k = 3)
+      .as[(String, Int)].collect().toMap
+    (1 to 50).foreach(i => assert(mc(s"key$i") === 1, s"false negative key$i"))
+    // 8*63=504 bits, 150 set at most → fp rate ~(0.26)^3 ≈ 2%
+    val fps = (1 to 200).count(i => mc(s"other$i") === 1)
+    assert(fps < 30, s"too many false positives: $fps")
+  }
+
   test("TopK largest mode is unaffected by the distinct flag default") {
     val df = Seq((1.0, 10L), (3.0, 30L), (2.0, 20L), (3.0, 31L)).toDF("v", "id")
     val out = df.agg(TopK.topK(col("v"), col("id"), 2).as("t"))
