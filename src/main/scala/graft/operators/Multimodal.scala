@@ -88,6 +88,34 @@ object Multimodal {
     }(enc)
   }
 
+  /** Big-endian uint32 read from payload bytes [off, off+3] (1-based). */
+  private def be32(payload: Column, off: Int): Column =
+    conv(hex(substring(payload, off, 4)), 16, 10).cast("long")
+
+  /** Little-endian uint16 read from payload bytes [off, off+1] (1-based). */
+  private def le16(payload: Column, off: Int): Column =
+    (conv(hex(substring(payload, off, 1)), 16, 10).cast("long")
+      + conv(hex(substring(payload, off + 1, 1)), 16, 10).cast("long") * 256)
+
+  /** REAL header decode (not the stub): container format + dimensions
+    * from the magic bytes — PNG (IHDR big-endian dims at offset 17) and
+    * GIF (logical-screen little-endian dims at offset 7). Pure
+    * hex/substring column arithmetic: stays in whole-stage codegen, so a
+    * 100 TB media scan classifies and measures without a UDF or a codec.
+    * Unknown containers yield format='unknown' with null dims (the cue to
+    * route the payload to the [[decodeBatch]] seam). */
+  def parseImageDims(payload: Column): Column = {
+    val pngMagic = hex(substring(payload, 1, 8)) === "89504E470D0A1A0A"
+    val gifMagic = substring(payload, 1, 6).cast("string").isin("GIF87a", "GIF89a")
+    val nullDim = lit(null).cast("long")
+    when(pngMagic, struct(lit("png").as("format"),
+        be32(payload, 17).as("width"), be32(payload, 21).as("height")))
+      .when(gifMagic, struct(lit("gif").as("format"),
+        le16(payload, 7).as("width"), le16(payload, 9).as("height")))
+      .otherwise(struct(lit("unknown").as("format"),
+        nullDim.as("width"), nullDim.as("height")))
+  }
+
   /** Frame sampling: slice every k-th byte window as a stand-in for video
     * frame extraction — demonstrates ragged binary→array plumbing. */
   def sampleFrames(payload: Column, frameSize: Int, stride: Int): Column =

@@ -34,6 +34,25 @@ object EventStream {
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
 
+  /** Windowed distinct-user estimate via the KMV sketch aggregate
+    * ([[graft.operators.Sketches]]): an always-on COUNT DISTINCT whose
+    * per-window state is O(k) longs — the state-store entry for a window
+    * over a 100 TB/day firehose never grows past the sketch buffer,
+    * unlike exact streaming distinct (state = every key seen). Estimates
+    * are exact below k; the sketch column is also emitted so downstream
+    * consumers can merge windows (`Sketches.kmvMerge`) into coarser
+    * rollups without re-reading the stream. */
+  def windowedDistinctSketch(events: DataFrame, k: Int = 64,
+                             ts: String = "ts", keyCol: String = "user_id",
+                             windowLen: String = "1 hour",
+                             watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(ts, watermark)
+      .groupBy(window(col(ts), windowLen))
+      .agg(graft.operators.Sketches.kmvSketch(col(keyCol), k).as("kmv"))
+      .select(col("window.start").as("win_start"), col("kmv"),
+        graft.operators.Sketches.kmvEstimate(col("kmv"), k).as("est_distinct"))
+
   /** Gap-based session windows per user: the streaming twin of
     * q19_sessionize (30-minute inactivity gap). `session_window` keeps one
     * state entry per open session; the watermark closes and emits them. */

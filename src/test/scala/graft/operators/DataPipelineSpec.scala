@@ -193,6 +193,29 @@ class DataPipelineSpec extends SparkSpec {
     assert(frames == 3) // 43 bytes, stride 16 → offsets 0,16,32 hold full 8-byte frames
   }
 
+  test("parseImageDims reads real PNG/GIF headers, routes unknowns to the decode seam") {
+    val s = spark
+    import s.implicits._
+    // real PNG: signature + IHDR length/type + 640x480 big-endian dims
+    val png: Array[Byte] = (Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0x00, 0x00, 0x00, 0x0D, 0x49, 0x48, 0x44, 0x52,
+      0x00, 0x00, 0x02, 0x80, // width 640
+      0x00, 0x00, 0x01, 0xE0) // height 480
+      ).map(_.toByte).toArray
+    // real GIF89a: little-endian 320x200 logical screen
+    val gif: Array[Byte] = ("GIF89a".getBytes("ASCII") ++
+      Array(0x40, 0x01, 0xC8, 0x00).map(_.toByte))
+    val junk: Array[Byte] = "not an image".getBytes("UTF-8")
+    val out = Seq((1L, png), (2L, gif), (3L, junk)).toDF("id", "payload")
+      .select(col("id"), Multimodal.parseImageDims(col("payload")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .orderBy("id")
+      .collect()
+    assert((out(0).getString(1), out(0).getLong(2), out(0).getLong(3)) === ("png", 640L, 480L))
+    assert((out(1).getString(1), out(1).getLong(2), out(1).getLong(3)) === ("gif", 320L, 200L))
+    assert(out(2).getString(1) === "unknown" && out(2).isNullAt(2))
+  }
+
   test("langId prefers profile with most hits, alphabetical on ties") {
     val s = spark
     import s.implicits._

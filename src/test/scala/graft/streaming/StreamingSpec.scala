@@ -177,6 +177,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedDistinctSketch: incremental KMV across batches equals the batch sketch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.windowedDistinctSketch(input.toDF(), k = 16)
+      .writeStream.format("memory").queryName("wds").outputMode("update").start()
+    try {
+      // 30 users over two micro-batches, same hour-0 window
+      input.addData((1L to 20L).map(u => Ev(u, t(5), u, "click", 1.0)))
+      q.processAllAvailable()
+      input.addData((11L to 30L).map(u => Ev(100 + u, t(30), u, "click", 1.0)))
+      q.processAllAvailable()
+      // every event lands in the same clock-aligned hour window; update
+      // mode re-emits it per batch and the LAST emission has merged state
+      val rows = s.table("wds").collect()
+      assert(rows.map(_.getAs[java.sql.Timestamp]("win_start")).distinct.length === 1)
+      val streamed = rows.last.getAs[scala.collection.Seq[Long]]("kmv").toSeq
+      val batch = (1L to 30L).map(u => Tuple1(u)).toDF("user_id")
+        .agg(graft.operators.Sketches.kmvSketch(col("user_id"), 16).as("kmv"))
+        .select("kmv").as[Seq[Long]].head()
+      assert(streamed === batch)
+      // 30 distinct > k=16 → an estimate, not an exact count — sanity band
+      val est = rows.last.getAs[Double]("est_distinct")
+      assert(est > 15.0 && est < 80.0)
+    } finally q.stop()
+  }
+
   test("runningUserStats survives null user/value rows (dropped, not a crash)") {
     val s = spark
     import s.implicits._
