@@ -1131,6 +1131,7 @@ object DataPipeline {
     * so the estimate hash-matches bit-for-bit. */
   val q118 = QueryDef(
     "q118_kmv_distinct",
+    bench = true,
     oracle = Some(s"""
       WITH s AS (
         SELECT o_orderpriority AS priority,
@@ -1208,6 +1209,7 @@ object DataPipeline {
     * both engines derive the identical shuffled order. */
   val q120 = QueryDef(
     "q120_deterministic_shuffle",
+    bench = true,
     oracle = Some(s"""
       WITH h AS (
         SELECT doc_id,
@@ -1239,6 +1241,7 @@ object DataPipeline {
     * false-positive count matches the oracle's identical bit arithmetic. */
   val q125 = QueryDef(
     "q125_bloom_decontamination",
+    bench = true,
     oracle = Some(s"""
       WITH d AS (SELECT md5(text) AS key, doc_id FROM documents),
       ev AS (SELECT DISTINCT key FROM d WHERE doc_id % 20 = 0),

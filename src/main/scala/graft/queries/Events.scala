@@ -16,7 +16,7 @@ import Compat._
 object Events {
 
   def defs: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q95, q96, q110, q111, q113,
-    q114, q115, q121, q122)
+    q114, q115, q121, q122, q126)
 
   /** JSON field extraction (scalar function family, SURVEY §2.9 date/json). */
   val q14 = QueryDef(
@@ -385,6 +385,7 @@ object Events {
     * Each Spark iteration is one key-shuffle; hub skew is AQE's job. */
   val q122 = QueryDef(
     "q122_pagerank",
+    bench = true,
     oracle = Some {
       def step(i: Int, prev: String) = s"""
       s$i AS (SELECT e.dst AS node, SUM(r.r // d.d) AS s
@@ -420,5 +421,27 @@ object Events {
     graft.operators.Graph.pageRankScaled(edges, iterations = 3)
       .orderBy(col("rank_scaled").desc, col("node"))
       .limit(20)
+  }
+
+  /** Salted two-stage aggregation (`Skew.saltedSum`) under an oracle: the
+    * hot-key remedy must be RESULT-invariant — exact decimal sums make
+    * the salted partials merge to the very bytes the plain GROUP BY
+    * produces, which is the property that lets a 100 TB job salt its one
+    * viral key without changing answers. */
+  val q126 = QueryDef(
+    "q126_salted_skew",
+    oracle = Some("""
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type ORDER BY event_type""")) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events").filter(col("value").isNotNull)
+    graft.operators.Skew.saltedSum(ev, Seq("event_type"), Seq("event_id"),
+        buckets = 16,
+        Map("n" -> count(lit(1)),
+          "sum_value" -> sum(col("value").cast("decimal(18,4)"))))
+      .select(col("event_type"), col("n"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy("event_type")
   }
 }
