@@ -86,4 +86,33 @@ object Retrieval {
         count(lit(1)).as("n_tok"),
         (sum("__nll").cast("double") / count(lit(1))).as("nll"))
   }
+
+  /** Per-document bigram cross-entropy under the corpus's own bigram LM:
+    * mean −ln P(w₂|w₁) with P = c(w₁w₂)/c(w₁·) (MLE — every observed
+    * bigram has corpus support, so no smoothing is needed for scoring
+    * the training corpus against itself). One step up the n-gram ladder
+    * from [[unigramNll]]: fluency/repetitiveness shows up here long
+    * before unigram statistics move. Same scale shape: bigram explode is
+    * map-side, counts shuffle after partial aggregation, text never
+    * moves. Documents with < 2 tokens have no bigrams and drop out. */
+  def bigramNll(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val bis = docs.select(col(idCol),
+      explode(Text.shingles(col(textCol), 2)).as("__b"))
+    val bcnt = bis.groupBy("__b").agg(count(lit(1)).as("__bcnt"))
+    // context counts c(w1·) roll up from the bigram table (|vocab| rows),
+    // not from the token stream — one extra tiny aggregation
+    val ccnt = bcnt.groupBy(substring_index(col("__b"), " ", 1).as("__w1"))
+      .agg(sum("__bcnt").as("__ccnt"))
+    val nll = round(-log(col("__bcnt").cast("double") / col("__ccnt").cast("double")), 9)
+      .cast(DecimalType(18, 9))
+    bis
+      .join(bcnt, Seq("__b"))
+      .join(ccnt, substring_index(col("__b"), " ", 1) === col("__w1"))
+      .withColumn("__nll", nll)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigram"),
+        (sum("__nll").cast("double") / count(lit(1))).as("bigram_nll"))
+  }
 }

@@ -23,8 +23,11 @@ import org.apache.spark.sql.types.IntegerType
   *     extensions path only applies at build time).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // scale guards (each no-ops unless its session conf flag is set)
+    ext.injectOptimizerRule(s => GuardCartesian(s))
+  }
 }
 
 object GraftExtensions {

@@ -15,7 +15,7 @@ object DataPipeline {
   def defs: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
-    q102, q106, q108, q116, q117, q118, q119, q120, q125)
+    q102, q106, q108, q116, q117, q118, q119, q120, q125, q127)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -1231,6 +1231,29 @@ object DataPipeline {
         sum(col("doc_id") * col("pos")).as("order_fingerprint"),
         min(when(col("pos") === 1, col("doc_id"))).as("first_doc"))
       .orderBy("shard")
+  }
+
+  /** Bigram-LM cross-entropy (`Retrieval.bigramNll`): mean −ln P(w₂|w₁)
+    * under the corpus's own bigram model — the next perplexity proxy up
+    * from q98's unigram. ln rounded to 9 decimals pre-aggregation, exact
+    * decimal sums (the q98 conventions). */
+  val q127 = QueryDef(
+    "q127_bigram_nll",
+    oracle = Some(s"""
+      WITH bis AS (
+        SELECT doc_id, unnest(${gramsAllSql(2)}) AS b FROM documents),
+      bc AS (SELECT b, COUNT(*) AS cnt FROM bis GROUP BY 1),
+      cc AS (SELECT split_part(b, ' ', 1) AS w1, SUM(cnt) AS ccnt FROM bc GROUP BY 1)
+      SELECT bis.doc_id,
+        COUNT(*) AS n_bigram,
+        CAST(SUM(CAST(ROUND(-ln(CAST(bc.cnt AS DOUBLE) / CAST(cc.ccnt AS DOUBLE)), 9)
+             AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS bigram_nll
+      FROM bis JOIN bc USING (b) JOIN cc ON split_part(bis.b, ' ', 1) = cc.w1
+      GROUP BY 1
+      ORDER BY doc_id""")) { (s, dir) =>
+    graft.operators.Retrieval
+      .bigramNll(Tables.load(s, dir, "documents"))
+      .orderBy("doc_id")
   }
 
   /** Bloom-filter decontamination: build a (deliberately small — 126-bit,

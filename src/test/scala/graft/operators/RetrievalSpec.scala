@@ -67,6 +67,30 @@ class RetrievalSpec extends SparkSpec {
     assert(got === wantR)
   }
 
+  test("bigramNll matches hand computation; short docs drop out") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "cat"), (4L, ""))
+    val df = corpus.toDF("doc_id", "text")
+    val bigramsOf = (t: String) =>
+      t.split("\\s+").filter(_.nonEmpty).sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq
+    val all = corpus.flatMap(d => bigramsOf(d._2))
+    val bc = all.groupBy(identity).view.mapValues(_.size).toMap
+    val cc = all.groupBy(_.split(" ")(0)).view.mapValues(_.size).toMap
+    def round9(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val want = corpus.filter(d => bigramsOf(d._2).nonEmpty).map { case (id, t) =>
+      val bs = bigramsOf(t)
+      val sum = bs.map(b => round9(-math.log(bc(b).toDouble / cc(b.split(" ")(0))))).sum
+      (id, bs.size.toLong, math.rint(sum.toDouble / bs.size * 1e9) / 1e9)
+    }.toSet
+    val got = Retrieval.bigramNll(df).as[(Long, Long, Double)].collect()
+      .map { case (id, n, v) => (id, n, math.rint(v * 1e9) / 1e9) }.toSet
+    assert(got === want) // docs 3 ("cat") and 4 ("") have no bigrams
+  }
+
   test("pii counts and redaction") {
     val rows = Seq(
       (1L, "mail a.smith@example.com or BOB@MAIL.CO today"),
