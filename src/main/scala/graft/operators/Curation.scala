@@ -148,6 +148,24 @@ object Curation {
   def weightedSampleKeySql(weightExpr: String, idExpr: String): String =
     s"ROUND(-ln(${Rand.portableUniformSql(0, s"CAST($idExpr AS STRING)")}) / $weightExpr, 9)"
 
+  /** Deterministic uniform k-per-group sample: rank rows inside each
+    * group by the md5 hex of their id (a fixed random permutation of the
+    * group) and keep the k smallest. The reservoir-sampling result with
+    * none of reservoir sampling's order-dependence — any engine, any
+    * partitioning, any retry produces the same sample.
+    *
+    * Scale: one hash-partition on the group key; within a partition the
+    * per-group top-k needs only a bounded heap (Spark's WindowExec sorts,
+    * which is fine — swap to the TopK aggregate if groups are huge). */
+  def uniformSamplePerGroup(docs: DataFrame, k: Int, groupCol: String,
+                            idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Per-document top-k TF-IDF terms: tf = in-document term count, idf =
     * ln(N/df) rounded to 1e-9 (libm cross-engine parity — factor-scale
     * values are tie-safe at 9 digits), score = tf·idf, ranked per

@@ -61,4 +61,30 @@ object Graph {
     }
     ranks
   }
+
+  /** Triangle count on an undirected simple graph, `edges(a, b)` with
+    * `a < b` canonicalized and deduplicated by the caller. Closes wedges
+    * with two self-joins under the a<b<c total order, so each triangle is
+    * counted exactly once.
+    *
+    * Scale shape: both joins hash-partition the edge list on a single
+    * vertex column (`b`, then `(a, c)` as a composite) — shuffle volume is
+    * |wedges|, the same bound as any distributed triangle algorithm
+    * (node-iterator). Hub-vertex skew is the classic hazard; AQE's skew
+    * split handles it at runtime, and the a<b<c orientation already
+    * halves wedge fan-out versus the naive direction-free join. Counts
+    * are exact longs — order-free, engine-portable. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val ab = edges.select(col("a"), col("b"))
+    val bc = edges.select(col("a").as("b"), col("b").as("c"))
+    val ac = edges.select(col("a").as("a2"), col("b").as("c2"))
+    val wedges = ab.join(bc, "b") // a < b < c by construction
+    val tri = wedges.join(ac,
+      wedges("a") === ac("a2") && wedges("c") === ac("c2"))
+    // tag-and-union instead of crossJoining the two one-row aggregates:
+    // one aggregation, no join operator between scalar results
+    edges.select(lit(1L).as("__e"), lit(0L).as("__t"))
+      .unionAll(tri.select(lit(0L).as("__e"), lit(1L).as("__t")))
+      .agg(sum("__e").as("n_edges"), sum("__t").as("n_triangles"))
+  }
 }

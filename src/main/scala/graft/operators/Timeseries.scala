@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence analytics per key: truncated exponentially-weighted
+  * moving averages and first-order (Markov) transition matrices. Both are
+  * one-shuffle operators — everything after the partition-by-key exchange
+  * is a local sort + window walk.
+  *
+  * Determinism notes (these are oracled queries):
+  *   - the EWMA decay is 1/2, so every weight 0.5^j is a power of two and
+  *     `x · w` is an EXACT scaling (exponent shift, no rounding); only
+  *     the additions round, and both engines add in the same fixed frame
+  *     order (Spark: `aggregate` over the frame list; DuckDB:
+  *     `list_reduce` over the window list);
+  *   - transition probabilities are one division of two exact longs.
+  */
+object Timeseries {
+
+  /** Truncated EWMA with decay 1/2 over the last `depth` rows per key
+    * (most-recent-heaviest):
+    *
+    *   ewma_i = Σ_{j=0..d-1} 0.5^j · x_{i−j}  /  Σ_{j=0..d-1} 0.5^j
+    *
+    * truncating at the partition start. The frame is bounded (`depth`
+    * rows), so state per row is O(depth) — this is the scale-safe form of
+    * the recursive EWMA, whose dependency chain cannot be parallelised.
+    * `orderCols` must be a total order within each key. */
+  def ewmaHalf(df: DataFrame, keyCol: String, xCol: String,
+               orderCols: Seq[Column], depth: Int = 8): DataFrame = {
+    require(depth >= 1 && depth <= 52, "0.5^depth must stay a normal double")
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+      .rowsBetween(-(depth - 1), 0)
+    // frame list arrives oldest-first; weight index j counts back from
+    // the newest element (j = size-1-i), summed left-to-right
+    val frame = collect_list(col(xCol)).over(w)
+    df.withColumn("__f", frame)
+      .withColumn("ewma",
+        expr("""
+          aggregate(
+            zip_with(__f, sequence(size(__f) - 1, 0, -1), (x, j) -> x * power(0.5d, j)),
+            0.0d, (acc, v) -> acc + v)
+          / aggregate(
+            zip_with(__f, sequence(size(__f) - 1, 0, -1), (x, j) -> power(0.5d, j)),
+            0.0d, (acc, v) -> acc + v)"""))
+      .drop("__f")
+  }
+
+  /** First-order transition counts and probabilities per key sequence:
+    * rows ordered by `orderCols` within `keyCol`, counting (state →
+    * next-state) adjacencies over `stateCol`, then normalising per source
+    * state. The output is the Markov chain estimate of the corpus.
+    *
+    * One exchange (partition by key) + one groupBy on (from, to); the
+    * probability divide is exact-long / exact-long — order-free. */
+  def transitions(df: DataFrame, keyCol: String, stateCol: String,
+                  orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+    val adj = df
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+    val counts = adj.groupBy(col(stateCol).as("from_state"),
+        col("__next").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_state"))
+      .agg(sum(col("n")).as("__tot"))
+    counts.join(totals, "from_state")
+      .withColumn("p", col("n").cast("double") / col("__tot").cast("double"))
+      .drop("__tot")
+  }
+}

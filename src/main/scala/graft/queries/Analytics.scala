@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Seeds
+import graft.operators.{Curation, Eval, Graph, Timeseries}
+
+/** Evaluation / sequence / graph analytics family: rank-based AUC,
+  * Pareto frontier, equi-depth binning, EWMA, Markov transitions,
+  * triangle counting, robust outliers, and deterministic per-group
+  * sampling. Each query pins one operator from `operators/{Eval,
+  * Timeseries, Graph, Curation}` against a DuckDB oracle.
+  */
+object Analytics {
+
+  def defs: Seq[QueryDef] = Seq(q128, q129, q130, q131, q132, q133, q134, q135)
+
+  /** Per-fold ROC AUC of a toy scorer (first embedding coordinate) for
+    * the odd-label class — the distributed model-eval primitive
+    * (`Eval.aucByGroup`, Mann–Whitney rank form). Folds come from the
+    * portable md5 fold split (q49), so train/eval assignment is
+    * engine-reproducible. All rank sums are half-integers: exact. */
+  val q128 = QueryDef(
+    "q128_auc",
+    oracle = Some(s"""
+      WITH t AS (
+        SELECT ${Seeds.foldSql(4, "CAST(vec_id AS VARCHAR)")} AS fold,
+               CAST(embedding[1] AS DOUBLE) AS score,
+               CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos
+        FROM embeddings),
+      r AS (
+        SELECT fold, pos,
+          RANK() OVER (PARTITION BY fold ORDER BY score)
+            + (COUNT(*) OVER (PARTITION BY fold, score) - 1) / 2.0 AS avg_rank
+        FROM t)
+      SELECT fold,
+        CAST(SUM(pos) AS BIGINT) AS n_pos,
+        CAST(SUM(1 - pos) AS BIGINT) AS n_neg,
+        (SUM(CASE WHEN pos = 1 THEN avg_rank ELSE 0 END)
+           - SUM(pos) * (SUM(pos) + 1) / 2.0)
+          / (SUM(pos) * SUM(1 - pos)) AS auc
+      FROM r GROUP BY fold ORDER BY fold""")) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings").select(
+      Seeds.foldFromExpr(4, "CAST(vec_id AS STRING)").as("fold"),
+      element_at(col("embedding"), 1).cast("double").as("score"),
+      (col("label") % 2).cast("int").as("pos"))
+    Eval.aucByGroup(emb, "fold", "score", "pos")
+      .select(col("fold"), col("n_pos"), col("n_neg"), col("auc"))
+      .orderBy("fold")
+  }
+
+  /** Pareto frontier of parts (minimize price, maximize size): the
+    * sort+running-max skyline (`Eval.skyline2D`) vs the oracle's
+    * quadratic NOT-EXISTS definition — same set, O(n log n) vs O(n²). */
+  val q129 = QueryDef(
+    "q129_skyline",
+    oracle = Some("""
+      WITH p AS (SELECT p_retailprice AS cost, p_size AS gain,
+                   CAST(COUNT(*) AS BIGINT) AS n_points
+                 FROM part GROUP BY 1, 2)
+      SELECT cost, gain, n_points FROM p t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p u
+        WHERE u.cost <= t.cost AND u.gain >= t.gain
+          AND (u.cost < t.cost OR u.gain > t.gain))
+      ORDER BY cost""")) { (s, dir) =>
+    val pts = Tables.load(s, dir, "part")
+      .select(col("p_retailprice").as("cost"), col("p_size").as("gain"))
+    Eval.skyline2D(pts, "cost", "gain").orderBy("cost")
+  }
+
+  /** Equi-depth decile binning of event values (NTILE over a total
+    * order) with per-bin count/min/max/exact-decimal mean — the
+    * feature-discretization / reliability-diagram primitive. */
+  val q130 = QueryDef(
+    "q130_quantile_bins",
+    oracle = Some("""
+      WITH t AS (SELECT value, event_id FROM events WHERE value IS NOT NULL),
+      b AS (SELECT value,
+              CAST(NTILE(10) OVER (ORDER BY value, event_id) AS INT) AS bin
+            FROM t)
+      SELECT bin, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean
+      FROM b GROUP BY bin ORDER BY bin""")) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events").filter(col("value").isNotNull)
+    Eval.equiDepthBins(ev, 10, col("value"),
+        Compat.money(col("value")), col("event_id"))
+      .orderBy("bin")
+  }
+
+  /** Truncated EWMA (decay 1/2, depth 8) of event values per user —
+    * `Timeseries.ewmaHalf`. Powers of two make every weight product an
+    * exact scaling; both engines reduce the frame list left-to-right, so
+    * the doubles are bit-identical (see Timeseries scaladoc). */
+  val q131 = QueryDef(
+    "q131_ewma",
+    oracle = Some("""
+      WITH t AS (SELECT user_id, event_id, ts, value
+                 FROM events WHERE value IS NOT NULL),
+      f AS (SELECT user_id, event_id, value,
+              list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fr
+            FROM t)
+      SELECT user_id, event_id, value,
+        list_reduce(list_transform(fr, (x, i) -> x * 0.5 ^ (len(fr) - i)),
+                    (a, b) -> a + b)
+        / list_reduce(list_transform(fr, (x, i) -> 0.5 ^ (len(fr) - i)),
+                      (a, b) -> a + b) AS ewma
+      FROM f ORDER BY user_id, event_id""")) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events").filter(col("value").isNotNull)
+    Timeseries.ewmaHalf(ev, "user_id", "value",
+        Seq(col("ts"), col("event_id")), depth = 8)
+      .select(col("user_id"), col("event_id"), col("value"), col("ewma"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** First-order Markov transition matrix of user event sequences —
+    * `Timeseries.transitions`: (from, to) counts and exact-ratio
+    * probabilities over ts-ordered per-user event streams. */
+  val q132 = QueryDef(
+    "q132_markov",
+    oracle = Some("""
+      WITH a AS (SELECT user_id, event_type,
+                   LEAD(event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+                 FROM events),
+      c AS (SELECT event_type AS from_state, nxt AS to_state,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM a WHERE nxt IS NOT NULL GROUP BY 1, 2)
+      SELECT from_state, to_state, n,
+        CAST(n AS DOUBLE)
+          / CAST(SUM(n) OVER (PARTITION BY from_state) AS DOUBLE) AS p
+      FROM c ORDER BY from_state, to_state""")) { (s, dir) =>
+    Timeseries.transitions(Tables.load(s, dir, "events"),
+        "user_id", "event_type", Seq(col("ts"), col("event_id")))
+      .select(col("from_state"), col("to_state"), col("n"), col("p"))
+      .orderBy("from_state", "to_state")
+  }
+
+  /** Triangle count of the part co-order graph (parts appearing in the
+    * same order are adjacent) — `Graph.triangleCount`, wedge-closing
+    * joins under the a<b<c orientation. Exact long counts. */
+  val q133 = QueryDef(
+    "q133_triangles",
+    oracle = Some("""
+      WITH e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                 FROM lineitem a JOIN lineitem b
+                   ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey)
+      SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+             (SELECT COUNT(*) FROM e ab
+                JOIN e bc ON ab.b = bc.a
+                JOIN e ac ON ac.a = ab.a AND ac.b = bc.b) AS n_triangles""")) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+    val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("a"))
+    val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("b"))
+    val edges = a.join(b, "k").filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    Graph.triangleCount(edges)
+  }
+
+  /** Robust per-source length outliers: median + MAD on `n_chars`, count
+    * of |x − med| > 3·MAD — `Eval.madOutliers`. Exact interpolated
+    * medians of integers (half/quarter-integers) keep every comparison
+    * exact across engines. */
+  val q134 = QueryDef(
+    "q134_mad_outliers",
+    oracle = Some("""
+      WITH med AS (SELECT source, median(n_chars) AS med
+                   FROM documents GROUP BY 1),
+      d AS (SELECT documents.source, med,
+              ABS(n_chars - med) AS adev
+            FROM documents JOIN med USING (source)),
+      mad AS (SELECT source, median(adev) AS mad FROM d GROUP BY 1)
+      SELECT d.source, d.med, mad.mad, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN d.adev > mad.mad * 3 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers
+      FROM d JOIN mad ON d.source = mad.source
+      GROUP BY 1, 2, 3 ORDER BY 1""")) { (s, dir) =>
+    Eval.madOutliers(Tables.load(s, dir, "documents"), "source", "n_chars")
+      .select(col("source"), col("med"), col("mad"), col("n"),
+        col("n_outliers"))
+      .orderBy("source")
+  }
+
+  /** Deterministic uniform 5-per-source document sample via md5 hash
+    * rank — `Curation.uniformSamplePerGroup`: the reservoir-sample
+    * result without order dependence (retry/engine/partitioning-proof). */
+  val q135 = QueryDef(
+    "q135_reservoir",
+    oracle = Some("""
+      SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank FROM (
+        SELECT source, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents) t
+      WHERE rn <= 5 ORDER BY source, sample_rank""")) { (s, dir) =>
+    Curation.uniformSamplePerGroup(
+        Tables.load(s, dir, "documents"), 5, "source")
+      .select(col("source"), col("doc_id"), col("sample_rank"))
+      .orderBy("source", "sample_rank")
+  }
+}

@@ -5,7 +5,7 @@ package graft.queries
 object Registry {
   def all: Seq[QueryDef] =
     Relational.defs ++ Events.defs ++ Nested.defs ++ DataPipeline.defs ++
-      Physics.defs ++ Ops.defs ++ Weights.defs
+      Physics.defs ++ Ops.defs ++ Weights.defs ++ Analytics.defs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     all.map(q => q.name -> q.fn).toMap

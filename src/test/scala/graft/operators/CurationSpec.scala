@@ -134,4 +134,21 @@ class CurationSpec extends SparkSpec {
     val b = other.orderBy("shard", "pos").select("id").as[Long].collect().toSeq
     assert(a !== b)
   }
+
+  test("uniformSamplePerGroup: exactly k per group, repartition-stable") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("doc_id", "source")
+    val out = Curation.uniformSamplePerGroup(df, 5, "source")
+    val byGroup = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup === Map("g0" -> 5L, "g1" -> 5L, "g2" -> 5L))
+    // same sample regardless of input partitioning
+    val again = Curation.uniformSamplePerGroup(df.repartition(11), 5, "source")
+    assert(out.orderBy("source", "sample_rank").collect().toSeq ===
+      again.orderBy("source", "sample_rank").collect().toSeq)
+    // small groups yield all their rows
+    val tiny = Seq((1L, "g"), (2L, "g")).toDF("doc_id", "source")
+    assert(Curation.uniformSamplePerGroup(tiny, 5, "source").count() === 2L)
+  }
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EvalSpec extends SparkSpec {
+
+  test("aucByGroup: perfect, inverted, and random scorers") {
+    val s = spark
+    import s.implicits._
+    // group a: score perfectly separates (pos always higher) → AUC 1
+    // group b: inverted → AUC 0
+    // group c: constant score → all ranks tie → AUC 0.5
+    val df = Seq(
+      ("a", 0.9, 1), ("a", 0.8, 1), ("a", 0.2, 0), ("a", 0.1, 0),
+      ("b", 0.9, 0), ("b", 0.8, 0), ("b", 0.2, 1), ("b", 0.1, 1),
+      ("c", 0.5, 1), ("c", 0.5, 0), ("c", 0.5, 1), ("c", 0.5, 0)
+    ).toDF("g", "score", "pos")
+    val out = Eval.aucByGroup(df, "g", "score", "pos")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getAs[Double]("auc"))).toSeq
+    assert(out == Seq(("a", 1.0), ("b", 0.0), ("c", 0.5)))
+  }
+
+  test("aucByGroup matches the pair-counting definition with ties") {
+    val s = spark
+    import s.implicits._
+    val scores = Seq(0.1, 0.4, 0.4, 0.4, 0.7, 0.9, 0.9, 0.3)
+    val labels = Seq(0, 0, 1, 0, 1, 1, 0, 1)
+    val df = scores.zip(labels).map { case (x, y) => ("g", x, y) }
+      .toDF("g", "score", "pos")
+    // brute force: P(score_pos > score_neg) + 0.5 P(tie)
+    val pos = scores.zip(labels).filter(_._2 == 1).map(_._1)
+    val neg = scores.zip(labels).filter(_._2 == 0).map(_._1)
+    val expect = (for { p <- pos; n <- neg } yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum / (pos.size * neg.size)
+    val auc = Eval.aucByGroup(df, "g", "score", "pos")
+      .collect().head.getAs[Double]("auc")
+    assert(math.abs(auc - expect) < 1e-12)
+  }
+
+  test("skyline2D matches the quadratic dominance definition") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq(
+      (1.0, 5), (1.0, 5), // duplicate point: survives with n_points=2
+      (1.0, 3),           // dominated by (1.0, 5) (equal cost, more gain)
+      (2.0, 7), (3.0, 7), // (3.0,7) dominated by (2.0,7)
+      (4.0, 9), (5.0, 1))
+    val df = pts.toDF("cost", "gain")
+    val out = Eval.skyline2D(df, "cost", "gain")
+      .orderBy("cost")
+      .collect().map(r => (r.getDouble(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(out == Seq((1.0, 5, 2L), (2.0, 7, 1L), (4.0, 9, 1L)))
+    // cross-check against the O(n²) definition on distinct points
+    val distinct = pts.distinct
+    val brute = distinct.filter { case (c, g) =>
+      !distinct.exists { case (c2, g2) =>
+        c2 <= c && g2 >= g && (c2 < c || g2 > g) }
+    }.sorted
+    assert(out.map(t => (t._1, t._2)).sorted == brute)
+  }
+
+  test("madOutliers: hand-computed median/MAD and outlier count") {
+    val s = spark
+    import s.implicits._
+    // group g: values 1,2,3,4,100 → med 3, adev 2,1,0,1,97 → MAD 1,
+    // outliers (>3·1): adev 97 → 1
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L), ("g", 100L))
+      .toDF("src", "x")
+    val r = Eval.madOutliers(df, "src", "x").collect().head
+    assert(r.getAs[Double]("med") == 3.0)
+    assert(r.getAs[Double]("mad") == 1.0)
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+  }
+
+  test("equiDepthBins: bins are equal-depth and ordered") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(i => (i.toDouble, i.toLong)).toDF("v", "id")
+    val out = Eval.equiDepthBins(df, 4, col("v"),
+        col("v").cast("decimal(18,4)"), col("id"))
+      .orderBy("bin").collect()
+    assert(out.map(_.getAs[Long]("n")).toSeq == Seq(25L, 25L, 25L, 25L))
+    assert(out.map(_.getAs[Double]("lo")).toSeq == Seq(1.0, 26.0, 51.0, 76.0))
+    assert(out.map(_.getAs[Double]("hi")).toSeq == Seq(25.0, 50.0, 75.0, 100.0))
+  }
+}

@@ -42,4 +42,16 @@ class GraphSpec extends SparkSpec {
       .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(run(2) === run(13))
   }
+
+  test("triangleCount: K4 has 4 triangles, a square has 0") {
+    val s = spark
+    import s.implicits._
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("a", "b")
+    val r1 = Graph.triangleCount(k4).collect().head
+    assert((r1.getLong(0), r1.getLong(1)) === (6L, 4L))
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val r2 = Graph.triangleCount(square).collect().head
+    assert((r2.getLong(0), r2.getLong(1)) === (4L, 0L))
+  }
 }
