@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   * half-integers are exact doubles), MAD on exact median interpolation of
   * integers, and the skyline on pure comparisons.
   *
-  * Scale shape: AUC sorts once per group (a range-partitioned sort at
-  * cluster scale — the same shape as any global ORDER BY); calibration
-  * bins ride the identical sort; MAD is two exact-percentile passes per
-  * group; the skyline is ONE sort + ONE running-max window, O(n log n)
-  * where the textbook formulation is an O(n²) self-join.
+  * Scale shape: AUC's corpus-sized pass is a partial-aggregating groupBy
+  * (its rank window sees only distinct scores per group); calibration
+  * bins need a true global NTILE (single-partition window — for corpus
+  * scale use `stats/Approx.percentiles` boundaries instead and give up
+  * exact equal depth); MAD is two exact-percentile passes per group; the
+  * skyline is ONE dedup + ONE running-max window over distinct points,
+  * O(n log n) where the textbook formulation is an O(n²) self-join.
   */
 object Eval {
 
@@ -36,20 +38,30 @@ object Eval {
     * one row per group — n_pos, n_neg, auc. */
   def aucByGroup(df: DataFrame, groupCol: String, scoreCol: String,
                  labelCol: String): DataFrame = {
-    val byScore = Window.partitionBy(groupCol).orderBy(col(scoreCol))
-    val ties = Window.partitionBy(groupCol, scoreCol)
-    val ranked = df
-      .withColumn("__r", rank().over(byScore))
-      // average rank of a tie group of size c starting at min-rank r:
-      // r + (c-1)/2 — a half-integer, exact in doubles
-      .withColumn("__avg_rank",
-        col("__r") + (count(lit(1)).over(ties) - 1) / 2.0)
-    ranked.groupBy(col(groupCol))
+    // Aggregate to distinct (group, score) FIRST: the corpus-sized pass
+    // is a plain partial-aggregating groupBy, and the rank window runs
+    // over |distinct scores| rows, not |rows| — at 100 TB that's the
+    // difference between a window over the corpus and one over a
+    // per-group score histogram. Ranks come back as the cumulative count
+    // of strictly-lower scores; a tie group of size n occupying ranks
+    // cum+1 … cum+n has average rank cum + (n+1)/2 — a half-integer,
+    // exact in doubles.
+    val byScore = df.groupBy(col(groupCol), col(scoreCol))
       .agg(
-        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("n_pos"),
-        sum(when(col(labelCol) === 1, 0L).otherwise(1L)).as("n_neg"),
-        sum(when(col(labelCol) === 1, col("__avg_rank"))
-          .otherwise(0.0)).as("__pos_rank_sum"))
+        count(lit(1)).as("__n"),
+        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("__np"))
+    val w = Window.partitionBy(groupCol).orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("__avg_rank",
+        coalesce(sum(col("__n")).over(w), lit(0L)) + (col("__n") + 1) / 2.0)
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("__np")).as("n_pos"),
+        (sum(col("__n")) - sum(col("__np"))).as("n_neg"),
+        // Σ over tie groups of n_pos(s)·avg_rank(s): half-integer
+        // products below 2^52 — exact, order-free
+        sum(col("__np") * col("__avg_rank")).as("__pos_rank_sum"))
       .withColumn("auc",
         (col("__pos_rank_sum") - col("n_pos") * (col("n_pos") + 1) / 2.0)
           / (col("n_pos") * col("n_neg")))
@@ -99,18 +111,40 @@ object Eval {
     * `costCol`, maximize `gainCol`. A point is dominated iff some other
     * point is ≤ cost and ≥ gain with one strict inequality.
     *
-    * One sort by (cost asc, gain desc) + one running-max window replaces
-    * the quadratic NOT-EXISTS self-join: after deduplication a point is
-    * on the frontier exactly when its gain strictly exceeds every
-    * preceding point's (preceding points all have ≤ cost; equal-cost
-    * higher-gain points sort first and correctly eliminate). */
-  def skyline2D(df: DataFrame, costCol: String, gainCol: String): DataFrame = {
+    * Sort + running-max replaces the quadratic NOT-EXISTS self-join:
+    * after deduplication a point is on the frontier exactly when its gain
+    * strictly exceeds every point preceding it under (cost asc, gain
+    * desc) — preceding points all have ≤ cost, and equal-cost
+    * higher-gain points sort first and correctly eliminate.
+    *
+    * The running max is computed WITHOUT a global single-partition
+    * window: points are range-bucketed on cost (equal costs land in one
+    * bucket, so cross-bucket comparisons are strict-< in cost), the
+    * running max runs per bucket in parallel, and each bucket folds in
+    * the prefix-max of all earlier buckets — a tiny bucket-count-sized
+    * table. Same exact result, no corpus-sized data on one task. */
+  def skyline2D(df: DataFrame, costCol: String, gainCol: String,
+                buckets: Int = 32): DataFrame = {
     val pts = df.groupBy(col(costCol), col(gainCol))
       .agg(count(lit(1)).as("n_points"))
-    val w = Window.orderBy(col(costCol).asc, col(gainCol).desc)
+    val stamped = pts.repartitionByRange(buckets, col(costCol))
+      .withColumn("__b", spark_partition_id())
+    val inBucket = Window.partitionBy(col("__b"))
+      .orderBy(col(costCol).asc, col(gainCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    pts.withColumn("__prevmax", max(col(gainCol)).over(w))
-      .filter(col("__prevmax").isNull || col(gainCol) > col("__prevmax"))
-      .drop("__prevmax")
+    // bucket maxima → prefix max of strictly-earlier buckets (bucket
+    // count rows: the single-partition window here is over ~`buckets`
+    // rows, not the corpus)
+    val prefix = stamped.groupBy(col("__b"))
+      .agg(max(col(gainCol)).as("__bmax"))
+      .withColumn("__prefix", max(col("__bmax")).over(
+        Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__b"), col("__prefix"))
+    stamped
+      .withColumn("__prevmax", max(col(gainCol)).over(inBucket))
+      .join(broadcast(prefix), "__b")
+      .filter((col("__prevmax").isNull || col(gainCol) > col("__prevmax")) &&
+        (col("__prefix").isNull || col(gainCol) > col("__prefix")))
+      .select(col(costCol), col(gainCol), col("n_points"))
   }
 }

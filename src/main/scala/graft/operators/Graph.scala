@@ -37,8 +37,12 @@ object Graph {
                      dampNum: Long = 85L, dampDen: Long = 100L,
                      scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 50)
-    val nodes = edges.select(col("src").as("node")).distinct()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // materialize the loop invariants ONCE: without this every iteration
+    // re-derives the edge list from source (scan + any upstream distinct)
+    // — 3 iterations = 4 redundant corpus passes
+    val e = edges.localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     // one scalar to the driver (like the stitching solve): n nodes
     val n = nodes.count()
     val base = ((dampDen - dampNum) * (scale / n)) / dampDen
@@ -47,8 +51,8 @@ object Graph {
       // `div` (not `/`): Spark's `/` on longs is DOUBLE division, whose
       // rounding could differ from the oracle's integer `//` near ties —
       // integral div is exact and both engines floor positives identically
-      val contrib = edges
-        .join(ranks, edges("src") === ranks("node"))
+      val contrib = e
+        .join(ranks, e("src") === ranks("node"))
         .join(deg, "src")
         .select(col("dst").as("node"), expr("rank_scaled div deg").as("c"))
         .groupBy("node")

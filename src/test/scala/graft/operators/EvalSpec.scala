@@ -61,6 +61,22 @@ class EvalSpec extends SparkSpec {
     assert(out.map(t => (t._1, t._2)).sorted == brute)
   }
 
+  test("skyline2D: randomized cross-check, bucketed ≡ brute force") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(400)((rnd.nextInt(40).toDouble, rnd.nextInt(40)))
+    val out = Eval.skyline2D(pts.toDF("cost", "gain"), "cost", "gain",
+        buckets = 7)
+      .collect().map(r => (r.getDouble(0), r.getInt(1))).toSeq.sorted
+    val distinct = pts.distinct
+    val brute = distinct.filter { case (c, g) =>
+      !distinct.exists { case (c2, g2) =>
+        c2 <= c && g2 >= g && (c2 < c || g2 > g) }
+    }.sorted
+    assert(out == brute)
+  }
+
   test("madOutliers: hand-computed median/MAD and outlier count") {
     val s = spark
     import s.implicits._
