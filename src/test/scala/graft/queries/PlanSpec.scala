@@ -173,6 +173,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"nation/region should broadcast:\n$p")
   }
 
+  test("q128: AUC's corpus pass partially aggregates; the rank window sees the histogram") {
+    val p = plan("q128_auc")
+    // partial + final HashAggregate for the (group, score) dedup —
+    // the corpus never reaches the window un-aggregated
+    assert(p.split("HashAggregate").length - 1 >= 2, s"no partial aggregation:\n$p")
+    assert(p.contains("Window"), s"expected the rank window:\n$p")
+  }
+
+  test("q129: the corpus running-max window is bucket-partitioned (never one task)") {
+    val p = plan("q129_skyline")
+    // the distinct-points window must ride the range-bucket id; only the
+    // bucket-maxima prefix fold (≤ `buckets` rows) may single-partition
+    assert(p.contains("hashpartitioning(__b"),
+      s"skyline window lost its bucket partitioning:\n$p")
+    assert(p.contains("RoundRobinPartitioning") || p.contains("rangepartitioning"),
+      s"expected the range bucketing exchange:\n$p")
+  }
+
+  test("q131/q135: per-key window ops exchange once on the key") {
+    val ewma = plan("q131_ewma")
+    assert(ewma.contains("Window"), s"expected window in:\n$ewma")
+    val sample = plan("q135_reservoir")
+    // hash exchange on the group + the final presentation sort only
+    assert(sample.split("Exchange").length - 1 <= 2,
+      s"sampling shuffles more than (group key, output sort):\n$sample")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // codegen stages ('*(n)' prefixes) only appear in the FINAL adaptive
     // plan, so execute before inspecting
