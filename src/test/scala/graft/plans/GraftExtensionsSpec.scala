@@ -40,6 +40,50 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("integer literal"))
   }
 
+  test("KernelFusion rewrites the HOF dot product to the native kernel, bit-exactly") {
+    val s = spark
+    import s.implicits._
+    // spark.range (not a local Seq): ConvertToLocalRelation would
+    // constant-fold a LocalRelation before the fusion rule could show up
+    val df = s.range(3).select(
+      array(col("id") * 1.5, col("id") - 2.0, lit(3.25)).as("a"),
+      array(col("id") * 0.5, lit(4.0), col("id") * -1.0).as("b"))
+    def hof() = df.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v) AS d"))
+    val unfused = hof().collect().map(_.get(0)).toSeq
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+ KernelFusion(s)
+    try {
+      // fresh frame: a Dataset caches its QueryExecution, so the
+      // pre-rule `hof()` would show the old optimized plan
+      val fused = hof()
+      val p = fused.queryExecution.optimizedPlan.toString
+      assert(p.contains("graft_vec_dot"), s"fusion did not fire:\n$p")
+      assert(fused.collect().map(_.get(0)).toSeq === unfused)
+      // float arrays with an un-cast (float-precision) multiply: NOT fused
+      val fbase = s.range(2).select(
+        array((col("id") + 1.5).cast("float")).as("a"),
+        array((col("id") + 2.5).cast("float")).as("b"))
+      val fdf = fbase.select(expr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v) AS d"))
+      assert(!fdf.queryExecution.optimizedPlan.toString.contains("graft_vec_dot"),
+        "float-precision multiply must not fuse (different rounding)")
+      // cast-to-double float multiply: fused
+      val cdf = fbase.select(expr(
+        """aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+           0.0d, (acc, v) -> acc + v) AS d"""))
+      assert(cdf.queryExecution.optimizedPlan.toString.contains("graft_vec_dot"))
+      assert(cdf.orderBy("d").head().getDouble(0) === 1.5 * 2.5)
+      // flag disables the rule
+      s.conf.set("spark.graft.fuseVectorKernels", "false")
+      assert(!hof().queryExecution.optimizedPlan.toString.contains("graft_vec_dot"))
+    } finally {
+      s.conf.unset("spark.graft.fuseVectorKernels")
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations.filterNot(_.isInstanceOf[KernelFusion])
+    }
+  }
+
   test("the build-time extensions class registers the same builder list") {
     // the class only delegates to GraftExtensions.functions — pin that
     val ext = new org.apache.spark.sql.SparkSessionExtensions
