@@ -18,7 +18,7 @@ import Compat._
 object Relational {
 
   def defs: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13,
-    q100, q101, q103, q104, q105, q107, q109, q112, q123, q124)
+    q100, q101, q103, q104, q105, q107, q109, q112, q123, q124, q136)
 
   /** Flagship: TPC-H Q1-style pricing summary. Single scan, map-side
     * partial aggregation, 6-group output — the canonical "selection
@@ -593,6 +593,39 @@ object Relational {
         coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
         col("lvl"), col("n"), col("sum_qty"))
       .orderBy("lvl", "rflag", "lstatus")
+  }
+
+  /** Explicit GROUPING SETS (the general form under q6's CUBE and q123's
+    * ROLLUP): three chosen aggregation levels in ONE pass — Spark expands
+    * the sets inside a single Expand+aggregate, never one scan per set.
+    * grouping_id disambiguates real NULL keys from subtotal rows; both
+    * engines share the Postgres bit convention (bit=1 ⇔ aggregated). */
+  val q136 = QueryDef(
+    "q136_grouping_sets",
+    oracle = Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                              (o_orderpriority), ())
+      ORDER BY gid, status, priority""")) { (s, dir) =>
+    val o = Tables.load(s, dir, "orders")
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        Compat.dsum(Compat.money(col("o_totalprice"))).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n"), col("sum_price"))
+      .orderBy("gid", "status", "priority")
   }
 
   /** Z-order (Morton) locality audit (`Layout.zValue16`): interleave two
