@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming transforms for the event-stream shape of the
   * testdata (`events`: event_id, ts, user_id, event_type, value).
@@ -173,5 +174,49 @@ object EventStream {
           state.update((n, sum))
           Iterator(UserStat(uid, n, sum))
       }
+  }
+
+  /** The same running totals on the Spark 4 `transformWithState` state
+    * API (StatefulProcessor + typed ValueState): the successor of
+    * `flatMapGroupsWithState` with composable named states, TTL, and
+    * timers. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` →
+    * `...RocksDBStateStoreProvider`) — which is also the right provider
+    * for a 100 TB/day firehose, since state spills off-heap instead of
+    * living on the executor heap like the HDFS-backed default.
+    * StreamingSpec asserts batch-boundary-independence against the
+    * `runningUserStats` twin. */
+  class RunningStatsProcessor
+      extends StatefulProcessor[Long, (Long, Long), UserStat] {
+    @transient private var state: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long)](
+        "totals", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Long)],
+                                 timers: TimerValues): Iterator[UserStat] = {
+      val (n0, s0) = if (state.exists()) state.get() else (0L, 0L)
+      var n = n0
+      var sum = s0
+      rows.foreach { r => n += 1; sum += r._2 }
+      state.update((n, sum))
+      Iterator.single(UserStat(uid, n, sum))
+    }
+  }
+
+  def runningUserStatsTws(events: DataFrame, user: String = "user_id",
+                          value: String = "value"): Dataset[UserStat] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .filter(col(user).isNotNull && col(value).isNotNull)
+      .select(col(user).cast("long"),
+        (col(value).cast("decimal(18,2)") * 100).cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

@@ -177,6 +177,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningUserStatsTws: transformWithState twin carries state across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Ev]
+    val q = EventStream.runningUserStatsTws(input.toDF())
+      .writeStream.format("memory").queryName("rustws").outputMode("update").start()
+    try {
+      input.addData(Ev(1, t(0), 1, "click", 10.25), Ev(2, t(1), 1, "click", 5.00),
+        Ev(3, t(2), 2, "view", 1.10))
+      q.processAllAvailable()
+      input.addData(Ev(4, t(3), 1, "click", 0.75))
+      q.processAllAvailable()
+      val all = s.table("rustws").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // identical to the flatMapGroupsWithState twin on the same feed:
+      // user 1's second update starts from the carried (2, 1525)
+      assert(all.contains((1L, 3L, 1600L)))
+      assert(all.contains((2L, 1L, 110L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("windowedDistinctSketch: incremental KMV across batches equals the batch sketch") {
     val s = spark
     import s.implicits._
