@@ -76,11 +76,20 @@ object HistTable {
   }
 
   /** Equal-factor rebin of a regular axis (reference equal-width rebin:
-    * columnflow/plotting/plot_util.py:1040-1086). Flow bins pass through. */
+    * columnflow/plotting/plot_util.py:1040-1086). Flow bins pass through —
+    * underflow stays −1, overflow is REMAPPED from nBins to
+    * ceil(nBins/factor), so when factor divides nBins the output is
+    * exactly the bin table of `Regular(nBins/factor, lo, hi)` (q138
+    * oracles rebin ≡ direct coarse fill, flow rows included); otherwise
+    * the final in-range bin is ragged (narrower), matching the reference. */
   def rebin(hist: DataFrame, axis: Axis, factor: Int): DataFrame = {
+    require(factor >= 1)
+    val nOut = (axis.nBins + factor - 1) / factor
     val b = col(s"${axis.name}_bin")
     val re = hist.withColumn(s"${axis.name}_bin",
-      when(b === -1 || b === axis.nBins, b).otherwise(floor(b / factor).cast("int")))
+      when(b === -1, b)
+        .when(b === axis.nBins, lit(nOut))
+        .otherwise(floor(b / factor)).cast("int"))
     val binCols = hist.columns.filter(_.endsWith("_bin")).toSeq
     re.groupBy(binCols.map(col): _*)
       .agg(sum("sumw").as("sumw"), sum("sumw2").as("sumw2"), sum("n").as("n"))

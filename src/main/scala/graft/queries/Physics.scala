@@ -16,7 +16,7 @@ import Compat._
 object Physics {
 
   def defs: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q69, q71, q72, q73, q74, q75, q76, q77, q81)
+    q69, q71, q72, q73, q74, q75, q76, q77, q81, q137, q138)
 
   import Nested.nestedOrders
 
@@ -960,5 +960,71 @@ object Physics {
         (acc, d) => (acc + d.cast("decimal(18,6)")).cast("decimal(28,6)"))
         .cast("double").as("sum_dp"))
       .orderBy("o_orderkey")
+  }
+
+  /** Working-point-method tagger weight (reference btag_wp_weights,
+    * columnflow/production/cms/btag.py:414-660): P(data)/P(MC) with
+    * per-object efficiency ε and scale factor SF —
+    *
+    *   w = Π_tagged SF · Π_untagged (1 − SF·ε)/(1 − ε)
+    *
+    * "tagged" = returnflag 'R'; ε and SF are deterministic per-object
+    * functions standing in for the binned payload lookups (q54/q66 prove
+    * the lookup machinery separately). Accumulated in LOG space with the
+    * q45 decimal-9 rounding so the per-event product is order-free. */
+  val q137 = QueryDef(
+    "q137_btag_wp_weight",
+    oracle = Some("""
+      WITH t AS (
+        SELECT l_orderkey,
+          l_returnflag = 'R' AS tagged,
+          0.2 + l_quantity / 100 AS eff,
+          1 + l_discount / 2 AS sf
+        FROM lineitem)
+      SELECT l_orderkey AS o_orderkey,
+        CAST(SUM(CAST(ROUND(CASE WHEN tagged THEN ln(sf)
+          ELSE ln((1 - sf * eff) / (1 - eff)) END, 9) AS DECIMAL(18,9)))
+          AS DOUBLE) AS sum_log_w,
+        CAST(SUM(CASE WHEN tagged THEN 1 ELSE 0 END) AS BIGINT) AS n_tagged,
+        COUNT(*) AS n_items
+      FROM t GROUP BY 1
+      ORDER BY o_orderkey""")) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem").select(
+      col("l_orderkey"),
+      (col("l_returnflag") === "R").as("tagged"),
+      (lit(0.2) + col("l_quantity") / 100).as("eff"),
+      (lit(1) + col("l_discount") / 2).as("sf"))
+    li.groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(
+        dsum(round(when(col("tagged"), log(col("sf")))
+            .otherwise(log((lit(1) - col("sf") * col("eff")) / (lit(1) - col("eff")))), 9)
+          .cast("decimal(18,9)")).as("sum_log_w"),
+        sum(when(col("tagged"), 1L).otherwise(0L)).as("n_tagged"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Rebin consistency under oracle: fill at 40 bins, `HistTable.rebin`
+    * by 4 — the oracle fills the 10-bin axis DIRECTLY, so the hash match
+    * proves rebin ≡ refill including the flow rows (overflow remapped to
+    * the coarse id). The reference's equal-width rebin is a bin-table
+    * transform with exactly this law (plot_util.py:1040-1086). */
+  val q138 = QueryDef(
+    "q138_rebin",
+    oracle = Some {
+      val coarse = graft.hist.Axis.Regular("price", 10, 0.0, 400000.0)
+      s"""
+      SELECT ${coarse.binIdSql("o_totalprice")} AS price_bin,
+        CAST(SUM(CAST(1.0 AS DECIMAL(18,4))) AS DOUBLE) AS sumw,
+        CAST(SUM(CAST(1.0 AS DECIMAL(18,4)) * CAST(1.0 AS DECIMAL(18,4))) AS DOUBLE) AS sumw2,
+        COUNT(*) AS n
+      FROM orders
+      GROUP BY 1
+      ORDER BY price_bin"""
+    }) { (s, dir) =>
+    val fine = graft.hist.Axis.Regular("price", 40, 0.0, 400000.0)
+    val h = graft.hist.HistTable.fill(
+      Tables.load(s, dir, "orders"), Seq(fine -> col("o_totalprice")))
+    graft.hist.HistTable.rebin(h, fine, 4).orderBy("price_bin")
   }
 }

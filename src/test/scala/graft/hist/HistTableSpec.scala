@@ -39,12 +39,16 @@ class HistTableSpec extends SparkSpec {
     assert(folded(0) == (9.0, 3L)) // underflow 4.0 folded into bin 0
   }
 
-  test("rebin by factor sums adjacent bins") {
-    val h = HistTable.fill(df, Seq(ax -> col("x")), col("w"))
+  test("rebin by factor sums adjacent bins; overflow lands at the coarse id") {
+    val s = spark
+    import s.implicits._
+    val withOverflow = df.union(Seq((11.0, "b", 7.0)).toDF("x", "cat", "w"))
+    val h = HistTable.fill(withOverflow, Seq(ax -> col("x")), col("w"))
     val re = grab(HistTable.rebin(h, ax, 2))
     assert(re(0) == (6.0, 3L)) // bins 0+1
-    assert(re(2) == (1.0, 1L)) // bin 4 → 2
-    assert(re(-1) == (4.0, 1L)) // flow passes through
+    assert(re(2) == (1.0, 1L)) // bin 4 → 2 (ragged final bin)
+    assert(re(-1) == (4.0, 1L)) // underflow passes through
+    assert(re(3) == (7.0, 1L)) // overflow 5 → ceil(5/2) = 3
   }
 
   test("project drops an axis by summation") {
