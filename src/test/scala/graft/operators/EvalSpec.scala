@@ -39,6 +39,19 @@ class EvalSpec extends SparkSpec {
     assert(math.abs(auc - expect) < 1e-12)
   }
 
+  test("aucByGroup is invariant under monotone score transforms (rank statistic)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 300).map(_ => (rnd.nextInt(50) / 10.0, rnd.nextInt(2)))
+    val base = rows.map { case (x, y) => ("g", x, y) }.toDF("g", "score", "pos")
+    val warped = rows.map { case (x, y) => ("g", math.exp(x) + 7.0, y) }
+      .toDF("g", "score", "pos")
+    def auc(df: org.apache.spark.sql.DataFrame) =
+      Eval.aucByGroup(df, "g", "score", "pos").collect().head.getAs[Double]("auc")
+    assert(auc(base) == auc(warped)) // exact: only ranks enter
+  }
+
   test("skyline2D matches the quadratic dominance definition") {
     val s = spark
     import s.implicits._

@@ -28,6 +28,45 @@ class TimeseriesSpec extends SparkSpec {
     assert(a == b) // bit-exact, not just approximate
   }
 
+  test("ewmaHalf: fuzz against a sequential reference implementation") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val data = (1 to 500).map(i =>
+      (s"k${rnd.nextInt(5)}", i.toLong, math.round(rnd.nextDouble() * 1e4) / 100.0))
+    val depth = 8
+    val expected = data.groupBy(_._1).flatMap { case (k, rows) =>
+      val ordered = rows.sortBy(_._2)
+      ordered.indices.map { i =>
+        val frame = ordered.slice(math.max(0, i - depth + 1), i + 1)
+        // oldest-first fixed-order reduce, same as the operator
+        val num = frame.zipWithIndex.map { case (r, j) =>
+          r._3 * math.pow(0.5, frame.size - 1 - j) }.sum
+        val den = frame.indices.map(j => math.pow(0.5, frame.size - 1 - j)).sum
+        (k, ordered(i)._2) -> num / den
+      }
+    }
+    val out = Timeseries.ewmaHalf(data.toDF("k", "t", "x"), "k", "x",
+        Seq(col("t")), depth)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Double]("ewma"))
+      .toMap
+    assert(out.size == expected.size)
+    expected.foreach { case (key, v) => assert(out(key) == v, s"at $key") }
+  }
+
+  test("transitions: probabilities are row-stochastic on random data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 400).map(i =>
+      (s"u${rnd.nextInt(9)}", i.toLong, s"s${rnd.nextInt(4)}"))
+      .toDF("k", "t", "st")
+    val sums = Timeseries.transitions(df, "k", "st", Seq(col("t")))
+      .groupBy("from_state").agg(sum("p").as("ptot"))
+      .collect().map(_.getAs[Double]("ptot"))
+    sums.foreach(p => assert(math.abs(p - 1.0) < 1e-12))
+  }
+
   test("transitions: counts and per-source probabilities") {
     val s = spark
     import s.implicits._
