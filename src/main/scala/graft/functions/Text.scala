@@ -16,7 +16,10 @@ object Text {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** One-pass native kernel (`TextKernels.TokenCount`), value-identical
+    * to `size(tokens(text))` but allocation-free — token counting is on
+    * the hot path of quality scores, packing budgets, and chunk sizing. */
+  def tokenCount(text: Column): Column = TextKernels.tokenCountCol(text)
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
