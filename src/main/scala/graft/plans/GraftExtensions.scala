@@ -70,6 +70,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_md5_lower64 takes (string)")
         graft.functions.Md5Lower64(args(0))
+      }),
+    (
+      FunctionIdentifier("graft_token_count"),
+      info("graft_token_count", "graft_token_count(s) - one-pass count of [a-z0-9]+ runs in lower(s)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_token_count takes (string)")
+        graft.functions.TokenCount(args(0))
       }))
 
   /** Register every kernel on an already-running session. */

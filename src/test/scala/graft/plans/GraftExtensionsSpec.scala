@@ -17,18 +17,21 @@ class GraftExtensionsSpec extends SparkSpec {
       SELECT graft_vec_dot(a, b) AS d,
              graft_md5_lower64(s) AS m,
              graft_simhash64(h) AS sh,
-             graft_minhashes(h, 4) AS mh
+             graft_minhashes(h, 4) AS mh,
+             graft_token_count(s) AS tc
       FROM ext_t""").head()
     val viaCol = s.table("ext_t").select(
       graft.functions.VectorKernels.dotCol($"a", $"b").as("d"),
       graft.functions.HashKernels.md5Lower64Col($"s").as("m"),
       graft.functions.HashKernels.simhash64Col($"h").as("sh"),
-      graft.functions.HashKernels.minhashesCol($"h", 4).as("mh")).head()
+      graft.functions.HashKernels.minhashesCol($"h", 4).as("mh"),
+      graft.functions.TextKernels.tokenCountCol($"s").as("tc")).head()
 
     assert(viaSql.getDouble(0) === viaCol.getDouble(0))
     assert(viaSql.getLong(1) === viaCol.getLong(1))
     assert(viaSql.getLong(2) === viaCol.getLong(2))
     assert(viaSql.getSeq[Long](3) === viaCol.getSeq[Long](3))
+    assert(viaSql.getInt(4) === viaCol.getInt(4) && viaSql.getInt(4) === 1)
     assert(viaSql.getDouble(0) === 3.0)
   }
 
@@ -89,6 +92,7 @@ class GraftExtensionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders shared
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ===
-      Seq("graft_md5_lower64", "graft_minhashes", "graft_simhash64", "graft_vec_dot"))
+      Seq("graft_md5_lower64", "graft_minhashes", "graft_simhash64",
+        "graft_token_count", "graft_vec_dot"))
   }
 }
