@@ -137,6 +137,24 @@ object EventStream {
       s"l.$key = r.$key AND r.$rightTs >= l.$leftTs - INTERVAL $band AND r.$rightTs < l.$leftTs"))
   }
 
+  /** Windowed top-k events by value: the custom bounded-buffer TopK
+    * AGGREGATE (`functions/TopK`, q111's scale path) running under
+    * streaming incremental state — per window the state store holds the
+    * k-slot buffer, and each micro-batch MERGES its partial buffer into
+    * the stored one (the same partial/merge law the batch plan uses
+    * map-side). An always-on "top spenders per hour" over a firehose
+    * keeps O(k) state per window, never the event set. */
+  def windowedTopK(events: DataFrame, k: Int = 5, ts: String = "ts",
+                   keyCol: String = "event_id", valueCol: String = "value",
+                   windowLen: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(ts, watermark)
+      .filter(col(valueCol).isNotNull)
+      .groupBy(window(col(ts), windowLen))
+      .agg(graft.functions.TopK.topK(col(valueCol), col(keyCol), k).as("top"))
+      .select(col("window.start").as("win_start"), col("top"))
+
   /** Running per-user totals with explicit state — the
     * `flatMapGroupsWithState` lifecycle (SURVEY §2.10 custom state): state
     * is a (count, exact-decimal cents sum) pair per user, updated per

@@ -209,6 +209,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("windowedTopK: the custom aggregate merges incrementally ≡ batch top-k") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.windowedTopK(input.toDF(), k = 3)
+      .writeStream.format("memory").queryName("wtk").outputMode("update").start()
+    try {
+      // one hour-0 window fed across two micro-batches: the second batch's
+      // partial buffer must MERGE into the stored state, not replace it
+      input.addData(Ev(1, t(5), 1, "buy", 10.0), Ev(2, t(10), 2, "buy", 50.0),
+        Ev(3, t(15), 3, "buy", 20.0))
+      q.processAllAvailable()
+      input.addData(Ev(4, t(20), 4, "buy", 40.0), Ev(5, t(25), 5, "buy", 5.0))
+      q.processAllAvailable()
+      val last = s.table("wtk").collect().last
+      val streamed = last.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("top")
+        .map(r => (r.getAs[Double]("key"), r.getAs[Long]("id")))
+      val batch = Seq((1L, 10.0), (2L, 50.0), (3L, 20.0), (4L, 40.0), (5L, 5.0))
+        .toDF("event_id", "value")
+        .agg(graft.functions.TopK.topK(col("value"), col("event_id"), 3).as("top"))
+        .select(explode(col("top")).as("t")).select("t.key", "t.id")
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+      assert(streamed === batch) // (50,2), (40,4), (20,3)
+    } finally q.stop()
+  }
+
   test("windowedDistinctSketch: incremental KMV across batches equals the batch sketch") {
     val s = spark
     import s.implicits._
