@@ -142,4 +142,97 @@ object Sketches {
       .agg(min(when(coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) === col("mask"), 1)
         .otherwise(0)).cast("int").as("might_contain"))
   }
+
+  // ---- hyperloglog ----
+
+  /** α_m · m² · 2^64 — the raw-HLL estimator numerator as one double
+    * literal shared verbatim with the oracle SQL (`Double.toString`
+    * round-trips to the identical bit pattern in any IEEE engine). */
+  private def hllNumerator(m: Int): Double =
+    0.7213 / (1.0 + 1.079 / m) * m.toDouble * m.toDouble * TWO64
+
+  /** Register index: low log₂(m) bits of the portable value hash. */
+  def hllBucket(value: Column, m: Int): Column = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    pmod(valueHash(value), lit(m.toLong)).cast("int")
+  }
+
+  /** ρ = (trailing zeros of the salted rho-hash) + 1, capped at 64.
+    * Generated as a divisibility CASE chain (`h % 2^k = 0`) — no ctz
+    * builtin or `h & -h` negation (which overflows at `Long.MinValue`
+    * under ANSI/checked engines), so the same chain runs bit-identically
+    * on Spark and any SQL oracle. Note `1L << 63 == Long.MinValue`:
+    * `h % Long.MinValue == 0` still tests divisibility by 2^63. */
+  def hllRho(value: Column): Column = {
+    val h = valueHash(concat(lit("hll|"), value.cast("string")))
+    (63 to 1 by -1).foldLeft(when(h === 0, lit(64))) { (acc, k) =>
+      acc.when(h % lit(1L << k) === 0, lit(k + 1))
+    }.otherwise(lit(1))
+  }
+
+  /** HLL sketch of `value` per group: one (groupCols…, bucket, register)
+    * row per non-empty register, register = MAX(ρ). The groupBy partial-
+    * aggregates map-side, so a 100 TB scan exchanges ≤ |groups|·m small
+    * ints per partition — the fixed-size-state cardinality sketch (KMV's
+    * k·8-byte state beats it on accuracy-per-byte only below ~k distinct;
+    * HLL's register grid wins at billions). Sketches merge by
+    * `union → groupBy(bucket).max(register)` ([[hllMerge]]) — the rollup
+    * property that lets per-file sketches fold into a corpus sketch
+    * without rescanning. */
+  def hllSketch(df: DataFrame, value: Column, groupCols: Seq[String], m: Int = 256): DataFrame =
+    df.select(groupCols.map(col) :+ hllBucket(value, m).as("bucket")
+        :+ hllRho(value).as("rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("rho").as("register"))
+
+  /** Merge sketches built by [[hllSketch]] over the same m. */
+  def hllMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.union(b).groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("register").as("register"))
+
+  /** 2^(64−register) as an exact decimal — the scaled-integer form of the
+    * estimator term 2^−register. Summing these exactly (decimal, never
+    * double) makes the final estimate one IEEE division of two
+    * deterministic operands: bit-identical across engines and partition
+    * orders, no rounding tolerance needed. */
+  private def hllTerm(register: Column): Column =
+    (1 to 64).foldLeft(lit(null).cast("decimal(38,0)")) { (acc, r) =>
+      when(register === r, lit(BigDecimal(BigInt(2).pow(64 - r))).cast("decimal(38,0)"))
+        .otherwise(acc)
+    }
+
+  /** Raw-HLL distinct estimate per group from a register table: absent
+    * registers contribute 2^64 (ρ=0) to the exact decimal denominator.
+    * No small-range linear-counting branch — it needs `ln` (libm, not
+    * bit-portable) and the raw estimator is already deterministic; callers
+    * wanting the correction can apply it to this output. */
+  def hllEstimate(sketch: DataFrame, groupCols: Seq[String], m: Int = 256): DataFrame = {
+    val two64 = lit(BigDecimal(BigInt(2).pow(64))).cast("decimal(38,0)")
+    sketch.groupBy(groupCols.map(col): _*)
+      .agg((sum(hllTerm(col("register"))) +
+        (lit(m) - count(lit(1))).cast("decimal(38,0)") * two64).as("__S"))
+      .select(groupCols.map(col) :+
+        (lit(hllNumerator(m)) / col("__S").cast("double")).as("est_distinct"): _*)
+  }
+
+  /** DuckDB mirror of [[hllRho]] given a signed-64 hash expression. */
+  def hllRhoSql(h: String): String = {
+    val branches = (63 to 1 by -1).map { k =>
+      s"WHEN ($h) % CAST(${BigInt(2).pow(k)} AS HUGEINT) = 0 THEN ${k + 1}"
+    }.mkString(" ")
+    s"CASE WHEN ($h) = 0 THEN 64 $branches ELSE 1 END"
+  }
+
+  /** DuckDB mirror of [[hllTerm]] given a register column reference. */
+  def hllTermSql(reg: String): String = {
+    val branches = (1 to 64).map { r =>
+      s"WHEN $r THEN CAST(${BigInt(2).pow(64 - r)} AS DECIMAL(38,0))"
+    }.mkString(" ")
+    s"CASE $reg $branches END"
+  }
+
+  /** DuckDB mirror of [[hllEstimate]]'s final expression given the
+    * exact-decimal denominator column reference. */
+  def hllEstimateSql(s: String, m: Int): String =
+    s"${hllNumerator(m)} / CAST($s AS DOUBLE)"
 }

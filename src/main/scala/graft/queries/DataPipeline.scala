@@ -15,7 +15,7 @@ object DataPipeline {
   def defs: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
-    q102, q106, q108, q116, q117, q118, q119, q120, q125, q127)
+    q102, q106, q108, q116, q117, q118, q119, q120, q125, q127, q139)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -1200,6 +1200,55 @@ object DataPipeline {
       .join(exact, Seq("probe"))
       .select(col("probe"), col("exact_count"), col("est_count"))
       .orderBy("probe")
+  }
+
+  /** HyperLogLog distinct-count sketch vs exact: m=256 registers per
+    * order priority over custkeys. The register grid is O(m) state per
+    * group with full map-side partial aggregation — at billions of
+    * distinct keys (where KMV's accuracy-per-byte loses) a 100 TB scan
+    * still exchanges ≤ 256 small ints per (partition, group). The oracle
+    * rebuilds the identical registers from the same portable hashes and
+    * the estimate is one IEEE division of exact-decimal operands, so the
+    * sketch matches bit-for-bit with no tolerance. */
+  val q139 = QueryDef(
+    "q139_hll_distinct",
+    oracle = Some {
+      val h = Sketches.signed64FromHexSql("md5(CAST(o_custkey AS VARCHAR))")
+      val h2 = Sketches.signed64FromHexSql("md5('hll|' || CAST(o_custkey AS VARCHAR))")
+      Some(s"""
+      WITH s0 AS (
+        SELECT o_orderpriority AS priority, $h AS h, $h2 AS h2
+        FROM orders),
+      s AS (
+        SELECT priority, ((h % 256) + 256) % 256 AS bucket,
+          ${Sketches.hllRhoSql("h2")} AS rho
+        FROM s0),
+      regs AS (
+        SELECT priority, bucket, MAX(rho) AS register FROM s GROUP BY 1, 2),
+      den AS (
+        SELECT priority,
+          SUM(${Sketches.hllTermSql("register")})
+            + (256 - COUNT(*)) * CAST(18446744073709551616 AS DECIMAL(38,0)) AS s_den
+        FROM regs GROUP BY 1),
+      x AS (
+        SELECT o_orderpriority AS priority,
+          COUNT(DISTINCT o_custkey) AS exact_distinct
+        FROM orders GROUP BY 1)
+      SELECT priority, exact_distinct,
+        ${Sketches.hllEstimateSql("s_den", 256)} AS est_distinct
+      FROM den JOIN x USING (priority)
+      ORDER BY priority""")
+    }.get) { (s, dir) =>
+    val base = Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority").as("priority"), col("o_custkey"))
+    val est = Sketches.hllEstimate(
+      Sketches.hllSketch(base, col("o_custkey"), Seq("priority"), m = 256),
+      Seq("priority"), m = 256)
+    val exact = base.groupBy("priority")
+      .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+    exact.join(est, Seq("priority"))
+      .select(col("priority"), col("exact_distinct"), col("est_distinct"))
+      .orderBy("priority")
   }
 
   /** Deterministic training-data shuffle: salted-hash shard assignment +

@@ -88,4 +88,47 @@ class SketchesSpec extends SparkSpec {
       .as[Seq[Long]].head()
     assert(out === Seq(30L, 31L))
   }
+
+  test("hllEstimate: within the m=256 error bound and duplicate-insensitive") {
+    val n = 5000
+    // every value inserted 3 times: cardinality sketches must ignore dups
+    val df = (1 to 3 * n).map(i => ("g", s"item${i % n}")).toDF("g", "v")
+    val est = Sketches.hllEstimate(
+      Sketches.hllSketch(df, col("v"), Seq("g"), m = 256), Seq("g"), m = 256)
+      .select("est_distinct").as[Double].head()
+    // raw HLL relative error ~1.04/sqrt(256) ≈ 6.5%; allow 4 sigma
+    assert(math.abs(est - n) / n < 0.26, s"est=$est")
+  }
+
+  test("hllMerge of half sketches equals the sketch of the whole") {
+    val df = (1 to 2000).map(i => (s"g${i % 2}", s"x$i")).toDF("g", "v")
+    val a = Sketches.hllSketch(df.filter($"v" < "x5"), col("v"), Seq("g"), m = 64)
+    val b = Sketches.hllSketch(df.filter($"v" >= "x5"), col("v"), Seq("g"), m = 64)
+    val merged = Sketches.hllMerge(a, b, Seq("g"))
+      .orderBy("g", "bucket").collect().toSeq
+    val whole = Sketches.hllSketch(df, col("v"), Seq("g"), m = 64)
+      .orderBy("g", "bucket").collect().toSeq
+    assert(merged === whole)
+  }
+
+  test("hll registers and estimate are repartition-stable") {
+    val df = (1 to 800).map(i => ("g", s"k$i")).toDF("g", "v")
+    def run(parts: Int) = Sketches.hllEstimate(
+      Sketches.hllSketch(df.repartition(parts), col("v"), Seq("g"), m = 64),
+      Seq("g"), m = 64).select("est_distinct").as[Double].head()
+    assert(run(1) === run(7)) // bit-equal, not approximately
+  }
+
+  test("hllRho matches trailing-zeros + 1 on known hash values") {
+    // derive expected rho from the actual portable hash bits
+    val vals = (1 to 50).map(i => s"probe$i")
+    val rhos = vals.toDF("v").select(Sketches.hllRho(col("v")).as("r"))
+      .as[Int].collect()
+    vals.zip(rhos).foreach { case (v, r) =>
+      val h = graft.functions.HashKernels.md5Lower64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"hll|$v"))
+      val expect = if (h == 0L) 64 else java.lang.Long.numberOfTrailingZeros(h) + 1
+      assert(r === expect, s"value $v hash $h")
+    }
+  }
 }
