@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Record linkage: blocked edit-distance fuzzy matching.
+  *
+  * The naive formulation — `levenshtein(l, r) <= d` as a join predicate —
+  * is a cartesian product (no equi-key), which Spark executes as
+  * BroadcastNestedLoopJoin: O(n·m) distance evaluations, hopeless at
+  * 100 TB. The scale path is the classic block → verify split:
+  *
+  *   1. BLOCK: a cheap deterministic key (here: a token of the string)
+  *      that near-duplicates almost surely share. The join becomes an
+  *      equi-join on the block key — shuffle-partitioned, AQE-skew-safe.
+  *   2. VERIFY: the exact edit distance runs only inside blocks —
+  *      candidate pairs are Σ|block|², not n·m.
+  *
+  * Recall is bounded by the blocking function (a typo INSIDE the block
+  * token hides the pair); production linkage unions several blocking
+  * passes (first token, last token, length band) — each pass is this
+  * same operator, and the union of candidates dedups by (left, right)
+  * before verify. Skewed blocks (stop-word tokens) are AQE's skew-join
+  * case or get salted like any hot aggregation key.
+  */
+object Linkage {
+
+  /** All pairs within `maxDist` edit distance that share a block key.
+    * `blockFn` maps the text column to the blocking key. */
+  def fuzzyPairs(left: DataFrame, right: DataFrame,
+                 leftId: String, leftText: String,
+                 rightId: String, rightText: String,
+                 blockFn: Column => Column, maxDist: Int): DataFrame = {
+    val l = left.select(col(leftId).as("__lid"), col(leftText).as("__ltext"),
+      blockFn(col(leftText)).as("__block"))
+    val r = right.select(col(rightId).as("__rid"), col(rightText).as("__rtext"),
+      blockFn(col(rightText)).as("__block"))
+    l.join(r, Seq("__block"))
+      .withColumn("distance", levenshtein(col("__ltext"), col("__rtext")))
+      .filter(col("distance") <= maxDist)
+      .select(col("__lid").as(leftId), col("__rid").as(rightId), col("distance"))
+  }
+
+  /** Best (min-distance) match per left row, ties broken by the smallest
+    * right id — a deterministic argmin via `min(struct(dist, id))`, which
+    * partial-aggregates map-side (no window over the candidate set).
+    * Left rows with no candidate within `maxDist` are absent (inner
+    * semantics — the unmatched set is the anti-join complement). */
+  def bestFuzzyMatch(left: DataFrame, right: DataFrame,
+                     leftId: String, leftText: String,
+                     rightId: String, rightText: String,
+                     blockFn: Column => Column, maxDist: Int): DataFrame =
+    fuzzyPairs(left, right, leftId, leftText, rightId, rightText, blockFn, maxDist)
+      .groupBy(col(leftId))
+      .agg(min(struct(col("distance"), col(rightId))).as("__best"))
+      .select(col(leftId), col(s"__best.distance").as("distance"),
+        col(s"__best.$rightId").as(rightId))
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.Text
-import graft.operators.{Curation, Dedup, Multimodal, Quantize, Similarity, Sketches}
+import graft.operators.{Curation, Dedup, Linkage, Multimodal, Quantize, Similarity, Sketches}
 
 /** LLM-training-data pipeline family over `documents` and `embeddings`:
   * text analysis, deduplication (exact / MinHash-LSH / SimHash / blocked
@@ -15,7 +15,7 @@ object DataPipeline {
   def defs: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
-    q102, q106, q108, q116, q117, q118, q119, q120, q125, q127, q139)
+    q102, q106, q108, q116, q117, q118, q119, q120, q125, q127, q139, q140)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -1249,6 +1249,45 @@ object DataPipeline {
     exact.join(est, Seq("priority"))
       .select(col("priority"), col("exact_distinct"), col("est_distinct"))
       .orderBy("priority")
+  }
+
+  /** Blocked edit-distance record linkage: part names with a
+    * deterministic injected typo (char 3 deleted — OCR-noise stand-in)
+    * fuzzy-join back to the clean catalog. Block on the last name token
+    * (untouched by the typo), verify with `levenshtein <= 2` inside
+    * blocks only — the equi-join formulation of a predicate that would
+    * otherwise be a cartesian BroadcastNestedLoopJoin. Best match per
+    * dirty row via the map-side `min(struct(dist, id))` argmin. */
+  val q140 = QueryDef(
+    "q140_fuzzy_join",
+    oracle = Some("""
+      WITH dirty AS (
+        SELECT p_partkey AS dirty_id,
+          substring(p_name, 1, 2) || substring(p_name, 4) AS dirty_name
+        FROM part),
+      db AS (
+        SELECT dirty_id, dirty_name,
+          str_split(dirty_name, ' ')[-1] AS block FROM dirty),
+      clean AS (
+        SELECT p_partkey, p_name, str_split(p_name, ' ')[-1] AS block FROM part),
+      cand AS (
+        SELECT dirty_id, p_partkey, levenshtein(dirty_name, p_name) AS distance
+        FROM db JOIN clean USING (block)
+        WHERE levenshtein(dirty_name, p_name) <= 2),
+      best AS (
+        SELECT dirty_id, distance, p_partkey,
+          ROW_NUMBER() OVER (PARTITION BY dirty_id
+            ORDER BY distance, p_partkey) AS rn
+        FROM cand)
+      SELECT dirty_id, distance, p_partkey
+      FROM best WHERE rn = 1 ORDER BY dirty_id""")) { (s, dir) =>
+    val part = Tables.load(s, dir, "part")
+    val dirty = part.select(col("p_partkey").as("dirty_id"),
+      concat(substring(col("p_name"), 1, 2), expr("substring(p_name, 4)"))
+        .as("dirty_name"))
+    Linkage.bestFuzzyMatch(dirty, part, "dirty_id", "dirty_name",
+        "p_partkey", "p_name", t => element_at(split(t, " "), -1), maxDist = 2)
+      .orderBy("dirty_id")
   }
 
   /** Deterministic training-data shuffle: salted-hash shard assignment +
