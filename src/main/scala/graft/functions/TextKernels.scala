@@ -48,6 +48,33 @@ object TextKernels {
 
   def tokenCountCol(text: Column): Column =
     ColumnBridge.column(TokenCount(ColumnBridge.expression(text)))
+
+  /** NFC-normalize (java.text.Normalizer, Unicode standard composition).
+    * ASCII fast path: one byte scan, returns the INPUT UTF8String object
+    * untouched — on a mostly-ASCII corpus the normalizer allocates
+    * nothing, where the naive String round-trip would copy every row
+    * twice. Spark ships no normalization builtin; this is the
+    * ingest-time canonicalization step that makes hash-based dedup and
+    * fingerprinting see 'é' and 'e'+U+0301 as the same document. */
+  def nfc(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var i = 0
+    while (i < n) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) < 0) {
+        val str = s.toString
+        return if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+        else UTF8String.fromString(
+          java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+      }
+      i += 1
+    }
+    s
+  }
+
+  def nfcCol(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
 }
 
 /** One-pass allocation-free token count (≡ size(regexp_extract_all(
@@ -69,5 +96,27 @@ case class TokenCount(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.tokenCount($c)")
 
   override protected def withNewChildInternal(newChild: Expression): TokenCount =
+    copy(child = newChild)
+}
+
+/** Unicode NFC normalization with an allocation-free ASCII fast path
+  * (≡ DuckDB `nfc_normalize`; Spark has no builtin equivalent). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }

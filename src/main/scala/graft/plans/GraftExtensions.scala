@@ -77,6 +77,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_token_count takes (string)")
         graft.functions.TokenCount(args(0))
+      }),
+    (
+      FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "graft_nfc(s) - Unicode NFC normalization (ASCII fast path)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_nfc takes (string)")
+        graft.functions.NfcNormalize(args(0))
       }))
 
   /** Register every kernel on an already-running session. */

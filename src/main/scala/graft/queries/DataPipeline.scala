@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.Text
+import graft.functions.{Text, TextKernels}
 import graft.operators.{Curation, Dedup, Linkage, Multimodal, Quantize, Similarity, Sketches}
 
 /** LLM-training-data pipeline family over `documents` and `embeddings`:
@@ -15,7 +15,7 @@ object DataPipeline {
   def defs: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
-    q102, q106, q108, q116, q117, q118, q119, q120, q125, q127, q139, q140)
+    q102, q106, q108, q116, q117, q118, q119, q120, q125, q127, q139, q140, q141)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -1288,6 +1288,33 @@ object DataPipeline {
     Linkage.bestFuzzyMatch(dirty, part, "dirty_id", "dirty_name",
         "p_partkey", "p_name", t => element_at(split(t, " "), -1), maxDist = 2)
       .orderBy("dirty_id")
+  }
+
+  /** Unicode NFC canonicalization via the native `graft_nfc` kernel:
+    * decompose part names (combining acute U+0301 injected after every
+    * 'e' — the two-codepoint form of 'é'), then NFC-compose back. The
+    * oracle is DuckDB's `nfc_normalize`, so the hash-match pins
+    * java.text.Normalizer against an independent Unicode implementation
+    * — the canonicalization that makes hash dedup / fingerprinting see
+    * both encodings of a character as the same document. */
+  val q141 = QueryDef(
+    "q141_unicode_norm",
+    oracle = Some("""
+      WITH d AS (
+        SELECT p_partkey, replace(p_name, 'e', 'e' || chr(769)) AS decomposed
+        FROM part)
+      SELECT p_partkey, length(decomposed) AS len_decomposed,
+        nfc_normalize(decomposed) AS norm_name,
+        length(nfc_normalize(decomposed)) AS len_normalized
+      FROM d ORDER BY p_partkey""")) { (s, dir) =>
+    Tables.load(s, dir, "part")
+      .select(col("p_partkey"),
+        regexp_replace(col("p_name"), "e", "e" + "\u0301").as("decomposed"))
+      .select(col("p_partkey"),
+        length(col("decomposed")).as("len_decomposed"),
+        TextKernels.nfcCol(col("decomposed")).as("norm_name"))
+      .withColumn("len_normalized", length(col("norm_name")))
+      .orderBy("p_partkey")
   }
 
   /** Deterministic training-data shuffle: salted-hash shard assignment +

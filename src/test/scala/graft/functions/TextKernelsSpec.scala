@@ -50,4 +50,46 @@ class TextKernelsSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*("), s"kernel fell out of codegen:\n$p")
   }
+
+  test("nfc composes decomposed sequences and round-trips composed input") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val decomposed = UTF8String.fromString("cafe\u0301") // e + combining acute
+    assert(TextKernels.nfc(decomposed).toString === "caf\u00e9")
+    // already-NFC non-ASCII input comes back value-equal
+    val composed = UTF8String.fromString("caf\u00e9 \u8a9e")
+    assert(TextKernels.nfc(composed) === composed)
+  }
+
+  test("nfc ASCII fast path returns the input object without allocation") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val ascii = UTF8String.fromString("plain ascii text 123")
+    assert(TextKernels.nfc(ascii) eq ascii) // reference equality: no copy
+  }
+
+  test("nfcCol matches java.text.Normalizer on mixed fuzz and keeps codegen") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "a\u00e9\u00f6 xyze\u0301n\u0303\u8a9e"
+    val cases = Seq.fill(200)(
+      (0 to rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    // repartition: keeps Catalyst from constant-folding the local relation
+    // so the codegen assertion below sees a real projection
+    val df = cases.toDF("t").repartition(2)
+      .select(col("t"), TextKernels.nfcCol(col("t")).as("n"))
+    df.collect().foreach { r =>
+      val expect = java.text.Normalizer.normalize(r.getString(0), java.text.Normalizer.Form.NFC)
+      assert(r.getString(1) === expect)
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"kernel fell out of codegen:\n$p")
+  }
+
+  test("graft_nfc is reachable from SQL") {
+    val s = spark
+    graft.plans.GraftExtensions.register(s)
+    val out = s.sql("SELECT graft_nfc(concat('cafe', '\u0301')) AS n")
+      .collect().head.getString(0)
+    assert(out === "caf\u00e9")
+  }
 }
