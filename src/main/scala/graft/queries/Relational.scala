@@ -18,7 +18,7 @@ import Compat._
 object Relational {
 
   def defs: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13,
-    q100, q101, q103, q104, q105, q107, q109, q112, q123, q124, q136)
+    q100, q101, q103, q104, q105, q107, q109, q112, q123, q124, q136, q142)
 
   /** Flagship: TPC-H Q1-style pricing summary. Single scan, map-side
     * partial aggregation, 6-group output — the canonical "selection
@@ -626,6 +626,43 @@ object Relational {
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("gid"), col("n"), col("sum_price"))
       .orderBy("gid", "status", "priority")
+  }
+
+  /** Order-free table checksum (`Integrity.tableChecksum`): Σ portable
+    * row hashes as exact decimal, per return flag. Proves two engines
+    * hold the identical table with no global sort and no row transfer —
+    * the 100 TB copy-validation primitive (each side ships |groups|
+    * numbers). Doubles canonicalize through DECIMAL(18,6), the
+    * timestamp through DATE, so the rendered row is engine-portable. */
+  val q142 = QueryDef(
+    "q142_table_checksum",
+    oracle = Some(s"""
+      WITH r AS (
+        SELECT l_returnflag,
+          concat_ws('|',
+            COALESCE(CAST(l_orderkey AS VARCHAR), ' '),
+            COALESCE(CAST(l_linenumber AS VARCHAR), ' '),
+            COALESCE(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS VARCHAR), ' '),
+            COALESCE(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR), ' '),
+            COALESCE(CAST(CAST(l_discount AS DECIMAL(18,6)) AS VARCHAR), ' '),
+            COALESCE(l_linestatus, ' '),
+            COALESCE(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), ' ')) AS repr
+        FROM lineitem)
+      SELECT l_returnflag, COUNT(*) AS n_rows,
+        CAST(SUM(${graft.operators.Sketches.signed64FromHexSql("md5(repr)")})
+          AS DECIMAL(38,0)) AS checksum
+      FROM r GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, dir) =>
+    import graft.core.Integrity
+    val li = Tables.load(s, dir, "lineitem")
+    Integrity.tableChecksum(li, Seq(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(18,6)"),
+        col("l_extendedprice").cast("decimal(18,6)"),
+        col("l_discount").cast("decimal(18,6)"),
+        col("l_linestatus"),
+        col("l_shipdate").cast("date")),
+      groupBy = Seq("l_returnflag"))
+      .orderBy("l_returnflag")
   }
 
   /** Z-order (Morton) locality audit (`Layout.zValue16`): interleave two

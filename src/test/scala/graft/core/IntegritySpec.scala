@@ -40,4 +40,38 @@ class IntegritySpec extends SparkSpec {
       Integrity.assertNoOverlap(Seq("event"), a, b, c))
     assert(e.getMessage.contains("'x'"))
   }
+
+  test("tableChecksum is row-order and partitioning invariant") {
+    import org.apache.spark.sql.functions._
+    val df = (1 to 300).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    def sum(d: org.apache.spark.sql.DataFrame) =
+      Integrity.tableChecksum(d, Seq(col("k"), col("v"))).head()
+    val base = sum(df)
+    assert(sum(df.repartition(7)) === base)
+    assert(sum(df.orderBy(desc("k"))) === base)
+  }
+
+  test("tableChecksum detects a single changed cell and distinguishes null from blank") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val tweaked = Seq((1L, "a"), (2L, "c")).toDF("k", "v")
+    def cs(d: org.apache.spark.sql.DataFrame) =
+      Integrity.tableChecksum(d, Seq(col("k"), col("v"))).head().getDecimal(1)
+    assert(cs(df) !== cs(tweaked))
+    val withNull = Seq((1L, null.asInstanceOf[String])).toDF("k", "v")
+    val withEmpty = Seq((1L, "")).toDF("k", "v")
+    assert(cs(withNull) !== cs(withEmpty))
+  }
+
+  test("tableChecksum groups localize the mismatch") {
+    import org.apache.spark.sql.functions._
+    val a = Seq(("g1", 1L), ("g1", 2L), ("g2", 3L)).toDF("g", "k")
+    val b = Seq(("g1", 1L), ("g1", 2L), ("g2", 99L)).toDF("g", "k")
+    def m(d: org.apache.spark.sql.DataFrame) =
+      Integrity.tableChecksum(d, Seq(col("k")), groupBy = Seq("g"))
+        .collect().map(r => r.getString(0) -> r.getDecimal(2)).toMap
+    val (ma, mb) = (m(a), m(b))
+    assert(ma("g1") === mb("g1"))
+    assert(ma("g2") !== mb("g2"))
+  }
 }
