@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between two corpus snapshots — the
+  * data-quality gate that catches a silently changed upstream source
+  * before it trains into a model.
+  *
+  *   - [[psi]]: Population Stability Index over a caller-supplied binning,
+  *     Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ). Each term is libm-rounded to 9 decimals and
+  *     summed as exact decimal (the q94 entropy idiom), so the aggregate
+  *     is order-free and engine-portable. Bins empty on either side carry
+  *     infinite PSI in theory; here they are excluded from the sum and
+  *     REPORTED as exact one-sided row counts — a drift alarm in their
+  *     own right, not a silent drop.
+  *   - [[ks]]: exact two-sample Kolmogorov–Smirnov statistic,
+  *     max |ECDF₁−ECDF₂|. Computed as integer cross-multiplied cumulative
+  *     counts (|k₁·n₂ − k₂·n₁|, all BIGINT-exact) with ONE IEEE division
+  *     at the end — bit-identical across engines, no tolerance needed.
+  *
+  * Scale: both reduce each side to per-bin / per-distinct-value counts
+  * map-side before any exchange. KS's cumulative window runs over the
+  * DISTINCT value set — for continuous features with unbounded domains,
+  * quantize first (the binning is the caller's `value` expression); the
+  * windowed set is then bounded regardless of row count.
+  */
+object Drift {
+
+  /** Per-group PSI of `cand` against `base` under `bin`. One row per
+    * group: psi (over shared bins), the one-sided masses, and bin counts. */
+  def psi(base: DataFrame, cand: DataFrame, bin: Column): DataFrame = {
+    val b = base.groupBy(bin.as("bin")).agg(count(lit(1)).as("c1"))
+    val c = cand.groupBy(bin.as("bin")).agg(count(lit(1)).as("c2"))
+    val joined = b.join(c, Seq("bin"), "full")
+    val tot = joined.agg(
+      sum(coalesce(col("c1"), lit(0L))).as("n1"),
+      sum(coalesce(col("c2"), lit(0L))).as("n2"))
+    val p = col("c1").cast("double") / col("n1").cast("double")
+    val q = col("c2").cast("double") / col("n2").cast("double")
+    joined.crossJoin(broadcast(tot))
+      .withColumn("term",
+        when(col("c1").isNotNull && col("c2").isNotNull,
+          round((p - q) * log(p / q), 9).cast("decimal(18,9)"))
+          .otherwise(lit(null)))
+      .agg(
+        sum("term").cast("double").as("psi"),
+        coalesce(sum(when(col("c2").isNull, col("c1"))), lit(0L)).as("base_only_rows"),
+        coalesce(sum(when(col("c1").isNull, col("c2"))), lit(0L)).as("cand_only_rows"),
+        count(when(col("c1").isNotNull && col("c2").isNotNull, 1)).as("shared_bins"))
+  }
+
+  /** Exact two-sample KS statistic of `cand` vs `base` over `value`.
+    * Returns one row: (n_base, n_cand, ks_num, ks_stat) where
+    * ks_num = max |k₁·n₂ − k₂·n₁| (exact) and ks_stat = ks_num/(n₁·n₂). */
+  def ks(base: DataFrame, cand: DataFrame, value: Column): DataFrame = {
+    val b = base.select(value.as("v")).groupBy("v").agg(count(lit(1)).as("c1"))
+    val c = cand.select(value.as("v")).groupBy("v").agg(count(lit(1)).as("c2"))
+    val u = b.join(c, Seq("v"), "full")
+      .select(col("v"), coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = u.select(
+      sum("c1").over(w).as("k1"), sum("c2").over(w).as("k2"))
+    val tot = u.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .agg(
+        max(col("n1")).as("n_base"), max(col("n2")).as("n_cand"),
+        max(abs(col("k1") * col("n2") - col("k2") * col("n1"))).as("ks_num"))
+      .withColumn("ks_stat",
+        col("ks_num").cast("double") /
+          (col("n_base") * col("n_cand")).cast("double"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{Text, TextKernels}
-import graft.operators.{Curation, Dedup, Linkage, Multimodal, Quantize, Similarity, Sketches}
+import graft.operators.{Curation, Dedup, Drift, Linkage, Multimodal, Quantize, Similarity, Sketches}
 
 /** LLM-training-data pipeline family over `documents` and `embeddings`:
   * text analysis, deduplication (exact / MinHash-LSH / SimHash / blocked
@@ -15,7 +15,7 @@ object DataPipeline {
   def defs: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
-    q102, q106, q108, q116, q117, q118, q119, q120, q125, q127, q139, q140, q141)
+    q102, q106, q108, q116, q117, q118, q119, q120, q125, q127, q139, q140, q141, q143)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -1315,6 +1315,68 @@ object DataPipeline {
         TextKernels.nfcCol(col("decomposed")).as("norm_name"))
       .withColumn("len_normalized", length(col("norm_name")))
       .orderBy("p_partkey")
+  }
+
+  /** Distribution drift of src0 documents vs the rest of the corpus:
+    * PSI over length bins (libm terms rounded-then-decimal-summed, the
+    * q94 idiom) and the EXACT two-sample KS statistic (integer
+    * cross-multiplied ECDFs, one IEEE division — no tolerance anywhere).
+    * The pre-training data-quality gate that catches a silently changed
+    * upstream source before it trains into a model. */
+  val q143 = QueryDef(
+    "q143_psi_drift",
+    oracle = Some("""
+      WITH b AS (
+        SELECT n_chars // 100 AS bin, COUNT(*) AS c1
+        FROM documents WHERE source = 'src0' GROUP BY 1),
+      c AS (
+        SELECT n_chars // 100 AS bin, COUNT(*) AS c2
+        FROM documents WHERE source <> 'src0' GROUP BY 1),
+      j AS (
+        SELECT COALESCE(b.bin, c.bin) AS bin, c1, c2
+        FROM b FULL JOIN c ON b.bin = c.bin),
+      t AS (
+        SELECT SUM(COALESCE(c1, 0)) AS n1, SUM(COALESCE(c2, 0)) AS n2 FROM j),
+      psi AS (
+        SELECT
+          CAST(SUM(CASE WHEN c1 IS NOT NULL AND c2 IS NOT NULL THEN
+            CAST(ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+              * ln((CAST(c1 AS DOUBLE) / n1) / (CAST(c2 AS DOUBLE) / n2)), 9)
+              AS DECIMAL(18,9)) END) AS DOUBLE) AS psi,
+          CAST(COALESCE(SUM(CASE WHEN c2 IS NULL THEN c1 END), 0) AS BIGINT)
+            AS base_only_rows,
+          CAST(COALESCE(SUM(CASE WHEN c1 IS NULL THEN c2 END), 0) AS BIGINT)
+            AS cand_only_rows,
+          COUNT(CASE WHEN c1 IS NOT NULL AND c2 IS NOT NULL THEN 1 END)
+            AS shared_bins
+        FROM j CROSS JOIN t),
+      vb AS (
+        SELECT n_chars AS v, COUNT(*) AS c1
+        FROM documents WHERE source = 'src0' GROUP BY 1),
+      vc AS (
+        SELECT n_chars AS v, COUNT(*) AS c2
+        FROM documents WHERE source <> 'src0' GROUP BY 1),
+      u AS (
+        SELECT COALESCE(vb.v, vc.v) AS v, COALESCE(c1, 0) AS c1,
+          COALESCE(c2, 0) AS c2
+        FROM vb FULL JOIN vc ON vb.v = vc.v),
+      cum AS (
+        SELECT SUM(c1) OVER (ORDER BY v) AS k1,
+          SUM(c2) OVER (ORDER BY v) AS k2 FROM u),
+      vt AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM u),
+      ks AS (
+        SELECT CAST(MAX(n1) AS BIGINT) AS n_base,
+          CAST(MAX(n2) AS BIGINT) AS n_cand,
+          CAST(MAX(ABS(k1 * n2 - k2 * n1)) AS BIGINT) AS ks_num,
+          CAST(CAST(MAX(ABS(k1 * n2 - k2 * n1)) AS BIGINT) AS DOUBLE)
+            / CAST(MAX(n1) * MAX(n2) AS DOUBLE) AS ks_stat
+        FROM cum CROSS JOIN vt)
+      SELECT * FROM psi CROSS JOIN ks""")) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val base = docs.filter(col("source") === "src0")
+    val cand = docs.filter(col("source") =!= "src0")
+    Drift.psi(base, cand, expr("n_chars div 100"))
+      .crossJoin(Drift.ks(base, cand, col("n_chars")))
   }
 
   /** Deterministic training-data shuffle: salted-hash shard assignment +
