@@ -91,4 +91,34 @@ object Graph {
       .unionAll(tri.select(lit(0L).as("__e"), lit(1L).as("__t")))
       .agg(sum("__e").as("n_edges"), sum("__t").as("n_triangles"))
   }
+
+  /** Multi-source BFS: minimum hop count from any seed, bounded by
+    * `maxHops`. Returns (node, hops) for every reached node.
+    *
+    * Each hop is one equi-join frontier expansion followed by an
+    * anti-join against the visited set — the frontier DEDUPLICATES per
+    * hop, so work per level is O(|reachable frontier|·avg-degree). That
+    * is the scale divide versus a naive recursive-CTE evaluation, which
+    * enumerates PATHS (exponential in dense graphs) rather than nodes:
+    * level-synchronous BFS with frontier dedup is how 100 TB edge lists
+    * stay tractable. `localCheckpoint` per hop truncates the growing
+    * lineage (same hygiene as [[pageRankScaled]]); hub-vertex skew in
+    * the expansion join is AQE's skew-split case. */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 30)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var visited = seeds.select(col("node"), lit(0).as("hops")).distinct()
+      .localCheckpoint()
+    var frontier = visited
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val expanded = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+      frontier = expanded.join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("hops", lit(hop)).localCheckpoint()
+      visited = visited.unionAll(frontier).localCheckpoint()
+    }
+    visited
+  }
 }

@@ -13,7 +13,7 @@ import graft.operators.{Curation, Eval, Graph, Timeseries}
   */
 object Analytics {
 
-  def defs: Seq[QueryDef] = Seq(q128, q129, q130, q131, q132, q133, q134, q135)
+  def defs: Seq[QueryDef] = Seq(q128, q129, q130, q131, q132, q133, q134, q135, q144)
 
   /** Per-fold ROC AUC of a toy scorer (first embedding coordinate) for
     * the odd-label class — the distributed model-eval primitive
@@ -199,5 +199,42 @@ object Analytics {
         Tables.load(s, dir, "documents"), 5, "source")
       .select(col("source"), col("doc_id"), col("sample_rank"))
       .orderBy("source", "sample_rank")
+  }
+
+  /** Level-synchronous BFS (`Graph.bfs`): minimum hop count from the
+    * smallest node of the part co-purchase graph (parts sharing an
+    * order, 10% node sample), 4 hops. The oracle is a recursive CTE that
+    * enumerates PATHS then takes MIN(hop) — same answer, exponentially
+    * more work in dense graphs; the operator's per-level frontier dedup
+    * is precisely what makes the distributed form scale (scaladoc). */
+  val q144 = QueryDef(
+    "q144_bfs",
+    oracle = Some("""
+      WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_partkey % 10 = 0),
+      edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      bfs(node, hop) AS (
+        SELECT src, 0 FROM (SELECT MIN(src) AS src FROM edges)
+        UNION ALL
+        SELECT e.dst, hop + 1 FROM bfs JOIN edges e ON e.src = bfs.node
+        WHERE hop < 4)
+      SELECT node, CAST(MIN(hop) AS INT) AS hops
+      FROM bfs GROUP BY node ORDER BY node""")) { (s, dir) =>
+    val items = Tables.load(s, dir, "lineitem")
+      .filter(pmod(col("l_partkey"), lit(10L)) === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = items.alias("a")
+      .join(items.alias("b"), Seq("l_orderkey"))
+      .filter(col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    val seeds = edges.agg(min("src").as("node"))
+    Graph.bfs(edges, seeds, maxHops = 4)
+      .select(col("node"), col("hops"))
+      .orderBy("node")
   }
 }

@@ -54,4 +54,32 @@ class GraphSpec extends SparkSpec {
     val r2 = Graph.triangleCount(square).collect().head
     assert((r2.getLong(0), r2.getLong(1)) === (4L, 0L))
   }
+
+  test("bfs: min hops on a chain, unreachable components absent") {
+    // directed chain 1→2→3→4→5 plus island 9→10
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 10L))
+      .toDF("src", "dst")
+    val out = Graph.bfs(edges, Seq(1L).toDF("node"), maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3)) // 5 beyond cap, island absent
+  }
+
+  test("bfs: multi-seed takes the minimum hop and a shortcut wins over a long path") {
+    // 1→2→3→4 and direct 1→4: node 4 must be hop 1, not 3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+    val out = Graph.bfs(edges, Seq(1L).toDF("node"), maxHops = 5)
+      .as[(Long, Int)].collect().toMap
+    assert(out(4L) === 1)
+    // two seeds: every node takes the closer one
+    val out2 = Graph.bfs(edges, Seq(1L, 3L).toDF("node"), maxHops = 5)
+      .as[(Long, Int)].collect().toMap
+    assert(out2(3L) === 0 && out2(4L) === 1)
+  }
+
+  test("bfs terminates early when the frontier empties before maxHops") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val out = Graph.bfs(edges, Seq(1L).toDF("node"), maxHops = 30)
+      .as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 0, 2L -> 1))
+  }
 }
