@@ -138,10 +138,13 @@ class PlanSpec extends SparkSpec {
     // the tf table — the canonical scalar-subquery shape
     // q97/q98 broadcast-crossJoin one-row corpus scalars (N/avgdl, total
     // token count) like q89 — a broadcast of bytes, not data
+    // q143 broadcast-crossJoins one-row totals (n1/n2) into the bin/ECDF
+    // tables and the two one-row stat results into each other — scalar
+    // shapes like q89/q97/q98
     val nljAllowed = Set("q38_ann_bruteforce", "q39_ann_ivf", "q40_embedding_dedup",
       "q79_ann_multiprobe", "q88_pq_adc", "q89_tfidf_topk",
       "q93_ann_recall", // composes q38's broadcast-NLJ exact ranking
-      "q97_bm25", "q98_unigram_nll")
+      "q97_bm25", "q98_unigram_nll", "q143_psi_drift")
     val offenders = Registry.all.flatMap { q =>
       val p =
         try Registry.queries(q.name)(spark, dir).queryExecution.executedPlan.toString
