@@ -312,6 +312,53 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** EXACT Jaccard-threshold pairs with NO blocking recall loss — prefix
+    * filtering (the AllPairs/PPJoin family). Each document's distinct
+    * shingles sort in one GLOBAL canonical order (document frequency
+    * ascending, ties by token): a pair with Jaccard ≥ t = num/den MUST
+    * share a token inside each side's first |d| − ⌈t·|d|⌉ + 1 tokens —
+    * if all shared tokens sat in the suffix of length ⌈t·|d|⌉ − 1, then
+    * |A∩B| ≤ ⌈t·|d|⌉ − 1 < t·|d| ≤ t·|A∪B| ≤ |A∩B|, a contradiction.
+    * So the candidate join runs on PREFIX tokens only, and rarest-first
+    * ordering puts the lowest-fanout tokens in the prefixes — the
+    * candidate set shrinks to near the true pair count while recall
+    * stays exactly 1 (the guarantee LSH trades away). Verification is an
+    * integer cross-multiplied comparison (den·∩ ≥ num·∪): no FP
+    * threshold wobble. Scale: the df table is a broadcast join; only
+    * candidate pairs ever carry full shingle arrays; threshold acts on
+    * prefix-index size as Σ(1−t)|d|, so higher thresholds cost less. */
+  def prefixFilteredJaccardPairs(docs: DataFrame, id: String = "doc_id",
+                                 text: String = "text", shingleN: Int = 3,
+                                 thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
+    require(thresholdNum > 0 && thresholdDen >= thresholdNum)
+    val sh = docs.select(col(id).as("__id"),
+      explode(array_distinct(Text.shingles(col(text), shingleN))).as("tok"))
+    val dfTab = sh.groupBy("tok").agg(count(lit(1)).as("df"))
+    val docSets = sh.join(broadcast(dfTab), Seq("tok"))
+      .groupBy("__id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ts"))
+      .select(col("__id"), size(col("ts")).as("sz"),
+        transform(col("ts"), _.getField("tok")).as("toks"))
+      .localCheckpoint() // reused by the candidate AND verify stages
+    val prefLen = (col("sz") -
+      ceil(col("sz") * lit(thresholdNum) / lit(thresholdDen)) + 1).cast("int")
+    val pref = docSets.select(col("__id"),
+      explode(slice(col("toks"), lit(1), prefLen)).as("tok"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b")).distinct()
+    cand
+      .join(docSets.select(col("__id").as("id_a"), col("toks").as("toks_a"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(docSets.select(col("__id").as("id_b"), col("toks").as("toks_b"),
+        col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * thresholdDen >= col("uni") * thresholdNum)
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / col("uni").cast("double")).as("jac"))
+  }
+
   /** Blocked containment pairs — the asymmetric cousin of Jaccard:
     * `|A∩B| / |A|` flags documents whose shingle set is (mostly) contained
     * in another's, which Jaccard misses whenever the containing document

@@ -15,7 +15,8 @@ object DataPipeline {
   def defs: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
-    q102, q106, q108, q116, q117, q118, q119, q120, q125, q127, q139, q140, q141, q143)
+    q102, q106, q108, q116, q117, q118, q119, q120, q125, q127, q139, q140, q141, q143,
+    q145)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -183,6 +184,29 @@ object DataPipeline {
       ORDER BY id_a, id_b""")) { (s, dir) =>
     Dedup.blockedJaccardPairs(
       Tables.load(s, dir, "documents"), blockCols = Seq("lang"), threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Prefix-filtered EXACT Jaccard join at 0.5, unblocked: the oracle is
+    * the full all-pairs ground truth, so the hash-match PROVES the
+    * prefix filter's recall is exactly 1 — the property that separates
+    * it from LSH (q36) and language blocking (q35), which trade recall
+    * for cost. `Dedup.prefixFilteredJaccardPairs` scaladoc carries the
+    * contradiction proof and the scale contract. */
+  val q145 = QueryDef(
+    "q145_prefix_join",
+    oracle = Some(s"""
+      WITH tok AS (SELECT doc_id, $shingleSql sh FROM documents),
+      p AS (
+        SELECT a.doc_id id_a, b.doc_id id_b,
+          len(list_intersect(a.sh, b.sh)) i,
+          len(list_distinct(list_concat(a.sh, b.sh))) u
+        FROM tok a JOIN tok b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, CAST(i AS DOUBLE) / u AS jac
+      FROM p WHERE 2 * i >= u AND u > 0
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+    Dedup.prefixFilteredJaccardPairs(
+        Tables.load(s, dir, "documents"), thresholdNum = 1, thresholdDen = 2)
       .orderBy("id_a", "id_b")
   }
 

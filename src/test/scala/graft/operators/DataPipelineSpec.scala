@@ -46,6 +46,27 @@ class DataPipelineSpec extends SparkSpec {
     assert(jac.count() == 0)
   }
 
+  test("prefix-filtered Jaccard equals brute-force pairs (recall exactly 1)") {
+    val s = spark
+    import s.implicits._
+    // 40 docs: pairs (i, i+20) are near-identical word soups; rest differ
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val corpus = (0 until 40).map { i =>
+      val base = (0 until 12).map(j => words((i % 20 + j) % words.length))
+      val text = if (i < 20) base.mkString(" ")
+      else (base.dropRight(1) :+ "omega").mkString(" ")
+      (i.toLong, text, "en", "a")
+    }.toDF("doc_id", "text", "lang", "source")
+    val fast = Dedup.prefixFilteredJaccardPairs(corpus, thresholdNum = 1, thresholdDen = 2)
+      .select("id_a", "id_b", "jac").as[(Long, Long, Double)].collect().toSet
+    // brute force: block on a constant → all pairs compared
+    val brute = Dedup.blockedJaccardPairs(
+        corpus.withColumn("k", lit(1)), Seq("k"), threshold = 0.5)
+      .select("id_a", "id_b", "jac").as[(Long, Long, Double)].collect().toSet
+    assert(fast === brute)
+    assert(fast.nonEmpty) // the near-identical pairs actually matched
+  }
+
   test("exact dedup keeps one representative per content") {
     val out = Dedup.exactDedup(docs)
     assert(out.count() == 4)
