@@ -16,7 +16,7 @@ import Compat._
 object Events {
 
   def defs: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q95, q96, q110, q111, q113,
-    q114, q115, q121, q122, q126)
+    q114, q115, q121, q122, q126, q146)
 
   /** JSON field extraction (scalar function family, SURVEY §2.9 date/json). */
   val q14 = QueryDef(
@@ -443,5 +443,67 @@ object Events {
       .select(col("event_type"), col("n"),
         col("sum_value").cast("double").as("sum_value"))
       .orderBy("event_type")
+  }
+
+  /** Point-in-time join — the feature-store correctness pattern: each
+    * click reads the user tier that was VALID AT ITS TIMESTAMP from the
+    * SCD2 history built out of purchase events (`History.scd2`), never a
+    * later one (leakage) nor an earlier one (staleness). Because SCD2
+    * intervals partition time per key, interval membership reduces to a
+    * backward as-of join on `eff_from` — the union-sort-window plan (one
+    * shuffle, no candidate pairs) instead of the quadratic
+    * BETWEEN-theta-join the naive SQL would run. Clicks before a user's
+    * first purchase report tier 'none' (left-outer). */
+  val q146 = QueryDef(
+    "q146_pit_join",
+    oracle = Some("""
+      WITH ch0 AS (
+        SELECT user_id, epoch_us(ts) AS tus, event_id,
+          CASE WHEN value < 10 THEN 'bronze'
+               WHEN value < 50 THEN 'silver'
+               ELSE 'gold' END AS tier
+        FROM events WHERE event_type = 'purchase'),
+      ch AS (
+        SELECT user_id, tus, MAX(event_id) AS event_id,
+          arg_max(tier, event_id) AS tier
+        FROM ch0 GROUP BY 1, 2),
+      h AS (
+        SELECT user_id, tier, tus AS eff_from,
+          LEAD(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS eff_to
+        FROM ch),
+      clicks AS (
+        SELECT user_id, epoch_us(ts) AS tus FROM events
+        WHERE event_type = 'click'),
+      pit AS (
+        SELECT c.user_id, h.tier
+        FROM clicks c LEFT JOIN h ON c.user_id = h.user_id
+          AND h.eff_from <= c.tus AND (h.eff_to IS NULL OR c.tus < h.eff_to))
+      SELECT COALESCE(tier, 'none') AS tier,
+        COUNT(*) AS n_clicks,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM pit GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+    // one change row per (user, instant): the as-of payload must be
+    // deterministic, so equal-timestamp purchases collapse to the max
+    // event_id's tier (asOfJoin's documented uniqueness contract)
+    val changes = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tus"), col("event_id"),
+        when(col("value") < 10, "bronze")
+          .when(col("value") < 50, "silver")
+          .otherwise("gold").as("tier"))
+      .groupBy("user_id", "tus")
+      .agg(max(struct(col("event_id"), col("tier"))).as("m"))
+      .select(col("user_id"), col("tus"),
+        col("m.event_id").as("event_id"), col("m.tier").as("tier"))
+    val hist = graft.operators.History.scd2(changes, Seq("user_id"), "tus", "event_id")
+      .select(col("user_id"), col("eff_from"), col("tier"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus"))
+    graft.operators.TemporalJoin
+      .asOfJoin(clicks, hist, Seq("user_id"), "tus", "eff_from", Seq("tier"))
+      .groupBy(coalesce(col("tier"), lit("none")).as("tier"))
+      .agg(count(lit(1)).as("n_clicks"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("tier")
   }
 }

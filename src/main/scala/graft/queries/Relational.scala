@@ -18,7 +18,7 @@ import Compat._
 object Relational {
 
   def defs: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13,
-    q100, q101, q103, q104, q105, q107, q109, q112, q123, q124, q136, q142)
+    q100, q101, q103, q104, q105, q107, q109, q112, q123, q124, q136, q142, q147, q148)
 
   /** Flagship: TPC-H Q1-style pricing summary. Single scan, map-side
     * partial aggregation, 6-group output — the canonical "selection
@@ -663,6 +663,104 @@ object Relational {
         col("l_shipdate").cast("date")),
       groupBy = Seq("l_returnflag"))
       .orderBy("l_returnflag")
+  }
+
+  /** Snapshot diff (`Integrity.snapshotDiff`): two synthetic versions of
+    * orders (different delete sets; every 7th price bumped) classify as
+    * added/removed/changed/unchanged. Each side reduces to (key, 8-byte
+    * row hash) BEFORE the full-outer join, so diffing 100 TB snapshots
+    * co-shuffles key-width data — and nothing at all once both sides
+    * bucket on the key. The oracle classifies by direct column equality:
+    * the hash-match proves hash-judgment ≡ value-judgment. */
+  val q147 = QueryDef(
+    "q147_snapshot_diff",
+    oracle = Some("""
+      WITH o AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS p,
+          o_orderstatus AS st
+        FROM orders WHERE o_orderkey % 97 <> 0),
+      n AS (
+        SELECT o_orderkey,
+          CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+               ELSE o_totalprice END AS DECIMAL(18,4)) AS p,
+          o_orderstatus AS st
+        FROM orders WHERE o_orderkey % 89 <> 0),
+      d AS (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+          CASE WHEN o.o_orderkey IS NULL THEN 'added'
+               WHEN n.o_orderkey IS NULL THEN 'removed'
+               WHEN o.p = n.p AND o.st = n.st THEN 'unchanged'
+               ELSE 'changed' END AS status
+        FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey)
+      SELECT status, COUNT(*) AS n, MIN(k) AS min_key, MAX(k) AS max_key
+      FROM d GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+    import graft.core.Integrity
+    val orders = Tables.load(s, dir, "orders")
+    val oldSnap = orders.filter(pmod(col("o_orderkey"), lit(97L)) =!= 0)
+    val newSnap = orders.filter(pmod(col("o_orderkey"), lit(89L)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(7L)) === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")))
+    Integrity.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"),
+        Seq(col("o_totalprice").cast("decimal(18,4)"), col("o_orderstatus")))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+      .orderBy("status")
+  }
+
+  /** Deequ-style data-quality audit (`Integrity.auditRules`): five
+    * domain rules counted in ONE lineitem scan (sibling conditional
+    * sums — never a pass per rule), plus the referential-integrity rule
+    * as a left join against the distinct parent keys (violations and
+    * total counted in the same aggregate). Null rule results count as
+    * violations — an unevaluable rule must not silently pass. */
+  val q148 = QueryDef(
+    "q148_dq_audit",
+    oracle = Some("""
+      WITH r AS (
+        SELECT COUNT(*) AS n,
+          CAST(SUM(CASE WHEN NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)
+            THEN 1 ELSE 0 END) AS BIGINT) AS qty_range,
+          CAST(SUM(CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE)
+            THEN 1 ELSE 0 END) AS BIGINT) AS price_positive,
+          CAST(SUM(CASE WHEN NOT COALESCE(l_discount BETWEEN 0 AND 0.1, FALSE)
+            THEN 1 ELSE 0 END) AS BIGINT) AS discount_range,
+          CAST(SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A', 'N', 'R'), FALSE)
+            THEN 1 ELSE 0 END) AS BIGINT) AS flag_domain,
+          CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS shipdate_not_null
+        FROM lineitem),
+      fk AS (
+        SELECT CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS v,
+          COUNT(*) AS n
+        FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+          ON l.l_orderkey = o.o_orderkey)
+      SELECT 'discount_range' AS rule, discount_range AS n_violations, n AS n_rows FROM r
+      UNION ALL SELECT 'fk_orders', v, n FROM fk
+      UNION ALL SELECT 'flag_domain', flag_domain, n FROM r
+      UNION ALL SELECT 'price_positive', price_positive, n FROM r
+      UNION ALL SELECT 'qty_range', qty_range, n FROM r
+      UNION ALL SELECT 'shipdate_not_null', shipdate_not_null, n FROM r
+      ORDER BY rule""")) { (s, dir) =>
+    import graft.core.Integrity
+    val li = Tables.load(s, dir, "lineitem")
+    val audit = Integrity.auditRules(li, Seq(
+      "qty_range" -> col("l_quantity").between(1, 50),
+      "price_positive" -> (col("l_extendedprice") > 0),
+      "discount_range" -> col("l_discount").between(0, 0.1),
+      "flag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+      "shipdate_not_null" -> col("l_shipdate").isNotNull))
+    val parents = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("__pk")).distinct()
+    val fk = li.select(col("l_orderkey").as("__ck"))
+      .join(parents, col("__ck") === col("__pk"), "left_outer")
+      .agg(
+        sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_violations"),
+        count(lit(1)).as("n_rows"))
+      .select(lit("fk_orders").as("rule"), col("n_violations"), col("n_rows"))
+    audit.unionByName(fk).orderBy("rule")
   }
 
   /** Z-order (Morton) locality audit (`Layout.zValue16`): interleave two

@@ -63,6 +63,38 @@ class IntegritySpec extends SparkSpec {
     assert(cs(withNull) !== cs(withEmpty))
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    import org.apache.spark.sql.functions._
+    val a = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "z", 30.0))
+      .toDF("k", "s", "v")
+    val b = Seq((2L, "y", 20.0), (3L, "z", 31.0), (4L, "w", 40.0))
+      .toDF("k", "s", "v")
+    val out = Integrity.snapshotDiff(a, b, Seq("k"),
+        Seq(col("s"), col("v").cast("decimal(10,2)")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("auditRules counts violations in one aggregate, nulls fail the rule") {
+    import org.apache.spark.sql.functions._
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 5.0), (2L, -1.0), (3L, null), (null, 2.0)).toDF("id", "v")
+    val out = Integrity.auditRules(df, Seq(
+        "v_positive" -> (col("v") > 0),
+        "id_not_null" -> col("id").isNotNull))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("v_positive") === ((2L, 4L))) // -1 fails, null v fails
+    assert(out("id_not_null") === ((1L, 4L)))
+  }
+
+  test("orphanCount finds unmatched and null child keys") {
+    val child = Seq[java.lang.Long](1L, 2L, 7L, null).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val n = Integrity.orphanCount(child, parent, "fk", "pk")
+      .head().getLong(0)
+    assert(n === 2L) // 7 unmatched + null
+  }
+
   test("tableChecksum groups localize the mismatch") {
     import org.apache.spark.sql.functions._
     val a = Seq(("g1", 1L), ("g1", 2L), ("g2", 3L)).toDF("g", "k")
