@@ -102,6 +102,31 @@ object UpdateMerge {
     }: _*)
   }
 
+  /** CDC log compaction: the latest-version row per key wins, a delete
+    * op drops the key — the change-stream → table materialization step
+    * (the lakehouse MERGE's read side). ONE aggregate does it:
+    * `max(struct(version, payload…))` picks the last writer with full
+    * map-side partial aggregation, so 100 TB of change log compacts
+    * through a key-width shuffle — never a window (which would sort
+    * every key's history) and never a self-join on max-version.
+    *
+    * `versionCol` must be unique per key (ties would make the winning
+    * payload depend on struct-comparison of payload fields — use a
+    * (ts, seq) encoding collapsed to one orderable column upstream).
+    * Returns keys + payload of the winner + `n_changes`, delete-winners
+    * excluded. */
+  def cdcCompact(log: DataFrame, keys: Seq[String], versionCol: String,
+                 opCol: String, deleteOp: String = "D"): DataFrame = {
+    val payload = log.columns.filterNot(c => keys.contains(c) || c == versionCol)
+    val ordered = struct(col(versionCol) +: payload.map(col): _*)
+    log.groupBy(keys.map(col): _*)
+      .agg(max(ordered).as("__last"), count(lit(1)).as("n_changes"))
+      .filter(col(s"__last.$opCol") =!= deleteOp)
+      .select(keys.map(col) ++ Seq(col(s"__last.$versionCol").as(versionCol)) ++
+        payload.filterNot(_ == opCol).map(c => col(s"__last.$c").as(c)) :+
+        col("n_changes"): _*)
+  }
+
   /** Write a stage checkpoint bucketed by the merge key so downstream
     * merges are co-partitioned zip-joins without a shuffle — the Spark
     * equivalent of the reference's positionally-zipped chunk files

@@ -40,4 +40,28 @@ object Features {
     }.mkString(" + ")
     s"CAST(($digits) % $dims AS INT)"
   }
+
+  /** Upper-triangle Gram matrix XᵀX of a float-vector column — the
+    * distributed core of scalable PCA / covariance / linear-regression
+    * normal equations: n·d rows in, d(d+1)/2 cells out. The double
+    * explode streams straight into a partial hash aggregate (d² groups
+    * per partition, nothing materialized), so a 100 TB embedding scan
+    * exchanges d²·partitions cells — the d×d result then fits on the
+    * driver for the eigen/solve step, which is O(d³) and NOT a
+    * distributed problem.
+    *
+    * Determinism: float×float in double is exact (24-bit mantissas);
+    * each product rounds ONCE to the 10⁻⁹ grid and sums as exact decimal
+    * (the q94 idiom — full-precision double→decimal casts disagree
+    * between engines at the last ulp), so cells are order-,
+    * partitioning-, and engine-independent, deterministic to 1e-9 per
+    * product. Indices are 0-based. */
+  def gramUpper(df: DataFrame, vec: Column): DataFrame =
+    df.select(vec.as("__v"))
+      .select(col("__v"), posexplode(col("__v")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("__v")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(sum(round(col("xi").cast("double") * col("xj").cast("double"), 9)
+        .cast("decimal(18,9)")).as("g"))
 }

@@ -16,7 +16,7 @@ object DataPipeline {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
     q102, q106, q108, q116, q117, q118, q119, q120, q125, q127, q139, q140, q141, q143,
-    q145)
+    q145, q150)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -185,6 +185,33 @@ object DataPipeline {
     Dedup.blockedJaccardPairs(
       Tables.load(s, dir, "documents"), blockCols = Seq("lang"), threshold = 0.5)
       .orderBy("id_a", "id_b")
+  }
+
+  /** Distributed Gram matrix XᵀX over the embedding corpus
+    * (`ml/Features.gramUpper`) — the scalable half of PCA / covariance /
+    * normal equations: the corpus reduces map-side to d(d+1)/2 exact
+    * decimal cells; the O(d³) eigen/solve step on the 64×64 result is a
+    * driver problem, not a distributed one. Each product (exact in
+    * double) rounds once to the 1e-9 grid and sums as exact decimal, so
+    * the matrix is bit-identical across engines and partitionings. */
+  val q150 = QueryDef(
+    "q150_gram_matrix",
+    oracle = Some("""
+      WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+      c AS (
+        SELECT a.i AS ii, b.i AS jj,
+          SUM(CAST(ROUND(CAST(embedding[a.i] AS DOUBLE)
+            * CAST(embedding[b.i] AS DOUBLE), 9) AS DECIMAL(18,9))) AS g
+        FROM embeddings CROSS JOIN idx a CROSS JOIN idx b
+        WHERE b.i >= a.i
+        GROUP BY 1, 2)
+      SELECT CAST(ii - 1 AS INT) AS i, CAST(jj - 1 AS INT) AS j,
+        CAST(g AS DOUBLE) AS g
+      FROM c ORDER BY i, j""")) { (s, dir) =>
+    graft.ml.Features.gramUpper(
+        Tables.load(s, dir, "embeddings"), col("embedding"))
+      .select(col("i"), col("j"), col("g").cast("double").as("g"))
+      .orderBy("i", "j")
   }
 
   /** Prefix-filtered EXACT Jaccard join at 0.5, unblocked: the oracle is

@@ -16,7 +16,7 @@ import Compat._
 object Events {
 
   def defs: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q95, q96, q110, q111, q113,
-    q114, q115, q121, q122, q126, q146)
+    q114, q115, q121, q122, q126, q146, q149)
 
   /** JSON field extraction (scalar function family, SURVEY §2.9 date/json). */
   val q14 = QueryDef(
@@ -443,6 +443,35 @@ object Events {
       .select(col("event_type"), col("n"),
         col("sum_value").cast("double").as("sum_value"))
       .orderBy("event_type")
+  }
+
+  /** CDC log compaction (`UpdateMerge.cdcCompact`): the event stream as a
+    * change log — error events are tombstones, everything else upserts —
+    * materialized to latest-state-per-user by ONE `max(struct(version,
+    * payload))` aggregate (map-side combinable; never a per-key window
+    * sort, never a max-version self-join). The oracle recomputes the
+    * winner by MAX(event_id) + join-back: hash-match proves the struct
+    * ordering picks the same last writer, nullable payload included. */
+  val q149 = QueryDef(
+    "q149_cdc_compact",
+    oracle = Some("""
+      WITH log AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus,
+          CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, value
+        FROM events),
+      c AS (
+        SELECT user_id, MAX(event_id) AS event_id, COUNT(*) AS n_changes
+        FROM log GROUP BY 1)
+      SELECT c.user_id, c.event_id, l.tus, l.value, c.n_changes
+      FROM c JOIN log l USING (user_id, event_id)
+      WHERE l.op <> 'D' ORDER BY c.user_id""")) { (s, dir) =>
+    import graft.core.UpdateMerge
+    val log = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("value"))
+    UpdateMerge.cdcCompact(log, Seq("user_id"), "event_id", "op")
+      .orderBy("user_id")
   }
 
   /** Point-in-time join — the feature-store correctness pattern: each

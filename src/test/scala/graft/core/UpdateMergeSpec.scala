@@ -118,4 +118,34 @@ class UpdateMergeSpec extends SparkSpec {
       UpdateMerge.upsertRows(b, u, Seq("k"), deleteCol = Some("del")))
     assert(e.getMessage.contains("'del'"))
   }
+
+  test("cdcCompact: last writer wins, tombstones drop keys, nullable payload survives") {
+    val s = spark
+    import s.implicits._
+    val log = Seq[(Long, Long, String, java.lang.Double)](
+      (1L, 10L, "U", 1.0), (1L, 12L, "U", 2.0), (1L, 11L, "U", 9.0), // out of order
+      (2L, 20L, "U", 5.0), (2L, 21L, "D", null), // deleted
+      (3L, 30L, "D", null), (3L, 31L, "U", 7.0), // delete then re-insert
+      (4L, 40L, "U", null)) // latest payload is null
+      .toDF("k", "ver", "op", "v")
+    val out = UpdateMerge.cdcCompact(log, Seq("k"), "ver", "op")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 12L, Some(2.0), 3L),
+      (3L, 31L, Some(7.0), 2L),
+      (4L, 40L, None, 1L)))
+  }
+
+  test("cdcCompact is repartition-stable") {
+    val s = spark
+    import s.implicits._
+    val log = (1 to 500).map(i => ((i % 50).toLong, i.toLong,
+      if (i % 17 == 0) "D" else "U", i * 1.5)).toDF("k", "ver", "op", "v")
+    val a = UpdateMerge.cdcCompact(log, Seq("k"), "ver", "op")
+      .orderBy("k").collect().toSeq
+    val b = UpdateMerge.cdcCompact(log.repartition(7), Seq("k"), "ver", "op")
+      .orderBy("k").collect().toSeq
+    assert(a === b)
+  }
 }

@@ -1,0 +1,26 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gramUpper matches the hand-computed matrix on a tiny corpus") {
+    // X = [[1,2],[3,4]] → XᵀX = [[10,14],[14,20]], upper triangle only
+    val df = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)).toDF("v")
+    val out = Features.gramUpper(df, col("v"))
+      .select(col("i"), col("j"), col("g").cast("double"))
+      .as[(Int, Int, Double)].collect().toSet
+    assert(out === Set((0, 0, 10.0), (0, 1, 14.0), (1, 1, 20.0)))
+  }
+
+  test("gramUpper is repartition-stable (decimal sums commute)") {
+    val rnd = new scala.util.Random(3)
+    val df = Seq.fill(200)(Seq.fill(8)(rnd.nextFloat())).toDF("v")
+    val a = Features.gramUpper(df, col("v")).orderBy("i", "j").collect().toSeq
+    val b = Features.gramUpper(df.repartition(9), col("v"))
+      .orderBy("i", "j").collect().toSeq
+    assert(a === b)
+  }
+}
