@@ -82,4 +82,25 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(out === Map(1L -> 0, 2L -> 1))
   }
+
+  test("bfs fuzz-matches a sequential BFS on random sparse digraphs") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      // sequential reference
+      val dist = scala.collection.mutable.Map(0L -> 0)
+      var frontier = Set(0L)
+      for (hop <- 1 to 5; if frontier.nonEmpty) {
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Nil))
+          .filterNot(dist.contains)
+        frontier.foreach(v => dist(v) = hop)
+      }
+      val got = Graph.bfs(edges.toDF("src", "dst"), Seq(0L).toDF("node"), maxHops = 5)
+        .as[(Long, Int)].collect().toMap
+      assert(got === dist.toMap, s"trial $trial")
+    }
+  }
 }

@@ -119,6 +119,26 @@ class SketchesSpec extends SparkSpec {
     assert(run(1) === run(7)) // bit-equal, not approximately
   }
 
+  test("hll registers fuzz-match a sequential reference implementation") {
+    import graft.functions.HashKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(23)
+    val vals = Seq.fill(600)(s"v${rnd.nextInt(250)}")
+    val m = 64
+    // sequential reference: bucket = hash mod m, register = max(tz+1)
+    def h(s: String) = HashKernels.md5Lower64(UTF8String.fromString(s))
+    val expect = vals.distinct.map { v =>
+      val bucket = (((h(v) % m) + m) % m).toInt
+      val h2 = h(s"hll|$v")
+      val rho = if (h2 == 0L) 64 else java.lang.Long.numberOfTrailingZeros(h2) + 1
+      bucket -> rho
+    }.groupBy(_._1).map { case (b, rs) => (b, rs.map(_._2).max) }
+    val got = Sketches.hllSketch(vals.toDF("v").withColumn("g", lit("g")),
+        col("v"), Seq("g"), m)
+      .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+    assert(got === expect)
+  }
+
   test("hllRho matches trailing-zeros + 1 on known hash values") {
     // derive expected rho from the actual portable hash bits
     val vals = (1 to 50).map(i => s"probe$i")

@@ -156,6 +156,23 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian/NLJ plans: $offenders")
   }
 
+  test("q146: the point-in-time join plans with NO join operator at all") {
+    // scd2 (window) + as-of (union-sort-window) + final agg — interval
+    // membership never becomes a BETWEEN theta-join
+    val p = plan("q146_pit_join")
+    assert(!p.contains("Join"), s"PIT join should plan joinless:\n$p")
+    assert(p.contains("Window"), s"expected the as-of window formulation:\n$p")
+  }
+
+  test("q150: the Gram explode streams into a partial hash aggregate — no generate materialization") {
+    val p = plan("q150_gram_matrix")
+    // partial agg (map-side d² cells) then one hash exchange, one range sort
+    assert(p.split("Exchange").length - 1 == 2, s"unexpected exchange count:\n$p")
+    val genIdx = p.indexOf("Generate")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(genIdx >= 0 && aggIdx >= 0, s"expected Generate + HashAggregate:\n$p")
+  }
+
   test("q95: as-of join is union-sort-window — no join operator, no pair blow-up") {
     val p = plan("q95_asof_join")
     assert(!p.contains("Join"), s"as-of join should plan joinless:\n$p")
