@@ -16,7 +16,7 @@ import Compat._
 object Events {
 
   def defs: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q95, q96, q110, q111, q113,
-    q114, q115, q121, q122, q126, q146, q149)
+    q114, q115, q121, q122, q126, q146, q149, q151)
 
   /** JSON field extraction (scalar function family, SURVEY §2.9 date/json). */
   val q14 = QueryDef(
@@ -443,6 +443,36 @@ object Events {
       .select(col("event_type"), col("n"),
         col("sum_value").cast("double").as("sum_value"))
       .orderBy("event_type")
+  }
+
+  /** Per-user maximum drawdown (`Grouped.maxDrawdown`) — the
+    * order-dependent fold (running peak) computed with the secondary-sort
+    * + streaming-mapPartitions pattern: one shuffle, O(1) state per
+    * group, NO collect_list (a single hot user cannot OOM an executor).
+    * The oracle is the window formulation (running MAX then MAX of
+    * peak−value): the hash-match proves the streamed fold ≡ the
+    * windowed one. Subtraction/max only — bit-exact, no sums. */
+  val q151 = QueryDef(
+    "q151_max_drawdown",
+    oracle = Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) AS tus, event_id, value
+        FROM events WHERE value IS NOT NULL),
+      w AS (
+        SELECT user_id, value,
+          MAX(value) OVER (PARTITION BY user_id ORDER BY tus, event_id
+            ROWS UNBOUNDED PRECEDING) AS peak
+        FROM e)
+      SELECT user_id, COUNT(*) AS n_events,
+        MAX(peak) AS max_peak,
+        MAX(peak - value) AS max_drawdown
+      FROM w GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .withColumn("tus", expr("ts div 1000"))
+    graft.operators.Grouped
+      .maxDrawdown(ev, "user_id", "tus", "event_id", "value")
+      .orderBy("user_id")
   }
 
   /** CDC log compaction (`UpdateMerge.cdcCompact`): the event stream as a
