@@ -70,4 +70,38 @@ object Timeseries {
       .withColumn("p", col("n").cast("double") / col("__tot").cast("double"))
       .drop("__tot")
   }
+
+  /** Time-weighted average (TWAP): each observation holds until the next
+    * one, so its weight is the duration to its successor —
+    * Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first) per key (the final observation
+    * carries no interval; keys with one observation are excluded, their
+    * TWAP being undefined). The un-weighted mean over-counts bursts; the
+    * time weighting is what "average position/price/load over the day"
+    * actually means.
+    *
+    * Exactness: duration is an exact long; the value canonicalizes to
+    * DECIMAL(12,4), so every product and the sums are exact decimals —
+    * order-free. The quotient rounds to the 1e-6 grid: wide decimals cast
+    * to double in TWO steps in some engines (int128→double, then the
+    * scale divide) and disagree with a correctly-rounded cast by an ulp
+    * above 2^53 — rounding absorbs it. One exchange (window by key),
+    * one aggregate.
+    *
+    * `(keyCol, timeCol)` must be unique: with two observations at the
+    * same instant, WHICH value carries the next interval depends on an
+    * arbitrary tie order — pre-aggregate duplicates upstream. */
+  def twap(df: DataFrame, keyCol: String, timeCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(timeCol))
+    df.withColumn("__nt", lead(col(timeCol), 1).over(w))
+      .filter(col("__nt").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        sum(col(valueCol).cast("decimal(12,4)") *
+          (col("__nt") - col(timeCol)).cast("decimal(16,0)")).as("__num"),
+        sum((col("__nt") - col(timeCol)).cast("decimal(16,0)")).as("__den"),
+        count(lit(1)).as("n_intervals"))
+      .select(col(keyCol), col("n_intervals"),
+        round(col("__num").cast("double") / col("__den").cast("double"), 6)
+          .as("twap"))
+  }
 }

@@ -16,7 +16,7 @@ import Compat._
 object Events {
 
   def defs: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q95, q96, q110, q111, q113,
-    q114, q115, q121, q122, q126, q146, q149, q151)
+    q114, q115, q121, q122, q126, q146, q149, q151, q152)
 
   /** JSON field extraction (scalar function family, SURVEY §2.9 date/json). */
   val q14 = QueryDef(
@@ -443,6 +443,34 @@ object Events {
       .select(col("event_type"), col("n"),
         col("sum_value").cast("double").as("sum_value"))
       .orderBy("event_type")
+  }
+
+  /** Per-user time-weighted average value (`Timeseries.twap`): each
+    * observation weights by its holding duration — the correct "average
+    * over the day" where the plain mean over-counts bursts. Durations
+    * are exact longs, values canonicalize to DECIMAL(12,4): products and
+    * sums are exact decimals; the quotient rounds to 1e-6 (see operator scaladoc) — hash-exact. */
+  val q152 = QueryDef(
+    "q152_twap",
+    oracle = Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) AS tus, value
+        FROM events WHERE value IS NOT NULL),
+      iv AS (
+        SELECT user_id, value, tus,
+          LEAD(tus) OVER (PARTITION BY user_id ORDER BY tus) AS nt
+        FROM e)
+      SELECT user_id, COUNT(*) AS n_intervals,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(12,4)) * CAST(nt - tus AS DECIMAL(16,0)))
+          AS DOUBLE)
+          / CAST(SUM(CAST(nt - tus AS DECIMAL(16,0))) AS DOUBLE), 6) AS twap
+      FROM iv WHERE nt IS NOT NULL
+      GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .withColumn("tus", expr("ts div 1000"))
+    graft.operators.Timeseries.twap(ev, "user_id", "tus", "value")
+      .orderBy("user_id")
   }
 
   /** Per-user maximum drawdown (`Grouped.maxDrawdown`) — the

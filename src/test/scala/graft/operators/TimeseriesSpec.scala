@@ -84,4 +84,27 @@ class TimeseriesSpec extends SparkSpec {
       ("B", "A", 1L, 0.5),
       ("B", "B", 1L, 0.5)))
   }
+
+  test("twap weights by holding duration, drops single-observation keys") {
+    val s = spark
+    import s.implicits._
+    // k=a: 10 held for 3 ticks, 40 held for 1 tick → (30+40)/4 = 17.5;
+    // the final observation (99) carries no interval; k=b: one row → absent
+    val df = Seq(("a", 0L, 10.0), ("a", 3L, 40.0), ("a", 4L, 99.0),
+      ("b", 0L, 5.0)).toDF("k", "t", "v")
+    val out = Timeseries.twap(df, "k", "t", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out === Map("a" -> ((2L, 17.5))))
+  }
+
+  test("twap is repartition-stable (decimal sums)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val df = (1 to 800).map(i => (s"k${i % 6}", i.toLong, rnd.nextInt(10000) / 100.0))
+      .toDF("k", "t", "v")
+    val a = Timeseries.twap(df, "k", "t", "v").orderBy("k").collect().toSeq
+    val b = Timeseries.twap(df.repartition(11), "k", "t", "v").orderBy("k").collect().toSeq
+    assert(a === b)
+  }
 }
