@@ -16,7 +16,7 @@ object DataPipeline {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
     q102, q106, q108, q116, q117, q118, q119, q120, q125, q127, q139, q140, q141, q143,
-    q145, q150)
+    q145, q150, q153)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -1299,6 +1299,46 @@ object DataPipeline {
       .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
     exact.join(est, Seq("priority"))
       .select(col("priority"), col("exact_distinct"), col("est_distinct"))
+      .orderBy("priority")
+  }
+
+  /** HLL merge law, oracled end-to-end: per-priority sketches built from
+    * DISJOINT halves of orders (custkey parity) merge via
+    * union→max-register, and the merged estimate hash-matches the
+    * ORACLE'S single-pass sketch over all orders — the rollup property
+    * that lets per-file/per-day sketches fold into corpus cardinality
+    * without rescanning (q60 proves the same law for histograms). */
+  val q153 = QueryDef(
+    "q153_hll_merge",
+    oracle = Some {
+      val h = Sketches.signed64FromHexSql("md5(CAST(o_custkey AS VARCHAR))")
+      val h2 = Sketches.signed64FromHexSql("md5('hll|' || CAST(o_custkey AS VARCHAR))")
+      Some(s"""
+      WITH s0 AS (
+        SELECT o_orderpriority AS priority, $h AS h, $h2 AS h2
+        FROM orders),
+      s AS (
+        SELECT priority, ((h % 256) + 256) % 256 AS bucket,
+          ${Sketches.hllRhoSql("h2")} AS rho
+        FROM s0),
+      regs AS (
+        SELECT priority, bucket, MAX(rho) AS register FROM s GROUP BY 1, 2),
+      den AS (
+        SELECT priority,
+          SUM(${Sketches.hllTermSql("register")})
+            + (256 - COUNT(*)) * CAST(18446744073709551616 AS DECIMAL(38,0)) AS s_den
+        FROM regs GROUP BY 1)
+      SELECT priority, ${Sketches.hllEstimateSql("s_den", 256)} AS est_distinct
+      FROM den ORDER BY priority""")
+    }.get) { (s, dir) =>
+    val base = Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority").as("priority"), col("o_custkey"))
+    def half(parity: Int) = Sketches.hllSketch(
+      base.filter(pmod(col("o_custkey"), lit(2L)) === parity),
+      col("o_custkey"), Seq("priority"), m = 256)
+    Sketches.hllEstimate(
+        Sketches.hllMerge(half(0), half(1), Seq("priority")),
+        Seq("priority"), m = 256)
       .orderBy("priority")
   }
 
