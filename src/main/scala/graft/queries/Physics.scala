@@ -57,17 +57,25 @@ object Physics {
     // systematics cost N columns, never N passes over the data.
     val target = Route("items.price_cal")
     val shifts = Shift.Nominal +: Shift.pair("tax", "items.price_cal")
-    val entries = shifts.flatMap { sh =>
+    // Aggregate each shift as a NATIVE decimal sum over the exploded
+    // items (codegen'd partial hash agg) rather than a per-row HOF fold:
+    // the interpreted `aggregate` lambda allocates a Decimal per element
+    // and runs outside whole-stage codegen — measurably slower per row
+    // and single-threaded within each (huge) order at scale. Values are
+    // identical: sum(cast(18,6)) widens to decimal(28,6) exactly like
+    // the fold's running cast chain.
+    val flat = calibrated.select(col("o_orderkey"), explode(col("items")).as("it"))
+    val sums = shifts.map { sh =>
       val src = sh.aliases.collectFirst { case (s0, `target`) => s0 }.getOrElse(target)
-      Seq(lit(sh.name),
-        aggregate(col(src.toString), lit(0).cast("decimal(28,6)"),
-          (acc, x) => (acc + x.cast("decimal(18,6)")).cast("decimal(28,6)"))
-          .cast("double"))
+      val field = src.toString.stripPrefix("items.")
+      sum(col("it").getField(field).cast("decimal(18,6)"))
+        .cast("double").as(sh.name)
     }
+    val entries = shifts.flatMap(sh => Seq(lit(sh.name), col(sh.name)))
     // localCheckpoint before the global sort: range partitioning samples
     // its input and would otherwise execute the nested build twice —
     // materializing the (tiny) unpivoted sums makes both passes read it
-    calibrated
+    flat.groupBy("o_orderkey").agg(sums.head, sums.tail: _*)
       .select(col("o_orderkey"), explode(map(entries: _*)))
       .select(col("key").as("shift"), col("o_orderkey"), col("value").as("sum_cal"))
       .localCheckpoint()
