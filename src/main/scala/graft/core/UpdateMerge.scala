@@ -110,9 +110,10 @@ object UpdateMerge {
     * through a key-width shuffle — never a window (which would sort
     * every key's history) and never a self-join on max-version.
     *
-    * `versionCol` must be unique per key (ties would make the winning
-    * payload depend on struct-comparison of payload fields — use a
-    * (ts, seq) encoding collapsed to one orderable column upstream).
+    * `versionCol` must be non-null and unique per key (ties would make
+    * the winning payload depend on struct-comparison of payload fields —
+    * use a (ts, seq) encoding collapsed to one orderable column
+    * upstream; a null version sorts below every real one).
     * Returns keys + payload of the winner + `n_changes`, delete-winners
     * excluded. */
   def cdcCompact(log: DataFrame, keys: Seq[String], versionCol: String,

@@ -68,8 +68,10 @@ object Drift {
       .agg(
         max(col("n1")).as("n_base"), max(col("n2")).as("n_cand"),
         max(abs(col("k1") * col("n2") - col("k2") * col("n1"))).as("ks_num"))
+      // an empty side makes the statistic undefined — null, not 0/0 NaN
       .withColumn("ks_stat",
-        col("ks_num").cast("double") /
-          (col("n_base") * col("n_cand")).cast("double"))
+        when(col("n_base") > 0 && col("n_cand") > 0,
+          col("ks_num").cast("double") /
+            (col("n_base") * col("n_cand")).cast("double")))
   }
 }

@@ -29,8 +29,8 @@ object Grouped {
     *
     * Determinism: only per-row subtraction and max — no summation, so
     * the result is bit-exact regardless of partitioning or engine.
-    * `(order, tie)` must totally order each group; null values are the
-    * caller's to filter (a null poisons max comparisons). */
+    * `(order, tie)` must totally order each group; null values are
+    * dropped (no observation), so `n_events` counts non-null rows. */
   def maxDrawdown(df: DataFrame, key: String, order: String, tie: String,
                   value: String): DataFrame = {
     val keyType = df.schema(key).dataType
@@ -41,6 +41,7 @@ object Grouped {
       StructField("max_drawdown", DoubleType, nullable = false)))
     val sorted = df
       .select(col(key), col(order), col(tie), col(value).cast("double").as(value))
+      .filter(col(value).isNotNull)
       .repartition(col(key))
       .sortWithinPartitions(col(key), col(order), col(tie))
     sorted.mapPartitions { rows =>

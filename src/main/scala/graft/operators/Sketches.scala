@@ -180,7 +180,10 @@ object Sketches {
     * property that lets per-file sketches fold into a corpus sketch
     * without rescanning. */
   def hllSketch(df: DataFrame, value: Column, groupCols: Seq[String], m: Int = 256): DataFrame =
-    df.select(groupCols.map(col) :+ hllBucket(value, m).as("bucket")
+    df.filter(value.isNotNull) // NULL is no element (COUNT DISTINCT semantics),
+      // not a register — an unfiltered null would seed a null bucket row
+      // that poisons the estimator's decimal sum
+      .select(groupCols.map(col) :+ hllBucket(value, m).as("bucket")
         :+ hllRho(value).as("rho"): _*)
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(max("rho").as("register"))

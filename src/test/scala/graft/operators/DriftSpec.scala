@@ -37,6 +37,13 @@ class DriftSpec extends SparkSpec {
     assert(row.getDouble(3) === 0.5)
   }
 
+  test("ks against an empty side is null, not NaN") {
+    val a = Seq(1, 2, 3).toDF("x")
+    val empty = a.filter(col("x") > 100)
+    val r = Drift.ks(a, empty, col("x")).head()
+    assert(r.isNullAt(3))
+  }
+
   test("ks is zero for identical samples and repartition-stable") {
     val a = (1 to 500).map(i => i % 37).toDF("x")
     assert(Drift.ks(a, a, col("x")).head().getDouble(3) === 0.0)

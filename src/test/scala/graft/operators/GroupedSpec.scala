@@ -40,6 +40,15 @@ class GroupedSpec extends SparkSpec {
     }
   }
 
+  test("null values are dropped, not a crash; n_events counts non-null rows") {
+    val df = Seq[(String, Long, Long, java.lang.Double)](
+      ("a", 1L, 0L, 5.0), ("a", 2L, 0L, null), ("a", 3L, 0L, 2.0))
+      .toDF("k", "t", "tie", "v")
+    val out = Grouped.maxDrawdown(df, "k", "t", "tie", "v").collect().head
+    assert(out.getLong(1) === 2L)
+    assert(out.getDouble(3) === 3.0)
+  }
+
   test("a key split across input partitions still folds as one group") {
     // adversarial input partitioning: the operator's repartition(key) must
     // bring the group back together before the fold

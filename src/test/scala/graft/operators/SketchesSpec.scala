@@ -119,6 +119,17 @@ class SketchesSpec extends SparkSpec {
     assert(run(1) === run(7)) // bit-equal, not approximately
   }
 
+  test("hll ignores null values (COUNT DISTINCT semantics)") {
+    val df = Seq[Option[String]](Some("a"), None, Some("b"), None).toDF("v")
+    val withNulls = Sketches.hllSketch(df.withColumn("g", lit("g")),
+      col("v"), Seq("g"), m = 64).orderBy("bucket").collect().toSeq
+    val without = Sketches.hllSketch(
+      df.filter(col("v").isNotNull).withColumn("g", lit("g")),
+      col("v"), Seq("g"), m = 64).orderBy("bucket").collect().toSeq
+    assert(withNulls === without)
+    assert(withNulls.nonEmpty)
+  }
+
   test("hll registers fuzz-match a sequential reference implementation") {
     import graft.functions.HashKernels
     import org.apache.spark.unsafe.types.UTF8String
