@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
@@ -75,6 +75,62 @@ object TextKernels {
 
   def nfcCol(text: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+
+  /** `levenshtein(a, b) <= k` WITHOUT the full O(n·m) DP: Ukkonen's
+    * banded algorithm — cells farther than k off the diagonal can never
+    * be ≤ k, so only a 2k+1-wide band is computed, with an early exit
+    * the moment a whole row exceeds k. O(k·n) per pair versus O(n·m):
+    * for fuzzy-join verification (millions of candidate pairs, small k)
+    * the band IS the scale path, and the common reject case exits after
+    * a handful of rows. Code-point semantics, matching the builtin
+    * `levenshtein` (pinned by fuzz in `TextKernelsSpec`). */
+  def editWithin(a: UTF8String, b: UTF8String, k: Int): Boolean = {
+    val s = a.toString.codePoints().toArray
+    val t = b.toString.codePoints().toArray
+    val n = s.length
+    val m = t.length
+    if (math.abs(n - m) > k) return false
+    if (k == 0) return java.util.Arrays.equals(s, t)
+    val inf = k + 1
+    val width = 2 * k + 1
+    var prev = new Array[Int](width)
+    var curr = new Array[Int](width)
+    var c = 0
+    while (c < width) {
+      val j = c - k
+      prev(c) = if (j >= 0 && j <= m) j else inf
+      c += 1
+    }
+    var i = 1
+    while (i <= n) {
+      var rowMin = inf
+      c = 0
+      while (c < width) {
+        val j = i - k + c
+        val v =
+          if (j < 0 || j > m) inf
+          else if (j == 0) i
+          else {
+            val del = if (c + 1 < width) prev(c + 1) + 1 else inf
+            val ins = if (c > 0) curr(c - 1) + 1 else inf
+            val sub = prev(c) + (if (s(i - 1) == t(j - 1)) 0 else 1)
+            math.min(del, math.min(ins, sub))
+          }
+        curr(c) = if (v > inf) inf else v
+        if (curr(c) < rowMin) rowMin = curr(c)
+        c += 1
+      }
+      if (rowMin > k) return false
+      val tmp = prev; prev = curr; curr = tmp
+      i += 1
+    }
+    val cEnd = m - n + k
+    cEnd >= 0 && cEnd < width && prev(cEnd) <= k
+  }
+
+  def editWithinCol(a: Column, b: Column, k: Int): Column =
+    ColumnBridge.column(EditWithin(ColumnBridge.expression(a),
+      ColumnBridge.expression(b), k))
 }
 
 /** One-pass allocation-free token count (≡ size(regexp_extract_all(
@@ -119,4 +175,30 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
+}
+
+/** Banded threshold edit distance (≡ `levenshtein(a, b) <= k`), O(k·n)
+  * with early exit — the fuzzy-join verification kernel. */
+case class EditWithin(left: Expression, right: Expression, k: Int)
+  extends BinaryExpression {
+  require(k >= 0 && k <= 64, "edit threshold k must be in [0, 64]")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got (${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_edit_within"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.editWithin(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextKernels.editWithin($a, $b, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EditWithin =
+    copy(left = newLeft, right = newRight)
 }

@@ -36,8 +36,13 @@ object Linkage {
     val r = right.select(col(rightId).as("__rid"), col(rightText).as("__rtext"),
       blockFn(col(rightText)).as("__block"))
     l.join(r, Seq("__block"))
+      // banded O(k·n) threshold check rejects the (overwhelming) majority
+      // of candidates without the full O(n·m) DP — levenshtein then runs
+      // only on survivors, to produce the distance value (the kernel ≡
+      // `levenshtein <= k` is pinned in TextKernelsSpec)
+      .filter(graft.functions.TextKernels.editWithinCol(
+        col("__ltext"), col("__rtext"), maxDist))
       .withColumn("distance", levenshtein(col("__ltext"), col("__rtext")))
-      .filter(col("distance") <= maxDist)
       .select(col("__lid").as(leftId), col("__rid").as(rightId), col("distance"))
   }
 

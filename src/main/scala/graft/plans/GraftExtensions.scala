@@ -84,6 +84,19 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_nfc takes (string)")
         graft.functions.NfcNormalize(args(0))
+      }),
+    (
+      FunctionIdentifier("graft_edit_within"),
+      info("graft_edit_within",
+        "graft_edit_within(a, b, k) - banded levenshtein(a,b) <= k; k literal"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_edit_within takes (string, string, k)")
+        val k = args(2) match {
+          case Literal(i: Int, IntegerType) => i
+          case other => throw new IllegalArgumentException(
+            s"graft_edit_within k must be an integer literal, got $other")
+        }
+        graft.functions.EditWithin(args(0), args(1), k)
       }))
 
   /** Register every kernel on an already-running session. */

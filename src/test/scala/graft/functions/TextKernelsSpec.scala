@@ -85,6 +85,34 @@ class TextKernelsSpec extends SparkSpec {
     assert(p.contains("*("), s"kernel fell out of codegen:\n$p")
   }
 
+  test("editWithin ≡ levenshtein(a,b) <= k on random fuzz, all k") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    val alphabet = "abcde 語é"
+    def word() = (0 to rnd.nextInt(14)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val pairs = Seq.fill(400)((word(), word()))
+    for (k <- Seq(0, 1, 2, 5)) {
+      val bad = pairs.toDF("a", "b")
+        .select(col("a"), col("b"),
+          TextKernels.editWithinCol(col("a"), col("b"), k).as("band"),
+          (levenshtein(col("a"), col("b")) <= k).as("full"))
+        .filter(col("band") =!= col("full")).collect()
+      assert(bad.isEmpty, s"k=$k: " +
+        bad.take(3).map(r => s"'${r.getString(0)}' vs '${r.getString(1)}'").mkString("; "))
+    }
+  }
+
+  test("graft_edit_within early-exits: huge strings with distant prefixes stay fast") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val a = UTF8String.fromString("x" * 100000)
+    val b = UTF8String.fromString("y" * 100000)
+    val t0 = System.nanoTime()
+    assert(!TextKernels.editWithin(a, b, 3))
+    // full DP would be 10^10 cells; the band exits after ~4 rows
+    assert((System.nanoTime() - t0) / 1e6 < 200, "band did not early-exit")
+  }
+
   test("graft_nfc is reachable from SQL") {
     val s = spark
     graft.plans.GraftExtensions.register(s)

@@ -92,7 +92,7 @@ class GraftExtensionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders shared
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ===
-      Seq("graft_md5_lower64", "graft_minhashes", "graft_nfc",
-        "graft_simhash64", "graft_token_count", "graft_vec_dot"))
+      Seq("graft_edit_within", "graft_md5_lower64", "graft_minhashes",
+        "graft_nfc", "graft_simhash64", "graft_token_count", "graft_vec_dot"))
   }
 }
