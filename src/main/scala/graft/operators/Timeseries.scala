@@ -90,6 +90,34 @@ object Timeseries {
     * `(keyCol, timeCol)` must be unique: with two observations at the
     * same instant, WHICH value carries the next interval depends on an
     * arbitrary tie order — pre-aggregate duplicates upstream. */
+  /** Resample each key's irregular observations onto a regular grid with
+    * forward fill: one tick every `step` time units (grid anchored at
+    * epoch 0: tick = ⌊t/step⌋·step), each tick carrying the most recent
+    * observation at or before it — the gap-fill that turns event streams
+    * into the aligned matrix ML featurization wants.
+    *
+    * Scale shape: the grid generates from per-key (min, max) bounds — a
+    * tiny aggregate — and the fill is the backward as-of join
+    * ([[TemporalJoin.asOfJoin]]'s union-sort-window plan): one shuffle
+    * of grid+observations, no per-tick probe join. Grid size is
+    * span/step per key, independent of observation count.
+    *
+    * `(keyCol, timeCol)` must be unique (as-of payload determinism);
+    * `timeCol` is a long (epoch micros). */
+  def resampleFfill(df: DataFrame, keyCol: String, timeCol: String,
+                    valueCol: String, step: Long): DataFrame = {
+    require(step > 0, "step must be positive")
+    val obs = df.select(col(keyCol), col(timeCol), col(valueCol))
+    val grid = obs.groupBy(col(keyCol))
+      .agg(min(col(timeCol)).as("__lo"), max(col(timeCol)).as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(
+          expr(s"(__lo div $step) * $step"),
+          expr(s"(__hi div $step) * $step"),
+          lit(step))).as("tick"))
+    TemporalJoin.asOfJoin(grid, obs, Seq(keyCol), "tick", timeCol, Seq(valueCol))
+  }
+
   def twap(df: DataFrame, keyCol: String, timeCol: String, valueCol: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(timeCol))
     df.withColumn("__nt", lead(col(timeCol), 1).over(w))

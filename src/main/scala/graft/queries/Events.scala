@@ -16,7 +16,7 @@ import Compat._
 object Events {
 
   def defs: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q95, q96, q110, q111, q113,
-    q114, q115, q121, q122, q126, q146, q149, q151, q152)
+    q114, q115, q121, q122, q126, q146, q149, q151, q152, q154)
 
   /** JSON field extraction (scalar function family, SURVEY §2.9 date/json). */
   val q14 = QueryDef(
@@ -501,6 +501,39 @@ object Events {
     graft.operators.Grouped
       .maxDrawdown(ev, "user_id", "tus", "event_id", "value")
       .orderBy("user_id")
+  }
+
+  /** Regular-grid resample with forward fill (`Timeseries.resampleFfill`,
+    * 6-hour ticks): each user's irregular events align onto a shared
+    * grid, every tick carrying the most recent value at or before it —
+    * gap-fill via the as-of union-sort-window plan (no per-tick probe
+    * join). DuckDB's native ASOF LEFT JOIN over a generated series is
+    * the oracle. Ticks before a user's first observation keep null. */
+  val q154 = QueryDef(
+    "q154_resample_ffill",
+    oracle = Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) AS tus, value
+        FROM events WHERE value IS NOT NULL),
+      b AS (
+        SELECT user_id,
+          (MIN(tus) // 21600000000) * 21600000000 AS lo,
+          (MAX(tus) // 21600000000) * 21600000000 AS hi
+        FROM e GROUP BY 1),
+      g AS (
+        SELECT user_id, unnest(generate_series(lo, hi, 21600000000)) AS tick
+        FROM b)
+      SELECT g.user_id, g.tick, e.value
+      FROM g ASOF LEFT JOIN e
+        ON g.user_id = e.user_id AND g.tick >= e.tus
+      ORDER BY g.user_id, g.tick""")) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("value"))
+    graft.operators.Timeseries
+      .resampleFfill(ev, "user_id", "tus", "value", step = 21600000000L)
+      .select(col("user_id"), col("tick"), col("value"))
+      .orderBy("user_id", "tick")
   }
 
   /** CDC log compaction (`UpdateMerge.cdcCompact`): the event stream as a

@@ -97,6 +97,18 @@ class TimeseriesSpec extends SparkSpec {
     assert(out === Map("a" -> ((2L, 17.5))))
   }
 
+  test("resampleFfill: grid aligns to epoch, ticks forward-fill, pre-first ticks null") {
+    val s = spark
+    import s.implicits._
+    // step 10: key a observes at t=12 (v=1) and t=35 (v=2)
+    // grid = [10, 20, 30]; tick 10 precedes the first obs → null
+    val df = Seq(("a", 12L, 1.0), ("a", 35L, 2.0)).toDF("k", "t", "v")
+    val out = Timeseries.resampleFfill(df, "k", "t", "v", step = 10L)
+      .orderBy("tick")
+      .collect().map(r => (r.getLong(1), Option(r.get(2)))).toSeq
+    assert(out === Seq((10L, None), (20L, Some(1.0)), (30L, Some(1.0))))
+  }
+
   test("twap is repartition-stable (decimal sums)") {
     val s = spark
     import s.implicits._
