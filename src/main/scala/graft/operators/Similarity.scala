@@ -143,4 +143,37 @@ object Similarity {
         safeDiv(dot(col("v_a"), col("v_b")), col("__na") * col("__nb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Sparse term-frequency cosine pairs — the INVERTED-INDEX similarity
+    * join, the sparse complement of the dense-embedding paths above: no
+    * embedding model required, and the candidate join touches only
+    * (doc, term) postings that actually share a term. Dot products are
+    * exact longs (tf·tf sums); norms are `sqrt` of exact longs — per-row
+    * IEEE ops all the way, so the cosine and its threshold comparison
+    * are bit-deterministic with no rounding idiom.
+    *
+    * Scale: fan-out per term is df² — stop-word postings dominate the
+    * pair join exactly like hub vertices in triangle counting. The
+    * standard refinements compose on top: cap df (drop ultra-common
+    * terms — approximate), tf-idf weighting (rare terms carry the mass),
+    * or the prefix filter (`Dedup.prefixFilteredJaccardPairs`) when
+    * exactness per threshold must survive pruning. */
+  def sparseCosinePairs(docs: DataFrame, id: String = "doc_id",
+                        text: String = "text",
+                        threshold: Double = 0.95): DataFrame = {
+    val tf = docs.select(col(id).as("__id"),
+        explode(graft.functions.Text.tokens(col(text))).as("t"))
+      .groupBy("__id", "t").agg(count(lit(1)).as("tf"))
+    val norms = tf.groupBy("__id")
+      .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("nrm"))
+    tf.as("a").join(tf.as("b"),
+        col("a.t") === col("b.t") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+      .join(norms.select(col("__id").as("id_a"), col("nrm").as("na")), Seq("id_a"))
+      .join(norms.select(col("__id").as("id_b"), col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cos", col("dot").cast("double") / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
 }

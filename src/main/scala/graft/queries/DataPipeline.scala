@@ -16,7 +16,7 @@ object DataPipeline {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
     q102, q106, q108, q116, q117, q118, q119, q120, q125, q127, q139, q140, q141, q143,
-    q145, q150, q153)
+    q145, q150, q153, q155)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -1300,6 +1300,32 @@ object DataPipeline {
     exact.join(est, Seq("priority"))
       .select(col("priority"), col("exact_distinct"), col("est_distinct"))
       .orderBy("priority")
+  }
+
+  /** Sparse TF-cosine similarity join (`Similarity.sparseCosinePairs`):
+    * the inverted-index pair join over token postings — near-dup
+    * detection with NO embedding model, the sparse complement of
+    * q38-q40. Dots are exact longs, norms per-row sqrt: cosine is
+    * bit-deterministic without any rounding idiom. */
+  val q155 = QueryDef(
+    "q155_sparse_cosine",
+    oracle = Some(s"""
+      WITH tf AS (
+        SELECT doc_id, t, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(${Text.tokensSql("text")}) AS t FROM documents)
+        GROUP BY 1, 2),
+      n AS (SELECT doc_id, sqrt(CAST(SUM(tf*tf) AS DOUBLE)) AS nrm FROM tf GROUP BY 1),
+      d AS (
+        SELECT a.doc_id ia, b.doc_id ib, SUM(a.tf * b.tf) AS dot
+        FROM tf a JOIN tf b ON a.t = b.t AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT ia AS id_a, ib AS id_b,
+        CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS cos
+      FROM d JOIN n na ON d.ia = na.doc_id JOIN n nb ON d.ib = nb.doc_id
+      WHERE CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) >= 0.95
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+    Similarity.sparseCosinePairs(Tables.load(s, dir, "documents"))
+      .orderBy("id_a", "id_b")
   }
 
   /** HLL merge law, oracled end-to-end: per-priority sketches built from

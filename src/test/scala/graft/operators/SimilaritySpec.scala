@@ -41,4 +41,20 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rnk").collect()
     assert(out.map(_.getAs[Long]("neighbor")).toSeq === Seq(1L, 2L))
   }
+
+  test("sparseCosinePairs: identical docs hit 1.0, hand-computed pair, disjoint absent") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), // identical → cos 1.0
+      (3L, "alpha alpha"), // vs doc1: dot=2, |(2)|=2, |(1,1)|=√2 → 2/(2√2)=1/√2
+      (4L, "zeta")) // shares nothing
+      .toDF("doc_id", "text")
+    val out = Similarity.sparseCosinePairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical docs: 2/(√2·√2) — deterministic IEEE, a hair under 1.0
+    assert(out((1L, 2L)) === 2.0 / (math.sqrt(2.0) * math.sqrt(2.0)))
+    assert(out((1L, 3L)) === 2.0 / (2.0 * math.sqrt(2.0)))
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
 }
