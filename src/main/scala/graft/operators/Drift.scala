@@ -31,8 +31,11 @@ object Drift {
   /** Per-group PSI of `cand` against `base` under `bin`. One row per
     * group: psi (over shared bins), the one-sided masses, and bin counts. */
   def psi(base: DataFrame, cand: DataFrame, bin: Column): DataFrame = {
-    val b = base.groupBy(bin.as("bin")).agg(count(lit(1)).as("c1"))
-    val c = cand.groupBy(bin.as("bin")).agg(count(lit(1)).as("c2"))
+    // a null bin is "no observation", not a bin: SQL's full join never
+    // matches null keys, so an unfiltered shared null bin would
+    // double-report as base_only AND cand_only
+    val b = base.filter(bin.isNotNull).groupBy(bin.as("bin")).agg(count(lit(1)).as("c1"))
+    val c = cand.filter(bin.isNotNull).groupBy(bin.as("bin")).agg(count(lit(1)).as("c2"))
     val joined = b.join(c, Seq("bin"), "full")
     val tot = joined.agg(
       sum(coalesce(col("c1"), lit(0L))).as("n1"),
@@ -55,8 +58,13 @@ object Drift {
     * Returns one row: (n_base, n_cand, ks_num, ks_stat) where
     * ks_num = max |k₁·n₂ − k₂·n₁| (exact) and ks_stat = ks_num/(n₁·n₂). */
   def ks(base: DataFrame, cand: DataFrame, value: Column): DataFrame = {
-    val b = base.select(value.as("v")).groupBy("v").agg(count(lit(1)).as("c1"))
-    val c = cand.select(value.as("v")).groupBy("v").agg(count(lit(1)).as("c2"))
+    // null values drop (no observation): the full join cannot match null
+    // keys, so nulls on BOTH sides would otherwise become two unmatched
+    // rows injecting a spurious ECDF step
+    val b = base.select(value.as("v")).filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("c1"))
+    val c = cand.select(value.as("v")).filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("c2"))
     val u = b.join(c, Seq("v"), "full")
       .select(col("v"), coalesce(col("c1"), lit(0L)).as("c1"),
         coalesce(col("c2"), lit(0L)).as("c2"))

@@ -71,28 +71,10 @@ object Timeseries {
       .drop("__tot")
   }
 
-  /** Time-weighted average (TWAP): each observation holds until the next
-    * one, so its weight is the duration to its successor —
-    * Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first) per key (the final observation
-    * carries no interval; keys with one observation are excluded, their
-    * TWAP being undefined). The un-weighted mean over-counts bursts; the
-    * time weighting is what "average position/price/load over the day"
-    * actually means.
-    *
-    * Exactness: duration is an exact long; the value canonicalizes to
-    * DECIMAL(12,4), so every product and the sums are exact decimals —
-    * order-free. The quotient rounds to the 1e-6 grid: wide decimals cast
-    * to double in TWO steps in some engines (int128→double, then the
-    * scale divide) and disagree with a correctly-rounded cast by an ulp
-    * above 2^53 — rounding absorbs it. One exchange (window by key),
-    * one aggregate.
-    *
-    * `(keyCol, timeCol)` must be unique: with two observations at the
-    * same instant, WHICH value carries the next interval depends on an
-    * arbitrary tie order — pre-aggregate duplicates upstream. */
   /** Resample each key's irregular observations onto a regular grid with
     * forward fill: one tick every `step` time units (grid anchored at
-    * epoch 0: tick = ⌊t/step⌋·step), each tick carrying the most recent
+    * epoch 0: tick = ⌊t/step⌋·step — floor, so pre-epoch negative
+    * timestamps anchor correctly), each tick carrying the most recent
     * observation at or before it — the gap-fill that turns event streams
     * into the aligned matrix ML featurization wants.
     *
@@ -112,15 +94,37 @@ object Timeseries {
       .agg(min(col(timeCol)).as("__lo"), max(col(timeCol)).as("__hi"))
       .select(col(keyCol),
         explode(sequence(
-          expr(s"(__lo div $step) * $step"),
-          expr(s"(__hi div $step) * $step"),
+          expr(s"__lo - ((__lo % $step + $step) % $step)"),
+          expr(s"__hi - ((__hi % $step + $step) % $step)"),
           lit(step))).as("tick"))
     TemporalJoin.asOfJoin(grid, obs, Seq(keyCol), "tick", timeCol, Seq(valueCol))
   }
 
+  /** Time-weighted average (TWAP): each observation holds until the next
+    * one, so its weight is the duration to its successor —
+    * Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first) per key (the final observation
+    * carries no interval; keys with one observation are excluded, their
+    * TWAP being undefined). The un-weighted mean over-counts bursts; the
+    * time weighting is what "average position/price/load over the day"
+    * actually means.
+    *
+    * Exactness: duration is an exact long; the value canonicalizes to
+    * DECIMAL(12,4), so every product and the sums are exact decimals —
+    * order-free. The quotient rounds to the 1e-6 grid: wide decimals cast
+    * to double in TWO steps in some engines (int128→double, then the
+    * scale divide) and disagree with a correctly-rounded cast by an ulp
+    * above 2^53 — rounding absorbs it. One exchange (window by key),
+    * one aggregate.
+    *
+    * Null values drop before the lead, so the prior observation simply
+    * holds across the gap — a null never deflates the numerator while
+    * its duration still counts in the denominator.
+    * `(keyCol, timeCol)` must be unique: with two observations at the
+    * same instant, WHICH value carries the next interval depends on an
+    * arbitrary tie order — pre-aggregate duplicates upstream. */
   def twap(df: DataFrame, keyCol: String, timeCol: String, valueCol: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(timeCol))
-    df.withColumn("__nt", lead(col(timeCol), 1).over(w))
+    df.filter(col(valueCol).isNotNull).withColumn("__nt", lead(col(timeCol), 1).over(w))
       .filter(col("__nt").isNotNull)
       .groupBy(col(keyCol))
       .agg(

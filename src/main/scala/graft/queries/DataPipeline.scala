@@ -1261,13 +1261,13 @@ object DataPipeline {
     * rebuilds the identical registers from the same portable hashes and
     * the estimate is one IEEE division of exact-decimal operands, so the
     * sketch matches bit-for-bit with no tolerance. */
-  val q139 = QueryDef(
-    "q139_hll_distinct",
-    oracle = Some {
-      val h = Sketches.signed64FromHexSql("md5(CAST(o_custkey AS VARCHAR))")
-      val h2 = Sketches.signed64FromHexSql("md5('hll|' || CAST(o_custkey AS VARCHAR))")
-      Some(s"""
-      WITH s0 AS (
+  // shared q139/q153 oracle prefix: portable per-priority HLL registers
+  // over orders custkeys + the exact-decimal estimator denominator — one
+  // definition so a sketch-SQL fix cannot drift between the two queries
+  private def hllOrdersCtes: String = {
+    val h = Sketches.signed64FromHexSql("md5(CAST(o_custkey AS VARCHAR))")
+    val h2 = Sketches.signed64FromHexSql("md5('hll|' || CAST(o_custkey AS VARCHAR))")
+    s"""s0 AS (
         SELECT o_orderpriority AS priority, $h AS h, $h2 AS h2
         FROM orders),
       s AS (
@@ -1280,7 +1280,13 @@ object DataPipeline {
         SELECT priority,
           SUM(${Sketches.hllTermSql("register")})
             + (256 - COUNT(*)) * CAST(18446744073709551616 AS DECIMAL(38,0)) AS s_den
-        FROM regs GROUP BY 1),
+        FROM regs GROUP BY 1)"""
+  }
+
+  val q139 = QueryDef(
+    "q139_hll_distinct",
+    oracle = Some(s"""
+      WITH $hllOrdersCtes,
       x AS (
         SELECT o_orderpriority AS priority,
           COUNT(DISTINCT o_custkey) AS exact_distinct
@@ -1288,8 +1294,7 @@ object DataPipeline {
       SELECT priority, exact_distinct,
         ${Sketches.hllEstimateSql("s_den", 256)} AS est_distinct
       FROM den JOIN x USING (priority)
-      ORDER BY priority""")
-    }.get) { (s, dir) =>
+      ORDER BY priority""")) { (s, dir) =>
     val base = Tables.load(s, dir, "orders")
       .select(col("o_orderpriority").as("priority"), col("o_custkey"))
     val est = Sketches.hllEstimate(
@@ -1336,27 +1341,10 @@ object DataPipeline {
     * without rescanning (q60 proves the same law for histograms). */
   val q153 = QueryDef(
     "q153_hll_merge",
-    oracle = Some {
-      val h = Sketches.signed64FromHexSql("md5(CAST(o_custkey AS VARCHAR))")
-      val h2 = Sketches.signed64FromHexSql("md5('hll|' || CAST(o_custkey AS VARCHAR))")
-      Some(s"""
-      WITH s0 AS (
-        SELECT o_orderpriority AS priority, $h AS h, $h2 AS h2
-        FROM orders),
-      s AS (
-        SELECT priority, ((h % 256) + 256) % 256 AS bucket,
-          ${Sketches.hllRhoSql("h2")} AS rho
-        FROM s0),
-      regs AS (
-        SELECT priority, bucket, MAX(rho) AS register FROM s GROUP BY 1, 2),
-      den AS (
-        SELECT priority,
-          SUM(${Sketches.hllTermSql("register")})
-            + (256 - COUNT(*)) * CAST(18446744073709551616 AS DECIMAL(38,0)) AS s_den
-        FROM regs GROUP BY 1)
+    oracle = Some(s"""
+      WITH $hllOrdersCtes
       SELECT priority, ${Sketches.hllEstimateSql("s_den", 256)} AS est_distinct
-      FROM den ORDER BY priority""")
-    }.get) { (s, dir) =>
+      FROM den ORDER BY priority""")) { (s, dir) =>
     val base = Tables.load(s, dir, "orders")
       .select(col("o_orderpriority").as("priority"), col("o_custkey"))
     def half(parity: Int) = Sketches.hllSketch(

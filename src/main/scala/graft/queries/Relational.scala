@@ -640,13 +640,13 @@ object Relational {
       WITH r AS (
         SELECT l_returnflag,
           concat_ws('|',
-            COALESCE(CAST(l_orderkey AS VARCHAR), ' '),
-            COALESCE(CAST(l_linenumber AS VARCHAR), ' '),
-            COALESCE(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS VARCHAR), ' '),
-            COALESCE(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR), ' '),
-            COALESCE(CAST(CAST(l_discount AS DECIMAL(18,6)) AS VARCHAR), ' '),
-            COALESCE(l_linestatus, ' '),
-            COALESCE(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), ' ')) AS repr
+            CASE WHEN CAST(l_orderkey AS VARCHAR) IS NULL THEN 'n' ELSE 'v' || CAST(l_orderkey AS VARCHAR) END,
+            CASE WHEN CAST(l_linenumber AS VARCHAR) IS NULL THEN 'n' ELSE 'v' || CAST(l_linenumber AS VARCHAR) END,
+            CASE WHEN CAST(CAST(l_quantity AS DECIMAL(18,6)) AS VARCHAR) IS NULL THEN 'n' ELSE 'v' || CAST(CAST(l_quantity AS DECIMAL(18,6)) AS VARCHAR) END,
+            CASE WHEN CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR) IS NULL THEN 'n' ELSE 'v' || CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR) END,
+            CASE WHEN CAST(CAST(l_discount AS DECIMAL(18,6)) AS VARCHAR) IS NULL THEN 'n' ELSE 'v' || CAST(CAST(l_discount AS DECIMAL(18,6)) AS VARCHAR) END,
+            CASE WHEN l_linestatus IS NULL THEN 'n' ELSE 'v' || l_linestatus END,
+            CASE WHEN CAST(CAST(l_shipdate AS DATE) AS VARCHAR) IS NULL THEN 'n' ELSE 'v' || CAST(CAST(l_shipdate AS DATE) AS VARCHAR) END) AS repr
         FROM lineitem)
       SELECT l_returnflag, COUNT(*) AS n_rows,
         CAST(SUM(${graft.operators.Sketches.signed64FromHexSql("md5(repr)")})

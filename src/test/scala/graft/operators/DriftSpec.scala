@@ -37,6 +37,20 @@ class DriftSpec extends SparkSpec {
     assert(row.getDouble(3) === 0.5)
   }
 
+  test("ks ignores nulls: identical distributions with shared nulls give 0") {
+    val a = (Seq.fill(5)(Option.empty[Int]) ++ (1 to 5).map(Some(_))).toDF("x")
+    val r = Drift.ks(a, a, col("x")).head()
+    assert(r.getLong(0) === 5L) // nulls excluded from n
+    assert(r.getDouble(3) === 0.0) // not the spurious 0.5 ECDF step
+  }
+
+  test("psi ignores null bins (no base_only/cand_only double-report)") {
+    val a = (Seq.fill(3)(Option.empty[Int]) ++ Seq(Some(1), Some(2))).toDF("x")
+    val row = Drift.psi(a, a, col("x")).head()
+    assert(row.getLong(1) === 0L && row.getLong(2) === 0L)
+    assert(row.getDouble(0) === 0.0)
+  }
+
   test("ks against an empty side is null, not NaN") {
     val a = Seq(1, 2, 3).toDF("x")
     val empty = a.filter(col("x") > 100)

@@ -109,6 +109,16 @@ class TimeseriesSpec extends SparkSpec {
     assert(out === Seq((10L, None), (20L, Some(1.0)), (30L, Some(1.0))))
   }
 
+  test("twap: a null observation does not deflate the average") {
+    val s = spark
+    import s.implicits._
+    // null at t=1 drops; v=10 holds 0→2: twap must be 10, not 5
+    val df = Seq[(String, Long, java.lang.Double)](
+      ("k", 0L, 10.0), ("k", 1L, null), ("k", 2L, 10.0)).toDF("k", "t", "v")
+    val out = Timeseries.twap(df, "k", "t", "v").head()
+    assert(out.getLong(1) === 1L && out.getDouble(2) === 10.0)
+  }
+
   test("twap is repartition-stable (decimal sums)") {
     val s = spark
     import s.implicits._
