@@ -113,4 +113,45 @@ class CurationPipelineSpec extends SparkSpec {
     assert(packed.map(_._3).sum ==
       sampled.select(sum(graft.functions.Text.tokenCount(col("text")))).head.getLong(0))
   }
+
+  test("canonicalize → exact-similarity dedup → drift gate → diff audit composes (r4 operators)") {
+    import graft.core.Integrity
+    import graft.functions.TextKernels
+    import graft.operators.{Dedup, Drift}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nDocs = docs.count()
+
+    // --- NFC canonicalization (q141 kernel): the corpus is ASCII, so the
+    //     pass must be an exact no-op — proven by checksum equality, the
+    //     q142 operator doing real work inside a pipeline
+    val canon = docs.withColumn("text", TextKernels.nfcCol(col("text")))
+    val csBefore = Integrity.tableChecksum(docs, Seq(col("doc_id"), col("text"))).head()
+    val csAfter = Integrity.tableChecksum(canon, Seq(col("doc_id"), col("text"))).head()
+    assert(csBefore === csAfter)
+
+    // --- exact-threshold near-dup pairs with guaranteed recall (q145):
+    //     prefix filter ≡ brute force, then drop the larger id per pair
+    val pairs = Dedup.prefixFilteredJaccardPairs(canon, thresholdNum = 1, thresholdDen = 2)
+    val brute = Dedup.blockedJaccardPairs(
+      canon.withColumn("k", lit(1)), Seq("k"), threshold = 0.5)
+    assert(pairs.select("id_a", "id_b").collect().toSet ===
+      brute.select("id_a", "id_b").collect().toSet)
+    val kept = canon.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val nKept = kept.count()
+    assert(nKept <= nDocs)
+
+    // --- drift gate (q143): dedup must not shift the length profile much
+    val psi = Drift.psi(docs, kept, expr("n_chars div 100")).head().getDouble(0)
+    assert(psi >= 0.0 && psi < 0.25, s"dedup shifted the corpus profile: psi=$psi")
+
+    // --- diff audit (q147): the kept set differs from the input by
+    //     exactly the dropped ids — nothing changed, nothing added
+    val byStatus = Integrity.snapshotDiff(docs, kept, Seq("doc_id"), Seq(col("text")))
+      .groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus.getOrElse("removed", 0L) === nDocs - nKept)
+    assert(byStatus.getOrElse("unchanged", 0L) === nKept)
+    assert(!byStatus.contains("added") && !byStatus.contains("changed"))
+  }
 }
