@@ -40,8 +40,14 @@ object Physics {
       FROM lineitem GROUP BY 2
       ORDER BY shift, o_orderkey"""),
     bench = true) { (s, dir) =>
-    val ev = nestedOrders(s, dir, Seq("l_extendedprice", "l_discount", "l_tax"))
-      .filter(size(col("items")) > 0)
+    // build the nested event directly from the object table: q42 keeps
+    // only orders WITH items, so nestedOrders' left join against orders
+    // (which exists to surface empty events, q20's semantics) would be
+    // joined-then-filtered-away — pure exchange cost at scale
+    val ev = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(sort_array(collect_list(struct(
+        col("l_extendedprice"), col("l_discount"), col("l_tax")))).as("items"))
     // calibrator: nominal + up/down variations per object
     val calibrated = SchemaOps.mapCollection(ev, "items", it => {
       val nominal = it.getField("l_extendedprice") * (lit(1) - it.getField("l_discount"))
