@@ -100,6 +100,28 @@ object Timeseries {
     TemporalJoin.asOfJoin(grid, obs, Seq(keyCol), "tick", timeCol, Seq(valueCol))
   }
 
+  /** OHLC bars: per (key, time bucket) the first/highest/lowest/last
+    * value — the compaction that turns a tick stream into the fixed-size
+    * summary charting, feature windows, and anomaly baselines consume.
+    * One hash aggregate with full map-side combine (min_by/max_by/min/
+    * max/count all partial-aggregate), one shuffle of bar-width rows.
+    * Selections only — no sums — so bars are bit-exact under any
+    * partitioning. `(keyCol, timeCol)` must be unique (open/close
+    * determinism; same contract as [[twap]]). */
+  def ohlc(df: DataFrame, keyCol: String, timeCol: String, valueCol: String,
+           step: Long): DataFrame = {
+    require(step > 0, "step must be positive")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol),
+        (col(timeCol) - pmod(col(timeCol), lit(step))).as("bucket"))
+      .agg(
+        min_by(col(valueCol), col(timeCol)).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), col(timeCol)).as("close"),
+        count(lit(1)).as("n_ticks"))
+  }
+
   /** Time-weighted average (TWAP): each observation holds until the next
     * one, so its weight is the duration to its successor —
     * Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first) per key (the final observation

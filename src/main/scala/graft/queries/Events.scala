@@ -16,7 +16,7 @@ import Compat._
 object Events {
 
   def defs: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q95, q96, q110, q111, q113,
-    q114, q115, q121, q122, q126, q146, q149, q151, q152, q154)
+    q114, q115, q121, q122, q126, q146, q149, q151, q152, q154, q156)
 
   /** JSON field extraction (scalar function family, SURVEY §2.9 date/json). */
   val q14 = QueryDef(
@@ -501,6 +501,32 @@ object Events {
     graft.operators.Grouped
       .maxDrawdown(ev, "user_id", "tus", "event_id", "value")
       .orderBy("user_id")
+  }
+
+  /** OHLC bars (`Timeseries.ohlc`, 6-hour buckets): first/highest/
+    * lowest/last value per user per bucket — one map-side-combining hash
+    * aggregate, selections only (no sums), so every bar is bit-exact
+    * under any partitioning. DuckDB's arg_min/arg_max mirror min_by/
+    * max_by; (user, ts) uniqueness makes open/close deterministic. */
+  val q156 = QueryDef(
+    "q156_ohlc",
+    oracle = Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) AS tus, value
+        FROM events WHERE value IS NOT NULL)
+      SELECT user_id, tus - (tus % 21600000000) AS bucket,
+        arg_min(value, tus) AS open,
+        MAX(value) AS high,
+        MIN(value) AS low,
+        arg_max(value, tus) AS close,
+        COUNT(*) AS n_ticks
+      FROM e GROUP BY 1, 2
+      ORDER BY user_id, bucket""")) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("value"))
+    graft.operators.Timeseries.ohlc(ev, "user_id", "tus", "value",
+        step = 21600000000L)
+      .orderBy("user_id", "bucket")
   }
 
   /** Regular-grid resample with forward fill (`Timeseries.resampleFfill`,

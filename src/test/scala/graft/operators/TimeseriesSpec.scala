@@ -109,6 +109,21 @@ class TimeseriesSpec extends SparkSpec {
     assert(out === Seq((10L, None), (20L, Some(1.0)), (30L, Some(1.0))))
   }
 
+  test("ohlc: open/close by time, high/low by value, per bucket") {
+    val s = spark
+    import s.implicits._
+    // bucket [0,10): ticks (1→5.0), (3→9.0), (7→2.0); bucket [10,20): (12→4.0)
+    val df = Seq(("k", 1L, 5.0), ("k", 3L, 9.0), ("k", 7L, 2.0), ("k", 12L, 4.0))
+      .toDF("k", "t", "v")
+    val out = Timeseries.ohlc(df, "k", "t", "v", step = 10L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(out.toSeq === Seq(
+      (0L, 5.0, 9.0, 2.0, 2.0, 3L),
+      (10L, 4.0, 4.0, 4.0, 4.0, 1L)))
+  }
+
   test("twap: a null observation does not deflate the average") {
     val s = spark
     import s.implicits._
