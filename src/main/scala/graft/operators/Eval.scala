@@ -147,4 +147,34 @@ object Eval {
         (col("__prefix").isNull || col(gainCol) > col("__prefix")))
       .select(col(costCol), col(gainCol), col("n_points"))
   }
+
+  /** Exact weighted median per group: the smallest value whose running
+    * weight (ordered by value, ties by value only — equal values share a
+    * cumulative position, so no tie-break column is needed) reaches half
+    * the group's total. Weights canonicalize to exact decimals: the
+    * half-total comparison `2·cumw ≥ total` is integer-scaled decimal
+    * arithmetic — no doubles anywhere, bit-portable. One window + one
+    * argmin aggregate per group; null values or weights drop; groups
+    * with no positive weight are absent. The weighted generalization of
+    * the q59/q134 exact quantiles — lower-median convention. */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: Column,
+                     weightCol: Column): DataFrame = {
+    val base = df
+      .select(col(groupCol), valueCol.as("__v"),
+        weightCol.cast("decimal(18,6)").as("__w"))
+      .filter(col("__v").isNotNull && col("__w").isNotNull && col("__w") > 0)
+    // RANGE frame: tied values share one cumulative weight (all rows
+    // with value <= current count in), so cumw is deterministic per row
+    // with no tie-break column
+    val w = Window.partitionBy(groupCol).orderBy(col("__v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(groupCol)
+    base
+      .withColumn("__cumw", sum(col("__w")).over(w))
+      .withColumn("__tot", sum(col("__w")).over(tot))
+      .filter(col("__cumw") * 2 >= col("__tot"))
+      .groupBy(col(groupCol))
+      .agg(min(col("__v")).as("weighted_median"),
+        max(col("__tot")).cast("double").as("total_weight"))
+  }
 }

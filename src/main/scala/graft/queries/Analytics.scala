@@ -13,7 +13,8 @@ import graft.operators.{Curation, Eval, Graph, Timeseries}
   */
 object Analytics {
 
-  def defs: Seq[QueryDef] = Seq(q128, q129, q130, q131, q132, q133, q134, q135, q144)
+  def defs: Seq[QueryDef] = Seq(q128, q129, q130, q131, q132, q133, q134, q135, q144,
+    q157)
 
   /** Per-fold ROC AUC of a toy scorer (first embedding coordinate) for
     * the odd-label class — the distributed model-eval primitive
@@ -199,6 +200,40 @@ object Analytics {
         Tables.load(s, dir, "documents"), 5, "source")
       .select(col("source"), col("doc_id"), col("sample_rank"))
       .orderBy("source", "sample_rank")
+  }
+
+  /** Exact weighted median (`Eval.weightedMedian`): the revenue-weighted
+    * median quantity per return flag — "half the REVENUE ships in
+    * quantities ≤ this", which the unweighted median (q59/q134 family)
+    * cannot say. All arithmetic is exact decimal (the 2·cumw ≥ total
+    * test never touches doubles), so the hash-match needs no tolerance. */
+  val q157 = QueryDef(
+    "q157_weighted_median",
+    oracle = Some("""
+      WITH base AS (
+        SELECT l_returnflag, l_quantity AS v,
+          CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+            * (1 - CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(18,6)) AS w
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      c AS (
+        SELECT l_returnflag, v, w,
+          SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+          SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        FROM base)
+      SELECT l_returnflag, MIN(v) AS weighted_median,
+        CAST(MAX(tot) AS DOUBLE) AS total_weight
+      FROM c WHERE cumw * 2 >= tot
+      GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+    import graft.operators.Eval
+    Eval.weightedMedian(
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_quantity").isNotNull && col("l_extendedprice").isNotNull),
+        "l_returnflag", col("l_quantity"),
+        Compat.norm6(Compat.money(col("l_extendedprice"))
+          * (lit(1) - Compat.frac(col("l_discount")))))
+      .orderBy("l_returnflag")
   }
 
   /** Level-synchronous BFS (`Graph.bfs`): minimum hop count from the

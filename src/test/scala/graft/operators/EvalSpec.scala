@@ -115,4 +115,25 @@ class EvalSpec extends SparkSpec {
     assert(out.map(_.getAs[Double]("lo")).toSeq == Seq(1.0, 26.0, 51.0, 76.0))
     assert(out.map(_.getAs[Double]("hi")).toSeq == Seq(25.0, 50.0, 75.0, 100.0))
   }
+
+  test("weightedMedian: hand-checked with ties, dominant weight pulls the median") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // g1: values 1,2,3 weights 1,1,1 → cum 1,2,3; 2*cum>=3 first at v=2
+    // g2: values 1,2,3 weights 1,1,10 → half=6, only v=3 reaches it
+    // g3: ties: values 1,1,2 weights 1,1,1 → cum at v=1 is 2 (range frame), 2*2>=3 → 1
+    val df = Seq(
+      ("g1", 1, 1.0), ("g1", 2, 1.0), ("g1", 3, 1.0),
+      ("g2", 1, 1.0), ("g2", 2, 1.0), ("g2", 3, 10.0),
+      ("g3", 1, 1.0), ("g3", 1, 1.0), ("g3", 2, 1.0))
+      .toDF("g", "v", "w")
+    val out = Eval.weightedMedian(df, "g", col("v"), col("w"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out === Map("g1" -> 2, "g2" -> 3, "g3" -> 1))
+    // repartition-stable
+    val out2 = Eval.weightedMedian(df.repartition(5), "g", col("v"), col("w"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out2 === out)
+  }
 }
