@@ -148,6 +148,38 @@ object Eval {
       .select(col(costCol), col(gainCol), col("n_points"))
   }
 
+  /** Gains/lift table: rank rows by score (descending, ties broken by
+    * `tieCol` for a total order), split into `buckets` equal-count
+    * ranks (ntile), and report per bucket the positive count plus the
+    * cumulative capture rate — "the top 20% of scores catches X% of all
+    * positives", the model-triage artifact next to AUC (q128).
+    *
+    * Exactness: counts are longs; capture = cum_pos/total_pos and lift
+    * = capture/(bucket/buckets) are single divisions of exact integers —
+    * bit-portable. One window sort (the ranking IS a global sort — at
+    * 100 TB score-bucket first via quantile split; here ntile keeps the
+    * oracle trivially mirrorable). */
+  def liftTable(df: DataFrame, scoreCol: Column, labelCol: Column,
+                tieCol: Column, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val ranked = df.select(scoreCol.as("__s"), labelCol.cast("long").as("__y"),
+        tieCol.as("__t"))
+      .withColumn("__b", ntile(buckets).over(
+        Window.orderBy(col("__s").desc, col("__t"))))
+    val per = ranked.groupBy(col("__b").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("__y").as("n_pos"))
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    per
+      .withColumn("cum_pos", sum("n_pos").over(w))
+      .withColumn("total_pos", sum("n_pos").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("capture", col("cum_pos").cast("double") / col("total_pos").cast("double"))
+      .withColumn("lift",
+        col("capture") / (col("bucket").cast("double") / lit(buckets.toDouble)))
+      .select(col("bucket"), col("n"), col("n_pos"), col("cum_pos"),
+        col("capture"), col("lift"))
+  }
+
   /** Exact weighted median per group: the smallest value whose running
     * weight (ordered by value, ties by value only — equal values share a
     * cumulative position, so no tie-break column is needed) reaches half

@@ -14,7 +14,7 @@ import graft.operators.{Curation, Eval, Graph, Timeseries}
 object Analytics {
 
   def defs: Seq[QueryDef] = Seq(q128, q129, q130, q131, q132, q133, q134, q135, q144,
-    q157)
+    q157, q158)
 
   /** Per-fold ROC AUC of a toy scorer (first embedding coordinate) for
     * the odd-label class — the distributed model-eval primitive
@@ -200,6 +200,43 @@ object Analytics {
         Tables.load(s, dir, "documents"), 5, "source")
       .select(col("source"), col("doc_id"), col("sample_rank"))
       .orderBy("source", "sample_rank")
+  }
+
+  /** Gains/lift table (`Eval.liftTable`): embeddings ranked by the toy
+    * scorer (first coordinate, q128's setup), decile-split, with the
+    * cumulative positive-capture rate and lift per decile — the triage
+    * curve companion to AUC. Capture and lift are single divisions of
+    * exact counts; (score, vec_id) totally orders the ranking so ntile
+    * is deterministic. */
+  val q158 = QueryDef(
+    "q158_lift_table",
+    oracle = Some("""
+      WITH t AS (
+        SELECT CAST(embedding[1] AS DOUBLE) AS s, vec_id,
+          CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
+        FROM embeddings),
+      r AS (
+        SELECT y, NTILE(10) OVER (ORDER BY s DESC, vec_id) AS bucket FROM t),
+      per AS (
+        SELECT bucket, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM r GROUP BY 1),
+      c AS (
+        SELECT bucket, n, n_pos,
+          CAST(SUM(n_pos) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+          CAST(SUM(n_pos) OVER () AS BIGINT) AS total_pos
+        FROM per)
+      SELECT bucket, n, n_pos, cum_pos,
+        CAST(cum_pos AS DOUBLE) / total_pos AS capture,
+        (CAST(cum_pos AS DOUBLE) / total_pos) / (bucket / 10.0) AS lift
+      FROM c ORDER BY bucket""")) { (s, dir) =>
+    import graft.operators.Eval
+    Eval.liftTable(
+        Tables.load(s, dir, "embeddings"),
+        element_at(col("embedding"), 1).cast("double"),
+        pmod(col("label"), lit(2)) === 1,
+        col("vec_id"), buckets = 10)
+      .orderBy("bucket")
   }
 
   /** Exact weighted median (`Eval.weightedMedian`): the revenue-weighted

@@ -116,6 +116,20 @@ class EvalSpec extends SparkSpec {
     assert(out.map(_.getAs[Double]("hi")).toSeq == Seq(25.0, 50.0, 75.0, 100.0))
   }
 
+  test("liftTable: a perfect scorer captures everything in the first buckets") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // scores == labels: 4 positives rank first; 2 buckets of 4
+    val df = (1 to 8).map(i => (i.toLong, if (i <= 4) 1 else 0, 9.0 - i))
+      .toDF("id", "y", "score")
+    val out = Eval.liftTable(df, col("score"), col("y") === 1, col("id"), buckets = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    // bucket 1: all 4 positives → capture 1.0, lift 2.0; bucket 2: no new
+    assert(out.toSeq === Seq((4L, 4L, 1.0, 2.0), (0L, 4L, 1.0, 1.0)))
+  }
+
   test("weightedMedian: hand-checked with ties, dominant weight pulls the median") {
     import org.apache.spark.sql.functions._
     val s = spark
