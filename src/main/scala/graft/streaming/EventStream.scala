@@ -237,4 +237,16 @@ object EventStream {
       .transformWithState(new RunningStatsProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** Idempotent exactly-once parquet sink for `foreachBatch`: each
+    * micro-batch OVERWRITES its own `epoch=<id>` partition directory, so
+    * a replayed batch (restart between sink write and checkpoint commit
+    * — the at-least-once window every foreachBatch sink has) rewrites
+    * the identical directory instead of appending duplicates. This is
+    * the classic epoch-keyed idempotence pattern; downstream reads get
+    * exactly-once by reading the whole tree. Use as:
+    * `ds.writeStream.foreachBatch(EventStream.epochParquetSink(path) _)`. */
+  def epochParquetSink(path: String)(batch: DataFrame, epochId: Long): Unit =
+    batch.write.mode("overwrite")
+      .parquet(s"$path/epoch=$epochId")
 }

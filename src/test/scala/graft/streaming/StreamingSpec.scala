@@ -209,6 +209,19 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("epochParquetSink: replaying an epoch rewrites, never duplicates") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-epoch-sink").toString
+    val sink = EventStream.epochParquetSink(dir) _
+    sink((1 to 5).toDF("v"), 0L)
+    sink((6 to 8).toDF("v"), 1L)
+    // restart-replay of epoch 1 (at-least-once window): same data again
+    sink((6 to 8).toDF("v"), 1L)
+    val out = s.read.parquet(dir).select("v").as[Int].collect().sorted
+    assert(out.toSeq === (1 to 8).toSeq) // exactly-once despite the replay
+  }
+
   test("windowedTopK: the custom aggregate merges incrementally ≡ batch top-k") {
     val s = spark
     import s.implicits._
