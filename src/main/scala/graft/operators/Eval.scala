@@ -169,15 +169,20 @@ object Eval {
     val per = ranked.groupBy(col("__b").as("bucket"))
       .agg(count(lit(1)).as("n"), sum("__y").as("n_pos"))
     val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     per
       .withColumn("cum_pos", sum("n_pos").over(w))
-      .withColumn("total_pos", sum("n_pos").over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("total_pos", sum("n_pos").over(all))
+      // depth = ACTUAL cumulative row fraction, not bucket/buckets: ntile
+      // front-loads remainder rows, so the nominal fraction overstates
+      // lift whenever row count is not divisible by the bucket count
+      .withColumn("cum_n", sum("n").over(w))
+      .withColumn("total_n", sum("n").over(all))
       .withColumn("capture", col("cum_pos").cast("double") / col("total_pos").cast("double"))
-      .withColumn("lift",
-        col("capture") / (col("bucket").cast("double") / lit(buckets.toDouble)))
+      .withColumn("depth", col("cum_n").cast("double") / col("total_n").cast("double"))
+      .withColumn("lift", col("capture") / col("depth"))
       .select(col("bucket"), col("n"), col("n_pos"), col("cum_pos"),
-        col("capture"), col("lift"))
+        col("capture"), col("depth"), col("lift"))
   }
 
   /** Exact weighted median per group: the smallest value whose running

@@ -94,8 +94,8 @@ object Timeseries {
       .agg(min(col(timeCol)).as("__lo"), max(col(timeCol)).as("__hi"))
       .select(col(keyCol),
         explode(sequence(
-          expr(s"__lo - ((__lo % $step + $step) % $step)"),
-          expr(s"__hi - ((__hi % $step + $step) % $step)"),
+          col("__lo") - pmod(col("__lo"), lit(step)),
+          col("__hi") - pmod(col("__hi"), lit(step)),
           lit(step))).as("tick"))
     TemporalJoin.asOfJoin(grid, obs, Seq(keyCol), "tick", timeCol, Seq(valueCol))
   }

@@ -224,11 +224,16 @@ object Analytics {
         SELECT bucket, n, n_pos,
           CAST(SUM(n_pos) OVER (ORDER BY bucket
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
-          CAST(SUM(n_pos) OVER () AS BIGINT) AS total_pos
+          CAST(SUM(n_pos) OVER () AS BIGINT) AS total_pos,
+          CAST(SUM(n) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+          CAST(SUM(n) OVER () AS BIGINT) AS total_n
         FROM per)
       SELECT bucket, n, n_pos, cum_pos,
         CAST(cum_pos AS DOUBLE) / total_pos AS capture,
-        (CAST(cum_pos AS DOUBLE) / total_pos) / (bucket / 10.0) AS lift
+        CAST(cum_n AS DOUBLE) / total_n AS depth,
+        (CAST(cum_pos AS DOUBLE) / total_pos)
+          / (CAST(cum_n AS DOUBLE) / total_n) AS lift
       FROM c ORDER BY bucket""")) { (s, dir) =>
     import graft.operators.Eval
     Eval.liftTable(

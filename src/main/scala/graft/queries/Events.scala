@@ -514,7 +514,7 @@ object Events {
       WITH e AS (
         SELECT user_id, epoch_us(ts) AS tus, value
         FROM events WHERE value IS NOT NULL)
-      SELECT user_id, tus - (tus % 21600000000) AS bucket,
+      SELECT user_id, tus - ((tus % 21600000000 + 21600000000) % 21600000000) AS bucket,
         arg_min(value, tus) AS open,
         MAX(value) AS high,
         MIN(value) AS low,
@@ -543,8 +543,8 @@ object Events {
         FROM events WHERE value IS NOT NULL),
       b AS (
         SELECT user_id,
-          (MIN(tus) // 21600000000) * 21600000000 AS lo,
-          (MAX(tus) // 21600000000) * 21600000000 AS hi
+          MIN(tus) - ((MIN(tus) % 21600000000 + 21600000000) % 21600000000) AS lo,
+          MAX(tus) - ((MAX(tus) % 21600000000 + 21600000000) % 21600000000) AS hi
         FROM e GROUP BY 1),
       g AS (
         SELECT user_id, unnest(generate_series(lo, hi, 21600000000)) AS tick

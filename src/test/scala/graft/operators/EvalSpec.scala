@@ -125,9 +125,22 @@ class EvalSpec extends SparkSpec {
       .toDF("id", "y", "score")
     val out = Eval.liftTable(df, col("score"), col("y") === 1, col("id"), buckets = 2)
       .orderBy("bucket").collect()
-      .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
-    // bucket 1: all 4 positives → capture 1.0, lift 2.0; bucket 2: no new
-    assert(out.toSeq === Seq((4L, 4L, 1.0, 2.0), (0L, 4L, 1.0, 1.0)))
+      .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    // bucket 1: all 4 positives → capture 1.0 at depth 0.5 → lift 2.0
+    assert(out.toSeq === Seq((4L, 4L, 1.0, 0.5, 2.0), (0L, 4L, 1.0, 1.0, 1.0)))
+  }
+
+  test("liftTable depth uses actual cumulative rows when ntile is uneven") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // 5 rows, 2 buckets → ntile front-loads 3 rows into bucket 1; a
+    // skill-less scorer (all positive) must report lift exactly 1.0
+    val df = (1 to 5).map(i => (i.toLong, 1, 10.0 - i)).toDF("id", "y", "score")
+    val out = Eval.liftTable(df, col("score"), col("y") === 1, col("id"), buckets = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getDouble(5), r.getDouble(6)))
+    assert(out.toSeq === Seq((3L, 0.6, 1.0), (2L, 1.0, 1.0)))
   }
 
   test("weightedMedian: hand-checked with ties, dominant weight pulls the median") {
