@@ -16,7 +16,7 @@ import Compat._
 object Events {
 
   def defs: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q95, q96, q110, q111, q113,
-    q114, q115, q121, q122, q126, q146, q149, q151, q152, q154, q156)
+    q114, q115, q121, q122, q126, q146, q149, q151, q152, q154, q156, q159)
 
   /** JSON field extraction (scalar function family, SURVEY §2.9 date/json). */
   val q14 = QueryDef(
@@ -501,6 +501,40 @@ object Events {
     graft.operators.Grouped
       .maxDrawdown(ev, "user_id", "tus", "event_id", "value")
       .orderBy("user_id")
+  }
+
+  /** SLIDING windows in batch: native `window(ts, 2h, 30m)` — each event
+    * replicates into span/slide = 4 overlapping windows (Spark's Expand,
+    * exactly what the streaming operator does per micro-batch), then one
+    * hash aggregate. The oracle derives the same windows arithmetically:
+    * an event at t belongs to window starts
+    * {⌊(t−len)/slide⌋+1 … ⌊t/slide⌋}·slide — proving the builtin's
+    * window-assignment math, not just echoing it. Exact counts +
+    * decimal sums; only non-empty windows emit (both sides). */
+  val q159 = QueryDef(
+    "q159_sliding_window",
+    oracle = Some("""
+      WITH e AS (
+        SELECT epoch_us(ts) AS tus, event_type, value FROM events),
+      k AS (
+        SELECT event_type, value, unnest(generate_series(
+          (tus - 7200000000) // 1800000000 + 1,
+          tus // 1800000000, 1)) AS slot
+        FROM e),
+      w AS (
+        SELECT slot * 1800000000 AS win_start, event_type,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM k GROUP BY 1, 2)
+      SELECT win_start, event_type, n, sum_value
+      FROM w ORDER BY win_start, event_type""")) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts_us"), "2 hours", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dsum(money(col("value"))).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
   }
 
   /** OHLC bars (`Timeseries.ohlc`, 6-hour buckets): first/highest/
