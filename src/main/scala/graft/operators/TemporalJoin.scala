@@ -86,6 +86,29 @@ object TemporalJoin {
         payload.map(c => col(s"__m.$c").as(c)): _*)
   }
 
+  /** Forward as-of join: for each left row, the payload of the EARLIEST
+    * right row with `rightTime >= leftTime` (within `tolerance` ahead,
+    * if given). Implemented by time negation over [[asOfJoin]] — the
+    * earliest-following in real time is the latest-preceding in negated
+    * time — so it inherits the union-sort-window plan verbatim: one
+    * shuffle, no candidate pairs, same uniqueness contract on
+    * (keys, rightTime). The "first response after the stimulus" join:
+    * funnels, next-action attribution, SLA clocks. */
+  def forwardAsOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left.withColumn("__neg_lt", -col(leftTime).cast("long"))
+    val r = right.withColumn("__neg_rt", -col(rightTime).cast("long"))
+    asOfJoin(l, r, keys, "__neg_lt", "__neg_rt", payload, tolerance)
+      .select(leftCols.map(col) ++ payload.map(col): _*)
+  }
+
   /** Inner band-join candidate pairs: all (left, right) row pairs with the
     * same keys and `rightTime` in `[leftTime + lower, leftTime + upper)`.
     * Returns left.* ++ payload columns, one row per matching pair.

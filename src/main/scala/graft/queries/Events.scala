@@ -16,7 +16,7 @@ import Compat._
 object Events {
 
   def defs: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q95, q96, q110, q111, q113,
-    q114, q115, q121, q122, q126, q146, q149, q151, q152, q154, q156, q159)
+    q114, q115, q121, q122, q126, q146, q149, q151, q152, q154, q156, q159, q160)
 
   /** JSON field extraction (scalar function family, SURVEY §2.9 date/json). */
   val q14 = QueryDef(
@@ -501,6 +501,62 @@ object Events {
     graft.operators.Grouped
       .maxDrawdown(ev, "user_id", "tus", "event_id", "value")
       .orderBy("user_id")
+  }
+
+  /** Time-CONSTRAINED funnel: view → first click within 1h → first
+    * purchase within 24h of that click, per user. Each hop is a FORWARD
+    * as-of join (`TemporalJoin.forwardAsOfJoin`: time-negated union-sort
+    * — one shuffle per hop, zero candidate pairs), where q115's
+    * unconstrained funnel only needed first-occurrence times. The oracle
+    * states each hop as the correlated MIN over an inequality join —
+    * the formulation that blows up quadratically per user at scale. */
+  val q160 = QueryDef(
+    "q160_funnel_windows",
+    oracle = Some("""
+      WITH v AS (
+        SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+        WHERE event_type = 'view'),
+      c AS (
+        SELECT DISTINCT user_id, epoch_us(ts) AS t FROM events
+        WHERE event_type = 'click'),
+      p AS (
+        SELECT DISTINCT user_id, epoch_us(ts) AS t FROM events
+        WHERE event_type = 'purchase'),
+      vc AS (
+        SELECT v.event_id, v.user_id, MIN(c.t) AS ct
+        FROM v LEFT JOIN c ON c.user_id = v.user_id
+          AND c.t >= v.t AND c.t - v.t <= 3600000000
+        GROUP BY 1, 2),
+      vcp AS (
+        SELECT vc.event_id, MIN(p.t) AS pt
+        FROM vc JOIN p ON vc.ct IS NOT NULL AND p.user_id = vc.user_id
+          AND p.t >= vc.ct AND p.t - vc.ct <= 86400000000
+        GROUP BY 1)
+      SELECT COUNT(*) AS n_views,
+        CAST(SUM(CASE WHEN ct IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clicked,
+        CAST(SUM(CASE WHEN pt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_purchased
+      FROM vc LEFT JOIN vcp USING (event_id)""")) { (s, dir) =>
+    import graft.operators.TemporalJoin
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("t"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("t"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("t").as("ct")).distinct()
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t").as("pt")).distinct()
+    val vc = TemporalJoin.forwardAsOfJoin(views, clicks, Seq("user_id"),
+      "t", "ct", Seq("ct"), tolerance = Some(3600000000L))
+    val vcp = TemporalJoin.forwardAsOfJoin(
+      vc.filter(col("ct").isNotNull), purchases, Seq("user_id"),
+      "ct", "pt", Seq("pt"), tolerance = Some(86400000000L))
+    vc.join(vcp.select(col("event_id"), col("pt")), Seq("event_id"), "left")
+      .agg(count(lit(1)).as("n_views"),
+        sum(when(col("ct").isNotNull, 1L).otherwise(0L)).as("n_clicked"),
+        sum(when(col("pt").isNotNull, 1L).otherwise(0L)).as("n_purchased"))
   }
 
   /** SLIDING windows in batch: native `window(ts, 2h, 30m)` — each event

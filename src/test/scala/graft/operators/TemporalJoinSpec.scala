@@ -104,4 +104,18 @@ class TemporalJoinSpec extends SparkSpec {
       .select("rid").as[Long].collect().toSet
     assert(got === Set(9L))
   }
+
+  test("forwardAsOfJoin: earliest at-or-after within tolerance, else null") {
+    val l = Seq((1L, 10L, 100L), (1L, 50L, 101L), (2L, 10L, 102L))
+      .toDF("k", "t", "lid")
+    val r = Seq((1L, 9L, 8L), (1L, 10L, 9L), (1L, 30L, 7L), (2L, 200L, 6L))
+      .toDF("k", "rt", "rid")
+    val got = TemporalJoin
+      .forwardAsOfJoin(l, r, Seq("k"), "t", "rt", Seq("rid"),
+        tolerance = Some(25L))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    // lid 100: rt=10 ties forward (equality matches), beats rt=30
+    // lid 101: no right in [50, 75] → null; lid 102: 200 beyond tolerance
+    assert(got === Map(100L -> Some(9L), 101L -> None, 102L -> None))
+  }
 }
