@@ -41,6 +41,29 @@ object Features {
     s"CAST(($digits) % $dims AS INT)"
   }
 
+  /** Leave-one-out target encoding: each row's category encodes as the
+    * mean target of the OTHER rows in its category, (Σ−y)/(n−1) — the
+    * leakage-safe form of mean encoding (plain mean encoding lets each
+    * row see its own label; LOO is the standard fix). Rows in singleton
+    * categories encode null (no "others" to average).
+    *
+    * One aggregate + one join-back (broadcast when the category table is
+    * small — the usual case). Exactness: the target canonicalizes to
+    * DECIMAL(18,4); Σ−y is exact decimal subtraction and the single
+    * /(n−1) division is IEEE — bit-portable as long as the per-category
+    * unscaled sum stays under 2^53 (10¹¹ at scale 4 — beyond that,
+    * encode per shard and merge). */
+  def targetEncodeLoo(df: DataFrame, catCol: String, target: Column): DataFrame = {
+    val y = target.cast("decimal(18,4)")
+    val g = df.groupBy(col(catCol))
+      .agg(sum(y).as("__s"), count(lit(1)).as("__n"))
+    df.join(org.apache.spark.sql.functions.broadcast(g), Seq(catCol))
+      .withColumn("loo_encoding",
+        when(col("__n") > 1,
+          (col("__s") - y).cast("double") / (col("__n") - 1).cast("double")))
+      .drop("__s", "__n")
+  }
+
   /** Upper-triangle Gram matrix XᵀX of a float-vector column — the
     * distributed core of scalable PCA / covariance / linear-regression
     * normal equations: n·d rows in, d(d+1)/2 cells out. The double

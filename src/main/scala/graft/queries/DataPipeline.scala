@@ -16,7 +16,7 @@ object DataPipeline {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
     q102, q106, q108, q116, q117, q118, q119, q120, q125, q127, q139, q140, q141, q143,
-    q145, q150, q153, q155)
+    q145, q150, q153, q155, q161)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -1305,6 +1305,29 @@ object DataPipeline {
     exact.join(est, Seq("priority"))
       .select(col("priority"), col("exact_distinct"), col("est_distinct"))
       .orderBy("priority")
+  }
+
+  /** Leave-one-out target encoding (`ml/Features.targetEncodeLoo`):
+    * order priority encoded as the mean total price of the OTHER orders
+    * sharing the priority — the leakage-safe mean encoding. Σ−y is exact
+    * decimal; the single /(n−1) is IEEE — no tolerance. */
+  val q161 = QueryDef(
+    "q161_target_encoding",
+    oracle = Some("""
+      WITH g AS (
+        SELECT o_orderpriority AS p,
+          SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS s, COUNT(*) AS c
+        FROM orders GROUP BY 1)
+      SELECT o_orderkey,
+        CASE WHEN c > 1 THEN
+          CAST(s - CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) / (c - 1)
+        END AS loo_encoding
+      FROM orders JOIN g ON o_orderpriority = g.p
+      ORDER BY o_orderkey""")) { (s, dir) =>
+    graft.ml.Features.targetEncodeLoo(
+        Tables.load(s, dir, "orders"), "o_orderpriority", col("o_totalprice"))
+      .select(col("o_orderkey"), col("loo_encoding"))
+      .orderBy("o_orderkey")
   }
 
   /** Sparse TF-cosine similarity join (`Similarity.sparseCosinePairs`):

@@ -15,6 +15,18 @@ class FeaturesSpec extends SparkSpec {
     assert(out === Set((0, 0, 10.0), (0, 1, 14.0), (1, 1, 20.0)))
   }
 
+  test("targetEncodeLoo: excludes own row, singleton categories get null") {
+    val df = Seq(("a", 10.0, 1L), ("a", 20.0, 2L), ("a", 30.0, 3L),
+      ("b", 5.0, 4L)).toDF("cat", "y", "id")
+    val out = Features.targetEncodeLoo(df, "cat", col("y"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[Any]("loo_encoding")).map(_.asInstanceOf[Double])).toMap
+    assert(out(1L) === Some(25.0)) // (20+30)/2 — own 10 excluded
+    assert(out(2L) === Some(20.0))
+    assert(out(3L) === Some(15.0))
+    assert(out(4L) === None) // singleton: no others to average
+  }
+
   test("gramUpper is repartition-stable (decimal sums commute)") {
     val rnd = new scala.util.Random(3)
     val df = Seq.fill(200)(Seq.fill(8)(rnd.nextFloat())).toDF("v")
