@@ -16,7 +16,7 @@ object DataPipeline {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
     q102, q106, q108, q116, q117, q118, q119, q120, q125, q127, q139, q140, q141, q143,
-    q145, q150, q153, q155, q161)
+    q145, q150, q153, q155, q161, q162)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -1327,6 +1327,28 @@ object DataPipeline {
     graft.ml.Features.targetEncodeLoo(
         Tables.load(s, dir, "orders"), "o_orderpriority", col("o_totalprice"))
       .select(col("o_orderkey"), col("loo_encoding"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Quantile transform (percent_rank feature scaling): each order's
+    * price maps to its within-priority rank fraction (rank−1)/(n−1) —
+    * the outlier-proof normalization (uniform marginals regardless of
+    * the raw distribution). Ties share a rank, so no tie-break column
+    * is needed; the fraction is one division of exact longs. The
+    * ranking is a per-group sort — the 100 TB form pre-buckets by
+    * value range so each bucket sorts independently. */
+  val q162 = QueryDef(
+    "q162_quantile_transform",
+    oracle = Some("""
+      SELECT o_orderkey,
+        PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+          ORDER BY o_totalprice) AS q
+      FROM orders ORDER BY o_orderkey""")) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        percent_rank().over(Window.partitionBy("o_orderpriority")
+          .orderBy("o_totalprice")).as("q"))
       .orderBy("o_orderkey")
   }
 
