@@ -55,8 +55,11 @@ object Features {
     * encode per shard and merge). */
   def targetEncodeLoo(df: DataFrame, catCol: String, target: Column): DataFrame = {
     val y = target.cast("decimal(18,4)")
+    // count(y), not count(*): a null-target row contributes to neither Σ
+    // nor n, so it can't deflate the other rows' means; its own encoding
+    // is null (Σ−null)
     val g = df.groupBy(col(catCol))
-      .agg(sum(y).as("__s"), count(lit(1)).as("__n"))
+      .agg(sum(y).as("__s"), count(y).as("__n"))
     df.join(org.apache.spark.sql.functions.broadcast(g), Seq(catCol))
       .withColumn("loo_encoding",
         when(col("__n") > 1,

@@ -565,7 +565,9 @@ object Events {
     * hash aggregate. The oracle derives the same windows arithmetically:
     * an event at t belongs to window starts
     * {⌊(t−len)/slide⌋+1 … ⌊t/slide⌋}·slide — proving the builtin's
-    * window-assignment math, not just echoing it. Exact counts +
+    * window-assignment math, not just echoing it. The oracle's floors
+    * use the sign-safe subtract-positive-mod idiom (DuckDB `//` alone
+    * truncates toward zero — the q154 anchoring class). Exact counts +
     * decimal sums; only non-empty windows emit (both sides). */
   val q159 = QueryDef(
     "q159_sliding_window",
@@ -574,8 +576,10 @@ object Events {
         SELECT epoch_us(ts) AS tus, event_type, value FROM events),
       k AS (
         SELECT event_type, value, unnest(generate_series(
-          (tus - 7200000000) // 1800000000 + 1,
-          tus // 1800000000, 1)) AS slot
+          ((tus - 7200000000) - (((tus - 7200000000) % 1800000000
+            + 1800000000) % 1800000000)) // 1800000000 + 1,
+          (tus - ((tus % 1800000000 + 1800000000) % 1800000000))
+            // 1800000000, 1)) AS slot
         FROM e),
       w AS (
         SELECT slot * 1800000000 AS win_start, event_type,

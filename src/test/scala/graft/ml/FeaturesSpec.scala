@@ -27,6 +27,17 @@ class FeaturesSpec extends SparkSpec {
     assert(out(4L) === None) // singleton: no others to average
   }
 
+  test("targetEncodeLoo: null targets neither count nor deflate the others") {
+    val df = Seq(("a", Some(10.0), 1L), ("a", None, 2L), ("a", Some(30.0), 3L))
+      .toDF("cat", "y", "id")
+    val out = Features.targetEncodeLoo(df, "cat", col("y"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[Any]("loo_encoding")).map(_.asInstanceOf[Double])).toMap
+    assert(out(1L) === Some(30.0)) // only the 30 counts as "other"
+    assert(out(2L) === None) // null target: no encoding
+    assert(out(3L) === Some(10.0))
+  }
+
   test("gramUpper is repartition-stable (decimal sums commute)") {
     val rnd = new scala.util.Random(3)
     val df = Seq.fill(200)(Seq.fill(8)(rnd.nextFloat())).toDF("v")
