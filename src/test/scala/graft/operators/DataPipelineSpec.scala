@@ -65,6 +65,16 @@ class DataPipelineSpec extends SparkSpec {
       .select("id_a", "id_b", "jac").as[(Long, Long, Double)].collect().toSet
     assert(fast === brute)
     assert(fast.nonEmpty) // the near-identical pairs actually matched
+    // threshold generality: the prefix-length bound must hold at other
+    // ratios too (higher threshold → shorter prefixes, same exactness)
+    for ((num, den) <- Seq((2, 3), (4, 5))) {
+      val f = Dedup.prefixFilteredJaccardPairs(corpus, thresholdNum = num, thresholdDen = den)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val b = Dedup.blockedJaccardPairs(
+          corpus.withColumn("k", lit(1)), Seq("k"), threshold = num.toDouble / den)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(f === b, s"threshold $num/$den")
+    }
   }
 
   test("exact dedup keeps one representative per content") {

@@ -105,6 +105,24 @@ class TemporalJoinSpec extends SparkSpec {
     assert(got === Set(9L))
   }
 
+  test("forwardAsOfJoin fuzz-matches a sequential reference") {
+    val rnd = new scala.util.Random(43)
+    val left = Seq.fill(200)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+      .distinct.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    val right = Seq.fill(300)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+      .distinct.map { case (k, t) => (k, t, k * 10000 + t) }
+    val tol = 50L
+    val expect = left.map { case (k, t, lid) =>
+      val cand = right.filter(r => r._1 == k && r._2 >= t && r._2 - t <= tol)
+      lid -> (if (cand.isEmpty) None else Some(cand.minBy(_._2)._3))
+    }.toMap
+    val got = TemporalJoin.forwardAsOfJoin(
+        left.toDF("k", "t", "lid"), right.toDF("k", "rt", "rid"),
+        Seq("k"), "t", "rt", Seq("rid"), tolerance = Some(tol))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(got === expect)
+  }
+
   test("forwardAsOfJoin: earliest at-or-after within tolerance, else null") {
     val l = Seq((1L, 10L, 100L), (1L, 50L, 101L), (2L, 10L, 102L))
       .toDF("k", "t", "lid")
