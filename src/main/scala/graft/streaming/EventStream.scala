@@ -22,15 +22,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
-  /** Tumbling-window rollup per event type: the streaming twin of
-    * q15_daily_rollup. Emits one row per (window, event_type) with count
-    * and an exact decimal value sum. */
+  /** Tumbling- or sliding-window rollup per event type: the streaming
+    * twin of q15_daily_rollup (and, with `slide`, of q159's overlapping
+    * windows — each event lands in len/slide window states, all evicted
+    * together at the watermark). Emits one row per (window, event_type)
+    * with count and an exact decimal value sum. */
   def windowedRollup(events: DataFrame, ts: String = "ts",
                      windowLen: String = "1 hour",
-                     watermark: String = "2 hours"): DataFrame =
+                     watermark: String = "2 hours",
+                     slide: Option[String] = None): DataFrame =
     events
       .withWatermark(ts, watermark)
-      .groupBy(window(col(ts), windowLen), col("event_type"))
+      .groupBy(
+        slide.map(s => window(col(ts), windowLen, s))
+          .getOrElse(window(col(ts), windowLen)),
+        col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))

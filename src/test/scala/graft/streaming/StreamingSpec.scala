@@ -43,6 +43,17 @@ class StreamingSpec extends SparkSpec {
     assert(byType("view") == (1L, 4.0))
   }
 
+  test("sliding rollup: each event lands in len/slide overlapping windows") {
+    // 1h window sliding 30m: an event belongs to exactly 2 windows
+    val evs = Seq(Ev(1, t(40), 1, "click", 3.0))
+    val rows = runStream(evs,
+        df => EventStream.windowedRollup(df, slide = Some("30 minutes")))
+      .filter(_.getAs[String]("event_type") == "click")
+    assert(rows.size == 2, s"expected 2 overlapping windows: $rows")
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_events") == 1L && r.getAs[Double]("sum_value") == 3.0))
+  }
+
   test("session windows close on gap and aggregate per user") {
     val evs = Seq(
       Ev(1, t(0), 7, "click", 1.0), Ev(2, t(10), 7, "click", 1.0), // session 1
