@@ -47,8 +47,11 @@ object Features {
     * row see its own label; LOO is the standard fix). Rows in singleton
     * categories encode null (no "others" to average).
     *
-    * One aggregate + one join-back (broadcast when the category table is
-    * small — the usual case). Exactness: the target canonicalizes to
+    * One aggregate + one join-back. The join side is left to Catalyst:
+    * below autoBroadcastJoinThreshold the category table broadcasts (the
+    * usual case); a high-cardinality category degrades to a shuffle join
+    * instead of blowing the broadcast limit. Exactness: the target
+    * canonicalizes to
     * DECIMAL(18,4); Σ−y is exact decimal subtraction and the single
     * /(n−1) division is IEEE — bit-portable as long as the per-category
     * unscaled sum stays under 2^53 (10¹¹ at scale 4 — beyond that,
@@ -60,7 +63,7 @@ object Features {
     // is null (Σ−null)
     val g = df.groupBy(col(catCol))
       .agg(sum(y).as("__s"), count(y).as("__n"))
-    df.join(org.apache.spark.sql.functions.broadcast(g), Seq(catCol))
+    df.join(g, Seq(catCol))
       .withColumn("loo_encoding",
         when(col("__n") > 1,
           (col("__s") - y).cast("double") / (col("__n") - 1).cast("double")))

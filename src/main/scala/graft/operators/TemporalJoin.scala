@@ -103,6 +103,12 @@ object TemporalJoin {
       payload: Seq[String],
       tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
+    // the re-select below would be ambiguous for a payload name that
+    // also exists on the left — fail with a contract, not an
+    // AMBIGUOUS_REFERENCE analysis error (keys are already on the left;
+    // alias the payload on the right side instead)
+    payload.foreach(p => require(!leftCols.contains(p),
+      s"forwardAsOfJoin: payload column '$p' also exists on the left side — alias it"))
     val l = left.withColumn("__neg_lt", -col(leftTime).cast("long"))
     val r = right.withColumn("__neg_rt", -col(rightTime).cast("long"))
     asOfJoin(l, r, keys, "__neg_lt", "__neg_rt", payload, tolerance)

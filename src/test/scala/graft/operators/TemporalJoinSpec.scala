@@ -105,6 +105,14 @@ class TemporalJoinSpec extends SparkSpec {
     assert(got === Set(9L))
   }
 
+  test("forwardAsOfJoin rejects payload names colliding with the left schema") {
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 20L, 5L)).toDF("k", "rt", "rid")
+    val e = intercept[IllegalArgumentException](
+      TemporalJoin.forwardAsOfJoin(l, r, Seq("k"), "t", "rt", Seq("k", "rid")))
+    assert(e.getMessage.contains("'k'"))
+  }
+
   test("forwardAsOfJoin fuzz-matches a sequential reference") {
     val rnd = new scala.util.Random(43)
     val left = Seq.fill(200)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
