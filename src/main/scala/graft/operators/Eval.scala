@@ -148,6 +148,27 @@ object Eval {
       .select(col(costCol), col(gainCol), col("n_points"))
   }
 
+  /** Winsorization: clip `value` to its per-group [pLo, pHi] exact
+    * interpolated percentiles — the outlier treatment that keeps the row
+    * (unlike filtering) while bounding its leverage. Two passes: a
+    * per-group percentile aggregate (tiny result, Catalyst broadcasts
+    * the join-back), then a map-side `least(greatest(...))` clip. Bounds
+    * round to `roundDigits` so the clipped boundary values land on a
+    * decimal grid (cross-engine portability; interior values pass
+    * through untouched). At 100 TB swap the exact percentile for the GK
+    * sketch (`stats/Approx`) — the clip plumbing is unchanged. */
+  def winsorize(df: DataFrame, groupCol: String, value: Column,
+                pLo: Double, pHi: Double, roundDigits: Int = 4): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val bounds = df.groupBy(col(groupCol)).agg(
+      round(percentile(value, lit(pLo)), roundDigits).as("__lo"),
+      round(percentile(value, lit(pHi)), roundDigits).as("__hi"))
+    df.join(bounds, Seq(groupCol))
+      .withColumn("clipped", least(greatest(value, col("__lo")), col("__hi")))
+      .withColumn("was_clipped", value < col("__lo") || value > col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
   /** Gains/lift table: rank rows by score (descending, ties broken by
     * `tieCol` for a total order), split into `buckets` equal-count
     * ranks (ntile), and report per bucket the positive count plus the

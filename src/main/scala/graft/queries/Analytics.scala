@@ -14,7 +14,7 @@ import graft.operators.{Curation, Eval, Graph, Timeseries}
 object Analytics {
 
   def defs: Seq[QueryDef] = Seq(q128, q129, q130, q131, q132, q133, q134, q135, q144,
-    q157, q158)
+    q157, q158, q163)
 
   /** Per-fold ROC AUC of a toy scorer (first embedding coordinate) for
     * the odd-label class — the distributed model-eval primitive
@@ -200,6 +200,36 @@ object Analytics {
         Tables.load(s, dir, "documents"), 5, "source")
       .select(col("source"), col("doc_id"), col("sample_rank"))
       .orderBy("source", "sample_rank")
+  }
+
+  /** Winsorization (`Eval.winsorize`): prices clipped to their per-flag
+    * exact [P05, P95]; the summary proves the clip — clip counts are
+    * exact longs, the clipped sum aggregates through DECIMAL(18,4)
+    * (bounds round to the 4-decimal grid first so boundary values cast
+    * without a second rounding). */
+  val q163 = QueryDef(
+    "q163_winsorize",
+    oracle = Some("""
+      WITH b AS (
+        SELECT l_returnflag,
+          ROUND(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+          ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+        FROM lineitem GROUP BY 1)
+      SELECT l.l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        CAST(SUM(CAST(LEAST(GREATEST(l_extendedprice, lo), hi)
+          AS DECIMAL(18,4))) AS DOUBLE) AS sum_clipped
+      FROM lineitem l JOIN b USING (l_returnflag)
+      GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+    import graft.operators.Eval
+    Eval.winsorize(Tables.load(s, dir, "lineitem"), "l_returnflag",
+        col("l_extendedprice"), pLo = 0.05, pHi = 0.95)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("was_clipped"), 1L).otherwise(0L)).as("n_clipped"),
+        sum(col("clipped").cast("decimal(18,4)")).cast("double").as("sum_clipped"))
+      .orderBy("l_returnflag")
   }
 
   /** Gains/lift table (`Eval.liftTable`): embeddings ranked by the toy

@@ -116,6 +116,21 @@ class EvalSpec extends SparkSpec {
     assert(out.map(_.getAs[Double]("hi")).toSeq == Seq(25.0, 50.0, 75.0, 100.0))
   }
 
+  test("winsorize clips outliers to the percentile bounds, keeps interior rows") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // values 1..100: P10=10.9, P90=90.1 (linear interpolation)
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val out = Eval.winsorize(df, "g", col("v"), 0.1, 0.9)
+      .select("v", "clipped", "was_clipped")
+      .as[(Double, Double, Boolean)].collect()
+    assert(out.count(_._3) === 20) // 1..10 and 91..100 clip
+    assert(out.filter(_._1 == 5.0).head._2 === 10.9)
+    assert(out.filter(_._1 == 95.0).head._2 === 90.1)
+    assert(out.filter(_._1 == 50.0).head._2 === 50.0) // interior untouched
+  }
+
   test("liftTable: a perfect scorer captures everything in the first buckets") {
     import org.apache.spark.sql.functions._
     val s = spark
