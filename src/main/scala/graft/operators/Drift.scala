@@ -54,6 +54,39 @@ object Drift {
         count(when(col("c1").isNotNull && col("c2").isNotNull, 1)).as("shared_bins"))
   }
 
+  /** Pearson chi-square independence statistic over the (a, b)
+    * contingency table: Σ (O−E)²/E with E = rowTot·colTot/n. The
+    * dimension-independence screen (is `source` independent of `lang`?)
+    * next to [[psi]]'s one-dimensional profile shift. Observed counts
+    * reduce map-side; expected values are per-cell IEEE arithmetic on
+    * exact longs; per-cell terms round to 9 decimals then sum as exact
+    * decimal (the q94 idiom — cell order must not matter). Null
+    * categories drop (no observation); dof = (|A|−1)(|B|−1). */
+  def chiSquare(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.filter(a.isNotNull && b.isNotNull)
+      .groupBy(a.as("__a"), b.as("__b")).agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy("__a").agg(sum("o").as("ra"))
+    val colT = cells.groupBy("__b").agg(sum("o").as("cb"))
+    val tot = cells.agg(sum("o").as("n"),
+      countDistinct("__a").as("ka"), countDistinct("__b").as("kb"))
+    // FULL grid: an unobserved (a, b) combination still contributes
+    // (0−E)²/E = E — omitting zero cells understates the statistic
+    rowT.crossJoin(colT)
+      .join(cells, Seq("__a", "__b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("__e",
+        (col("ra") * col("cb")).cast("double") / col("n").cast("double"))
+      .withColumn("__t", round(
+        (col("o").cast("double") - col("__e")) *
+          (col("o").cast("double") - col("__e")) / col("__e"), 9)
+        .cast("decimal(18,9)"))
+      .agg(
+        sum(col("__t")).cast("double").as("chi2"),
+        ((max(col("ka")) - 1) * (max(col("kb")) - 1)).as("dof"),
+        max(col("n")).as("n"))
+  }
+
   /** Exact two-sample KS statistic of `cand` vs `base` over `value`.
     * Returns one row: (n_base, n_cand, ks_num, ks_stat) where
     * ks_num = max |k₁·n₂ − k₂·n₁| (exact) and ks_stat = ks_num/(n₁·n₂). */

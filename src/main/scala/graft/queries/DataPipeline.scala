@@ -16,7 +16,7 @@ object DataPipeline {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
     q102, q106, q108, q116, q117, q118, q119, q120, q125, q127, q139, q140, q141, q143,
-    q145, q150, q153, q155, q161, q162)
+    q145, q150, q153, q155, q161, q162, q164)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -1328,6 +1328,40 @@ object DataPipeline {
         Tables.load(s, dir, "orders"), "o_orderpriority", col("o_totalprice"))
       .select(col("o_orderkey"), col("loo_encoding"))
       .orderBy("o_orderkey")
+  }
+
+  /** Chi-square independence screen (`Drift.chiSquare`): is a document's
+    * source independent of its language? The contingency-table companion
+    * to PSI/KS (q143) — the full |A|×|B| grid including unobserved
+    * cells (each still contributes E), per-cell terms rounded then
+    * decimal-summed (q94 idiom, order-free). */
+  val q164 = QueryDef(
+    "q164_chi_square",
+    oracle = Some("""
+      WITH cells AS (
+        SELECT source, lang, COUNT(*) AS o FROM documents
+        WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+      rt AS (SELECT source, SUM(o) AS ra FROM cells GROUP BY 1),
+      ct AS (SELECT lang, SUM(o) AS cb FROM cells GROUP BY 1),
+      t AS (SELECT SUM(o) AS n, COUNT(DISTINCT source) AS ka,
+              COUNT(DISTINCT lang) AS kb FROM cells),
+      grid AS (
+        SELECT rt.source, ct.lang, rt.ra, ct.cb,
+          COALESCE(cells.o, 0) AS o
+        FROM rt CROSS JOIN ct
+        LEFT JOIN cells USING (source, lang)),
+      terms AS (
+        SELECT CAST(ROUND(
+            (CAST(o AS DOUBLE) - CAST(ra * cb AS DOUBLE) / n)
+            * (CAST(o AS DOUBLE) - CAST(ra * cb AS DOUBLE) / n)
+            / (CAST(ra * cb AS DOUBLE) / n), 9) AS DECIMAL(18,9)) AS term
+        FROM grid CROSS JOIN t)
+      SELECT CAST(SUM(term) AS DOUBLE) AS chi2,
+        CAST((MAX(ka) - 1) * (MAX(kb) - 1) AS BIGINT) AS dof,
+        CAST(MAX(n) AS BIGINT) AS n
+      FROM terms CROSS JOIN t""")) { (s, dir) =>
+    Drift.chiSquare(Tables.load(s, dir, "documents"),
+      col("source"), col("lang"))
   }
 
   /** Quantile transform (percent_rank feature scaling): each order's

@@ -51,6 +51,19 @@ class DriftSpec extends SparkSpec {
     assert(row.getDouble(0) === 0.0)
   }
 
+  test("chiSquare: zero for perfect independence, includes unobserved cells") {
+    // independent 2x2: counts proportional to row*col totals → chi2 = 0
+    val indep = (Seq.fill(40)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(8)(("y", "p")) ++ Seq.fill(2)(("y", "q"))).toDF("a", "b")
+    val r0 = Drift.chiSquare(indep, col("a"), col("b")).head()
+    assert(r0.getDouble(0) === 0.0 && r0.getLong(1) === 1L)
+    // a missing (y, q) cell: O=0 but E=rowT*colT/n must still contribute
+    val dep = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q"))).toDF("a", "b")
+    val r1 = Drift.chiSquare(dep, col("a"), col("b")).head()
+    // 2x2 with perfect association: chi2 = n = 20
+    assert(r1.getDouble(0) === 20.0, s"chi2=${r1.getDouble(0)}")
+  }
+
   test("ks against an empty side is null, not NaN") {
     val a = Seq(1, 2, 3).toDF("x")
     val empty = a.filter(col("x") > 100)
