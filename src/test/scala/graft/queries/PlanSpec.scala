@@ -144,7 +144,10 @@ class PlanSpec extends SparkSpec {
     val nljAllowed = Set("q38_ann_bruteforce", "q39_ann_ivf", "q40_embedding_dedup",
       "q79_ann_multiprobe", "q88_pq_adc", "q89_tfidf_topk",
       "q93_ann_recall", // composes q38's broadcast-NLJ exact ranking
-      "q97_bm25", "q98_unigram_nll", "q143_psi_drift")
+      "q97_bm25", "q98_unigram_nll", "q143_psi_drift",
+      // q164 cross-joins the tiny row-total × col-total tables to build
+      // the full contingency grid (ka×kb cells) plus one-row totals
+      "q164_chi_square")
     val offenders = Registry.all.flatMap { q =>
       val p =
         try Registry.queries(q.name)(spark, dir).queryExecution.executedPlan.toString
