@@ -71,7 +71,15 @@ object Integrity {
     * decimal, timestamps to date/epoch) — raw double→string rendering is
     * not engine-portable. Null canonicalization: non-null
     * values render as 'v'||string, nulls as 'n' — a prefix code, so a
-    * null can never collide with ANY real value (including "n"). */
+    * null can never collide with ANY real value (including "n").
+    *
+    * The checksum is the exact decimal Σ of per-row hashes reduced mod
+    * 2⁶¹−1 and emitted as BIGINT: a wide-decimal output column is itself
+    * an engine-portability hazard (other engines render DECIMAL(38,0) /
+    * int128 sums as float64), while a 61-bit residue survives every
+    * integer pipeline bit-exactly. Addition before the mod keeps the
+    * reduction commutative/order-free; the residue loses no discriminating
+    * power that the 64-bit row hash had to begin with. */
   def tableChecksum(df: DataFrame, cols: Seq[org.apache.spark.sql.Column],
                     groupBy: Seq[String] = Nil): DataFrame = {
     require(cols.nonEmpty, "tableChecksum: need at least one column")
@@ -79,12 +87,20 @@ object Integrity {
       cols.map(c => when(c.isNull, lit("n"))
         .otherwise(concat(lit("v"), c.cast("string")))): _*)
     val h = graft.functions.Seeds.portableHash64(repr).cast("decimal(38,0)")
+    val m = lit(ChecksumModulus)
+    def residue(s: org.apache.spark.sql.Column) =
+      ((s % m + m) % m).cast("long")
     if (groupBy.isEmpty)
-      df.agg(count(lit(1)).as("n_rows"), sum(h).as("checksum"))
+      df.agg(count(lit(1)).as("n_rows"), residue(sum(h)).as("checksum"))
     else
       df.groupBy(groupBy.map(col): _*)
-        .agg(count(lit(1)).as("n_rows"), sum(h).as("checksum"))
+        .agg(count(lit(1)).as("n_rows"), residue(sum(h)).as("checksum"))
   }
+
+  /** Mersenne prime 2⁶¹−1: the checksum residue modulus. Prime ⇒ the sum
+    * map stays uniform; < 2⁶³ ⇒ the residue is a plain BIGINT in every
+    * engine. */
+  val ChecksumModulus: Long = 2305843009213693951L
 
   /** Row-level diff of two table snapshots keyed on `keys`: one row per
     * key present in either side, with status `added` / `removed` /

@@ -793,11 +793,11 @@ object DataPipeline {
     * the chunk and boundary-straddlers. Packing per group keeps the
     * window partitioned (no global sort); all values integer-exact.
     *
-    * r3 hash-mismatch audit (CORRECTNESS_NOTES.md): both sides are
-    * deterministic ((source, chunk_id) is a unique group key, doc_id is
-    * unique, all arithmetic integer) and repeated local runs hash-match;
-    * the explicit all-columns ORDER BY below removes even the
-    * hypothetical tie ambiguity. */
+    * r3/r4 hash-mismatch root cause (VERDICT r4): DuckDB widens the
+    * window SUM of BIGINT to HUGEINT, so `cum_before // 256` was HUGEINT
+    * and reached the driver's comparator as float64 while Spark emitted
+    * int64 — equal values, unequal hashes. Fixed by CASTing the oracle's
+    * chunk_id back to BIGINT; values were always identical. */
   val q90 = QueryDef(
     "q90_sequence_packing",
     oracle = Some(s"""
@@ -809,7 +809,7 @@ object DataPipeline {
           COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
         FROM t)
-      SELECT source, cum_before // 256 AS chunk_id,
+      SELECT source, CAST(cum_before // 256 AS BIGINT) AS chunk_id,
         COUNT(*) AS n_docs,
         CAST(SUM(n_tok) AS BIGINT) AS tokens_started,
         CAST(SUM(CASE WHEN cum_before % 256 + n_tok > 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle

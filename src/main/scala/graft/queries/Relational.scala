@@ -629,11 +629,14 @@ object Relational {
   }
 
   /** Order-free table checksum (`Integrity.tableChecksum`): Σ portable
-    * row hashes as exact decimal, per return flag. Proves two engines
-    * hold the identical table with no global sort and no row transfer —
-    * the 100 TB copy-validation primitive (each side ships |groups|
-    * numbers). Doubles canonicalize through DECIMAL(18,6), the
-    * timestamp through DATE, so the rendered row is engine-portable. */
+    * row hashes reduced mod 2⁶¹−1 to a BIGINT, per return flag. Proves
+    * two engines hold the identical table with no global sort and no row
+    * transfer — the 100 TB copy-validation primitive (each side ships
+    * |groups| numbers). Doubles canonicalize through DECIMAL(18,6), the
+    * timestamp through DATE, so the rendered row is engine-portable; the
+    * BIGINT residue (not the raw DECIMAL(38,0) sum) is what survives the
+    * driver's comparator, since DuckDB renders HUGEINT/DECIMAL(38,0)
+    * outputs as float64 (r4 red root cause). */
   val q142 = QueryDef(
     "q142_table_checksum",
     oracle = Some(s"""
@@ -649,8 +652,10 @@ object Relational {
             CASE WHEN CAST(CAST(l_shipdate AS DATE) AS VARCHAR) IS NULL THEN 'n' ELSE 'v' || CAST(CAST(l_shipdate AS DATE) AS VARCHAR) END) AS repr
         FROM lineitem)
       SELECT l_returnflag, COUNT(*) AS n_rows,
-        CAST(SUM(${graft.operators.Sketches.signed64FromHexSql("md5(repr)")})
-          AS DECIMAL(38,0)) AS checksum
+        CAST(((SUM(${graft.operators.Sketches.signed64FromHexSql("md5(repr)")})
+                 % ${graft.core.Integrity.ChecksumModulus}
+               + ${graft.core.Integrity.ChecksumModulus})
+              % ${graft.core.Integrity.ChecksumModulus}) AS BIGINT) AS checksum
       FROM r GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, dir) =>
     import graft.core.Integrity
     val li = Tables.load(s, dir, "lineitem")

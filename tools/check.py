@@ -41,10 +41,18 @@ for name in sorted(os.listdir(outdir)):
         b = b.sort_values(list(b.columns)).reset_index(drop=True)
         for c in a.columns:
             av, bv = a[c], b[c]
-            if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
-                av = av.astype(float); bv = bv.astype(float)
-                if not np.array_equal(av.values, bv.values, equal_nan=True):
-                    mx = np.nanmax(np.abs(av.values - bv.values))
+            # Dtype-strict: the driver's hash renders values, so int64 2 vs
+            # float64 2.0 (or Decimal vs float) hash-differ even when equal.
+            # Coercing here is what let q90/q142 pass locally while failing
+            # the driver for two rounds — flag the mismatch instead.
+            af, bf = av.dtype.kind == 'f', bv.dtype.kind == 'f'
+            if af != bf:
+                status.append(
+                    f"col {c}: DTYPE {av.dtype}(spark) vs {bv.dtype}(oracle) — "
+                    "int/object-vs-float renders differently in the driver hash")
+            elif af:
+                if not np.array_equal(av.values.astype(float), bv.values.astype(float), equal_nan=True):
+                    mx = np.nanmax(np.abs(av.values.astype(float) - bv.values.astype(float)))
                     status.append(f"col {c} float diff max={mx}")
             else:
                 if not av.astype(str).equals(bv.astype(str)):
