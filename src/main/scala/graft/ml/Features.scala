@@ -70,6 +70,66 @@ object Features {
       .drop("__s", "__n")
   }
 
+  /** Quantile (percent-rank) transform at scale: maps each row's value
+    * to its within-group rank fraction (rank−1)/(n−1) — exactly
+    * `PERCENT_RANK() OVER (PARTITION BY group ORDER BY value)`, with ties
+    * sharing the minimum rank — WITHOUT a per-group global sort.
+    *
+    * Why the window form fails at 100 TB: a handful of coarse groups
+    * means PARTITION BY ships ~corpus/|groups| rows through ONE task per
+    * group. This form never sorts row-level data:
+    *
+    *  1. reduce to the distinct (group, value) histogram — a partial
+    *     hash aggregate, the only corpus-sized pass;
+    *  2. range-bucket the histogram on (group, value)
+    *     (`repartitionByRange`, the skyline pattern — equal keys land in
+    *     one bucket) and compute the in-bucket strictly-before cumulative
+    *     count with a per-(bucket, group) window — each bucket sorts only
+    *     its slice of the histogram, all buckets in parallel;
+    *  3. fold in a broadcast prefix table of per-(bucket, group) totals
+    *     (|buckets|·|groups affected| rows, window over buckets only);
+    *  4. join ranks back on (group, value) — broadcast below the
+    *     threshold, shuffle otherwise, Catalyst's call.
+    *
+    * Exactness: the rank fraction is ONE double division of exact longs,
+    * the identical operands PERCENT_RANK divides — bit-equal results
+    * (q162's oracle hash-matches through this path). Groups with a
+    * single row map to 0.0 (PERCENT_RANK's convention). Rows with a null
+    * group or value are DROPPED (the rank join-back is null-rejecting) —
+    * unlike the window form, which ranks nulls first; filter or coalesce
+    * nulls upstream if they must rank. */
+  def quantileTransform(df: DataFrame, groupCol: String, valueCol: String,
+                        buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__n"))
+      .repartitionByRange(buckets, col(groupCol), col(valueCol))
+      .withColumn("__b", spark_partition_id())
+    val inBucket = Window.partitionBy(col("__b"), col(groupCol))
+      .orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // per-(bucket, group) totals → per-group prefix over earlier buckets;
+    // the window here runs over ≤ `buckets` rows per group, not the data
+    val prefix = byVal.groupBy(col("__b"), col(groupCol))
+      .agg(sum("__n").as("__bn"))
+      .withColumn("__before", coalesce(sum(col("__bn")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col(groupCol), col("__before"))
+    val totals = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__total"))
+    val ranked = byVal
+      .withColumn("__cum", coalesce(sum(col("__n")).over(inBucket), lit(0L)))
+      .join(broadcast(prefix), Seq("__b", groupCol))
+      .join(broadcast(totals), Seq(groupCol))
+      .select(col(groupCol), col(valueCol),
+        // (rank−1)/(n−1): strictly-before count over n−1, the exact
+        // operands PERCENT_RANK divides; 1-row groups → 0.0
+        when(col("__total") === 1L, lit(0.0))
+          .otherwise((col("__cum") + col("__before")).cast("double")
+            / (col("__total") - 1L).cast("double")).as("q"))
+    df.join(ranked, Seq(groupCol, valueCol))
+  }
+
   /** Upper-triangle Gram matrix XᵀX of a float-vector column — the
     * distributed core of scalable PCA / covariance / linear-regression
     * normal equations: n·d rows in, d(d+1)/2 cells out. The double

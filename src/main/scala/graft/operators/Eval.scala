@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: AUC's corpus-sized pass is a partial-aggregating groupBy
   * (its rank window sees only distinct scores per group); calibration
-  * bins need a true global NTILE (single-partition window — for corpus
-  * scale use `stats/Approx.percentiles` boundaries instead and give up
-  * exact equal depth); MAD is two exact-percentile passes per group; the
+  * bins need a true global NTILE (single-partition window) with
+  * [[Eval.equiDepthBinsApprox]] as the corpus-scale swap (sketch
+  * boundaries + map-side assignment, giving up exact equal depth within
+  * rank-error bounds); MAD is two exact-percentile passes per group; the
   * skyline is ONE dedup + ONE running-max window over distinct points,
   * O(n log n) where the textbook formulation is an O(n²) self-join.
   */
@@ -77,6 +78,38 @@ object Eval {
                     decimalView: Column, tieBreak: Column): DataFrame = {
     val w = Window.orderBy(valueCol, tieBreak)
     df.withColumn("__bin", ntile(bins).over(w))
+      .groupBy(col("__bin").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(valueCol).as("lo"),
+        max(valueCol).as("hi"),
+        (sum(decimalView).cast("double") / count(lit(1))).as("mean"))
+  }
+
+  /** Approximate equi-depth binning — the 100 TB path [[equiDepthBins]]'s
+    * scaladoc promises: Greenwald–Khanna boundary sketch
+    * (`percentile_approx`, rank error ≤ n/accuracy per boundary) + a
+    * map-side bin assignment, so NO global single-partition NTILE window
+    * ever runs. The boundary aggregate is one partial-aggregated exchange
+    * of sketch state; assignment broadcasts the (bins−1)-element boundary
+    * array and is pure column work; the per-bin summary is a plain
+    * hash aggregate over `bins` groups.
+    *
+    * Contract vs the exact form: bin populations deviate from n/bins by
+    * at most 2n/accuracy (two boundary rank errors), and values equal to
+    * a boundary all land in the bin BELOW it (ties are never split the
+    * way NTILE splits them — bin boundaries here are value-defined, so
+    * equal values always share a bin; `tieBreak` is unnecessary). Same
+    * output schema as [[equiDepthBins]]. */
+  def equiDepthBinsApprox(df: DataFrame, bins: Int, valueCol: Column,
+                          decimalView: Column, accuracy: Int = 10000): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val bounds = df.agg(percentile_approx(valueCol,
+      array(ps.map(lit): _*), lit(accuracy)).as("__bounds"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__bin",
+        (size(filter(col("__bounds"), b => b < valueCol)) + 1).cast("int"))
       .groupBy(col("__bin").as("bin"))
       .agg(
         count(lit(1)).as("n"),

@@ -1368,9 +1368,13 @@ object DataPipeline {
     * price maps to its within-priority rank fraction (rank−1)/(n−1) —
     * the outlier-proof normalization (uniform marginals regardless of
     * the raw distribution). Ties share a rank, so no tie-break column
-    * is needed; the fraction is one division of exact longs. The
-    * ranking is a per-group sort — the 100 TB form pre-buckets by
-    * value range so each bucket sorts independently. */
+    * is needed; the fraction is one division of exact longs.
+    *
+    * The Spark side is `Features.quantileTransform` — the range-bucketed
+    * distinct-value form that never ships a group through one task —
+    * hash-matched against the oracle's plain PERCENT_RANK window: the
+    * driver-level proof that the scale path is bit-equal to the window
+    * it replaces (`FeaturesSpec` pins the same equivalence in-engine). */
   val q162 = QueryDef(
     "q162_quantile_transform",
     oracle = Some("""
@@ -1378,11 +1382,9 @@ object DataPipeline {
         PERCENT_RANK() OVER (PARTITION BY o_orderpriority
           ORDER BY o_totalprice) AS q
       FROM orders ORDER BY o_orderkey""")) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    Tables.load(s, dir, "orders")
-      .select(col("o_orderkey"),
-        percent_rank().over(Window.partitionBy("o_orderpriority")
-          .orderBy("o_totalprice")).as("q"))
+    graft.ml.Features.quantileTransform(
+        Tables.load(s, dir, "orders"), "o_orderpriority", "o_totalprice")
+      .select(col("o_orderkey"), col("q"))
       .orderBy("o_orderkey")
   }
 

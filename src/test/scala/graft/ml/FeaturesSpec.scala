@@ -38,6 +38,34 @@ class FeaturesSpec extends SparkSpec {
     assert(out(3L) === Some(10.0))
   }
 
+  test("quantileTransform ≡ PERCENT_RANK window: randomized, with ties and a singleton group") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    // heavy ties (values drawn from 40 distinct levels), uneven groups,
+    // plus a group with exactly one row (the 0/0 guard)
+    val rows = Seq.tabulate(500) { i =>
+      (s"g${i % 4}", (rnd.nextInt(40) * 25).toDouble, i.toLong)
+    } :+ (("solo", 123.0, 999L))
+    val df = rows.toDF("grp", "v", "id")
+    val expected = df.select(col("id"),
+        percent_rank().over(Window.partitionBy("grp").orderBy("v")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    val got = Features.quantileTransform(df, "grp", "v", buckets = 7)
+      .select(col("id"), col("q")).as[(Long, Double)].collect().toMap
+    assert(got.size === rows.size)
+    // bit-equality, not tolerance: same exact-long operands, one division
+    assert(got === expected)
+  }
+
+  test("quantileTransform drops null-keyed rows (documented contract)") {
+    val df = Seq((Some("a"), Some(1.0), 1L), (Some("a"), Some(2.0), 2L),
+      (None, Some(3.0), 3L), (Some("a"), None, 4L))
+      .toDF("grp", "v", "id")
+    val ids = Features.quantileTransform(df, "grp", "v")
+      .select("id").as[Long].collect().toSet
+    assert(ids === Set(1L, 2L))
+  }
+
   test("gramUpper is repartition-stable (decimal sums commute)") {
     val rnd = new scala.util.Random(3)
     val df = Seq.fill(200)(Seq.fill(8)(rnd.nextFloat())).toDF("v")

@@ -116,6 +116,41 @@ class EvalSpec extends SparkSpec {
     assert(out.map(_.getAs[Double]("hi")).toSeq == Seq(25.0, 50.0, 75.0, 100.0))
   }
 
+  test("equiDepthBinsApprox: populations within rank-error bounds of exact, ties share a bin") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 4000
+    val df = (1 to n).map(i => (rnd.nextInt(500).toDouble, i.toLong)).toDF("v", "id")
+    val bins = 8
+    val accuracy = 10000
+    val out = Eval.equiDepthBinsApprox(df, bins, col("v"),
+        col("v").cast("decimal(18,4)"), accuracy).orderBy("bin").collect()
+    assert(out.map(_.getAs[Long]("n")).sum === n.toLong) // partition: no row lost
+    // each boundary's rank error ≤ n/accuracy → bin depth off by ≤ 2n/accuracy
+    val tol = 2.0 * n / accuracy + 1
+    // ...plus tie mass: equal values never split, so a bin can absorb up
+    // to one full tie group beyond the rank bound (~n/500 expected here)
+    val tieSlack = out.map(r => math.max(0L,
+      df.filter(col("v") === r.getAs[Double]("hi")).count() - 1)).max
+    out.foreach { r =>
+      val dev = math.abs(r.getAs[Long]("n") - n.toDouble / bins)
+      assert(dev <= tol + tieSlack, s"bin ${r.getAs[Int]("bin")} depth off by $dev")
+    }
+    // bins tile the value range in order: next lo strictly above prev hi's bin start
+    val los = out.map(_.getAs[Double]("lo"))
+    val his = out.map(_.getAs[Double]("hi"))
+    assert(los.zip(his).forall { case (l, h) => l <= h })
+    assert(his.init.zip(los.tail).forall { case (h, l) => h <= l })
+    // same-schema contract with the exact form
+    val exact = Eval.equiDepthBins(df, bins, col("v"),
+      col("v").cast("decimal(18,4)"), col("id"))
+    assert(exact.schema.map(f => (f.name, f.dataType)) ===
+      out.headOption.map(_ => Eval.equiDepthBinsApprox(df, bins, col("v"),
+        col("v").cast("decimal(18,4)"), accuracy))
+        .get.schema.map(f => (f.name, f.dataType)))
+  }
+
   test("winsorize clips outliers to the percentile bounds, keeps interior rows") {
     import org.apache.spark.sql.functions._
     val s = spark
