@@ -61,30 +61,52 @@ object Drift {
     * reduce map-side; expected values are per-cell IEEE arithmetic on
     * exact longs; per-cell terms round to 9 decimals then sum as exact
     * decimal (the q94 idiom — cell order must not matter). Null
-    * categories drop (no observation); dof = (|A|−1)(|B|−1). */
-  def chiSquare(df: DataFrame, a: Column, b: Column): DataFrame = {
+    * categories drop (no observation); dof = (|A|−1)(|B|−1).
+    *
+    * The statistic REQUIRES the full |A|·|B| grid (an unobserved cell
+    * still contributes (0−E)²/E = E), so pointed at two high-cardinality
+    * columns it would materialize |A|·|B| rows — a misuse, since
+    * chi-square on a grid with tiny expected counts is statistically
+    * meaningless anyway. `maxCells` fail-fasts on it: the cardinalities
+    * come from one tiny aggregate (collected eagerly at call time — this
+    * operator runs a job when CALLED, not when consumed), and callers
+    * quantize/bucket a continuous column first, same contract as [[ks]].
+    * Collecting the totals also inlines n/ka/kb as plan literals, which
+    * drops the two scalar crossJoins the r4 plan carried. */
+  def chiSquare(df: DataFrame, a: Column, b: Column,
+                maxCells: Long = 4000000L): DataFrame = {
+    val spark = df.sparkSession
     val cells = df.filter(a.isNotNull && b.isNotNull)
       .groupBy(a.as("__a"), b.as("__b")).agg(count(lit(1)).as("o"))
+      .localCheckpoint() // reused thrice: row totals, col totals, grid
+    val tot = cells.agg(coalesce(sum("o"), lit(0L)).as("n"),
+      countDistinct("__a").as("ka"), countDistinct("__b").as("kb")).head()
+    val (n, ka, kb) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    require(ka * kb <= maxCells,
+      s"chiSquare: contingency grid is $ka x $kb = ${ka * kb} cells, over " +
+        s"maxCells=$maxCells — bucket/quantize the high-cardinality column " +
+        "first (the statistic is meaningless at near-zero expected counts)")
+    if (n == 0L)
+      return spark.range(1).select(
+        lit(null).cast("double").as("chi2"),
+        lit(null).cast("long").as("dof"), lit(null).cast("long").as("n"))
     val rowT = cells.groupBy("__a").agg(sum("o").as("ra"))
     val colT = cells.groupBy("__b").agg(sum("o").as("cb"))
-    val tot = cells.agg(sum("o").as("n"),
-      countDistinct("__a").as("ka"), countDistinct("__b").as("kb"))
     // FULL grid: an unobserved (a, b) combination still contributes
     // (0−E)²/E = E — omitting zero cells understates the statistic
     rowT.crossJoin(colT)
       .join(cells, Seq("__a", "__b"), "left")
       .withColumn("o", coalesce(col("o"), lit(0L)))
-      .crossJoin(broadcast(tot))
       .withColumn("__e",
-        (col("ra") * col("cb")).cast("double") / col("n").cast("double"))
+        (col("ra") * col("cb")).cast("double") / lit(n).cast("double"))
       .withColumn("__t", round(
         (col("o").cast("double") - col("__e")) *
           (col("o").cast("double") - col("__e")) / col("__e"), 9)
         .cast("decimal(18,9)"))
       .agg(
         sum(col("__t")).cast("double").as("chi2"),
-        ((max(col("ka")) - 1) * (max(col("kb")) - 1)).as("dof"),
-        max(col("n")).as("n"))
+        lit((ka - 1L) * (kb - 1L)).as("dof"),
+        lit(n).as("n"))
   }
 
   /** Exact two-sample KS statistic of `cand` vs `base` over `value`.

@@ -30,18 +30,33 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** Fixed-point PageRank over directed `edges` (`src`, `dst` long
-    * columns). Returns (node, rank_scaled). Every node must appear as a
-    * source (symmetrize undirected graphs first), so there are no
-    * dangling-mass corrections. */
+    * columns). Returns (node, rank_scaled).
+    *
+    * Node-set contract: the ranked universe is `nodeTable` when given
+    * (one `node` column — the way to rank isolated nodes, which no edge
+    * can name), otherwise the distinct union of `src` and `dst`, so
+    * sink-only nodes hold rank and absorb the contributions pointed at
+    * them (before r5 they derived from `src` alone, silently discarding
+    * that mass — the r4 verdict's leak). Dangling nodes (no out-edges)
+    * keep their rank but do NOT redistribute it: there is no dangling-
+    * mass correction, so total mass decays toward the teleport floor on
+    * graphs with sinks — fine for ranking, not for a probability
+    * interpretation; symmetrize or add self-loops if conservation
+    * matters. */
   def pageRankScaled(edges: DataFrame, iterations: Int,
                      dampNum: Long = 85L, dampDen: Long = 100L,
-                     scale: Long = 1000000000000L): DataFrame = {
+                     scale: Long = 1000000000000L,
+                     nodeTable: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 50)
     // materialize the loop invariants ONCE: without this every iteration
     // re-derives the edge list from source (scan + any upstream distinct)
     // — 3 iterations = 4 redundant corpus passes
     val e = edges.localCheckpoint()
-    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
+    val nodes = nodeTable
+      .map(_.select(col("node")).distinct())
+      .getOrElse(e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+      .localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     // one scalar to the driver (like the stitching solve): n nodes
     val n = nodes.count()

@@ -98,20 +98,29 @@ object Multimodal {
       + conv(hex(substring(payload, off + 1, 1)), 16, 10).cast("long") * 256)
 
   /** REAL header decode (not the stub): container format + dimensions
-    * from the magic bytes — PNG (IHDR big-endian dims at offset 17) and
-    * GIF (logical-screen little-endian dims at offset 7). Pure
-    * hex/substring column arithmetic: stays in whole-stage codegen, so a
-    * 100 TB media scan classifies and measures without a UDF or a codec.
-    * Unknown containers yield format='unknown' with null dims (the cue to
-    * route the payload to the [[decodeBatch]] seam). */
+    * from the magic bytes — PNG (IHDR big-endian dims at offset 17), GIF
+    * (logical-screen little-endian dims at offset 7), and JPEG (SOFn
+    * frame header behind the variable-length segment chain, walked by
+    * the native [[graft.functions.BinaryKernels.jpegDimsPacked]] kernel
+    * — baseline SOF0 and progressive SOF2 included). Everything stays in
+    * whole-stage codegen, so a 100 TB media scan classifies and measures
+    * without a UDF or a codec. Unknown containers yield format='unknown'
+    * with null dims; a JPEG whose SOF can't be found (truncated header)
+    * is format='jpeg' with null dims — either way the cue to route the
+    * payload to the [[decodeBatch]] seam. */
   def parseImageDims(payload: Column): Column = {
     val pngMagic = hex(substring(payload, 1, 8)) === "89504E470D0A1A0A"
     val gifMagic = substring(payload, 1, 6).cast("string").isin("GIF87a", "GIF89a")
+    val jpegMagic = hex(substring(payload, 1, 2)) === "FFD8"
+    val packed = graft.functions.BinaryKernels.jpegDimsPackedCol(payload)
     val nullDim = lit(null).cast("long")
     when(pngMagic, struct(lit("png").as("format"),
         be32(payload, 17).as("width"), be32(payload, 21).as("height")))
       .when(gifMagic, struct(lit("gif").as("format"),
         le16(payload, 7).as("width"), le16(payload, 9).as("height")))
+      .when(jpegMagic, struct(lit("jpeg").as("format"),
+        shiftright(packed, 16).as("width"),
+        packed.bitwiseAND(lit(0xFFFFL)).as("height")))
       .otherwise(struct(lit("unknown").as("format"),
         nullDim.as("width"), nullDim.as("height")))
   }

@@ -247,6 +247,38 @@ class DataPipelineSpec extends SparkSpec {
     assert(out(2).getString(1) === "unknown" && out(2).isNullAt(2))
   }
 
+  test("parseImageDims walks real JPEG headers: SOF0, SOF2, fill bytes, SOS-before-SOF") {
+    val s = spark
+    import s.implicits._
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] = {
+      val len = payload.length + 2
+      Array(0xFF.toByte, marker.toByte, ((len >> 8) & 0xff).toByte,
+        (len & 0xff).toByte) ++ payload
+    }
+    def sof(marker: Int, w: Int, h: Int): Array[Byte] = seg(marker,
+      // precision 8, height BE, width BE, 3 components × (id, sampling, qtable)
+      Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff, 3,
+        1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1).map(_.toByte))
+    val soi = Array(0xFF, 0xD8).map(_.toByte)
+    val jfif = seg(0xE0, "JFIF".getBytes("ASCII") ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    // baseline: SOI, APP0, DQT (skipped), SOF0 640x480
+    val baseline = soi ++ jfif ++ seg(0xDB, Array.fill[Byte](65)(1)) ++ sof(0xC0, 640, 480)
+    // progressive with a fill byte before SOF2: 1024x768
+    val progressive = soi ++ jfif ++ Array(0xFF.toByte) ++ sof(0xC2, 1024, 768)
+    // SOS before any SOF: a JPEG but dims unrecoverable from the header
+    val sosFirst = soi ++ seg(0xDA, Array[Byte](1, 1, 0, 0, 63, 0))
+    val truncated = soi ++ jfif.take(3)
+    val out = Seq((1L, baseline), (2L, progressive), (3L, sosFirst), (4L, truncated))
+      .toDF("id", "payload")
+      .select(col("id"), Multimodal.parseImageDims(col("payload")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .orderBy("id").collect()
+    assert((out(0).getString(1), out(0).getLong(2), out(0).getLong(3)) === ("jpeg", 640L, 480L))
+    assert((out(1).getString(1), out(1).getLong(2), out(1).getLong(3)) === ("jpeg", 1024L, 768L))
+    assert(out(2).getString(1) === "jpeg" && out(2).isNullAt(2) && out(2).isNullAt(3))
+    assert(out(3).getString(1) === "jpeg" && out(3).isNullAt(2) && out(3).isNullAt(3))
+  }
+
   test("langId prefers profile with most hits, alphabetical on ties") {
     val s = spark
     import s.implicits._

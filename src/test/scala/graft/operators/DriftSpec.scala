@@ -64,6 +64,20 @@ class DriftSpec extends SparkSpec {
     assert(r1.getDouble(0) === 20.0, s"chi2=${r1.getDouble(0)}")
   }
 
+  test("chiSquare fail-fasts on a high-cardinality grid instead of materializing it") {
+    val wide = (1 to 100).map(i => (s"a$i", s"b$i")).toDF("a", "b")
+    val e = intercept[IllegalArgumentException](
+      Drift.chiSquare(wide, col("a"), col("b"), maxCells = 1000L))
+    assert(e.getMessage.contains("100 x 100"))
+    assert(e.getMessage.contains("bucket/quantize"))
+  }
+
+  test("chiSquare on empty input yields one null row, not a crash") {
+    val empty = Seq(("x", "p")).toDF("a", "b").filter(col("a") === "zz")
+    val r = Drift.chiSquare(empty, col("a"), col("b")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("ks against an empty side is null, not NaN") {
     val a = Seq(1, 2, 3).toDF("x")
     val empty = a.filter(col("x") > 100)

@@ -43,6 +43,45 @@ class GraphSpec extends SparkSpec {
     assert(run(2) === run(13))
   }
 
+  test("pageRankScaled: sink-only nodes hold rank and absorb contributions (r4 leak)") {
+    // a→b, a→c: b and c never appear as src. Before r5 they were dropped
+    // and a's outbound mass silently vanished.
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val out = Graph.pageRankScaled(edges, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    val r0 = 1000000000000L / 3
+    val base = (15L * r0) / 100
+    assert(out(1L) === base) // no in-edges: teleport floor only
+    assert(out(2L) === base + (85L * (r0 / 2)) / 100) // half of a's rank
+    assert(out(3L) === base + (85L * (r0 / 2)) / 100)
+  }
+
+  test("pageRankScaled: explicit node table ranks isolated nodes, node-set = the table") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 99L).toDF("node") // 99 touches no edge
+    val out = Graph.pageRankScaled(edges, iterations = 2,
+        nodeTable = Some(nodes))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set(1L, 2L, 99L))
+    val r0 = 1000000000000L / 3 // n = 3 comes from the TABLE, not the edges
+    val base = (15L * r0) / 100
+    assert(out(99L) === base) // isolated: pure teleport, both iterations
+    assert(out(1L) === out(2L)) // symmetric pair
+    assert(out(1L) > out(99L)) // connected nodes accumulate each other's mass
+  }
+
+  test("pageRankScaled: on a symmetrized graph union(src,dst) ≡ src-only (q122 unchanged)") {
+    // every node of pathEdges appears as a source, so the r5 node-set fix
+    // must be a no-op there — pins that q122's oracle stays valid
+    val viaDefault = Graph.pageRankScaled(pathEdges, iterations = 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaTable = Graph.pageRankScaled(pathEdges, iterations = 3,
+        nodeTable = Some(pathEdges.select(col("src").as("node")).distinct()))
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaDefault === viaTable)
+  }
+
   test("triangleCount: K4 has 4 triangles, a square has 0") {
     val s = spark
     import s.implicits._

@@ -146,7 +146,8 @@ class PlanSpec extends SparkSpec {
       "q93_ann_recall", // composes q38's broadcast-NLJ exact ranking
       "q97_bm25", "q98_unigram_nll", "q143_psi_drift",
       // q164 cross-joins the tiny row-total × col-total tables to build
-      // the full contingency grid (ka×kb cells) plus one-row totals
+      // the full contingency grid (ka×kb cells, fail-fast bounded by
+      // chiSquare's maxCells guard; n/ka/kb are plan literals since r5)
       "q164_chi_square")
     val offenders = Registry.all.flatMap { q =>
       val p =
