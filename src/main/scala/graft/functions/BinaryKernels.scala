@@ -24,8 +24,9 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 object BinaryKernels {
 
   /** Width/height from a JPEG's SOFn frame header, packed as
-    * `(width << 16) | height`; −1 when the payload is not a JPEG or no
-    * SOF precedes SOS/EOI (the caller's cue for null dims).
+    * `(width << 16) | height`; −1 when the payload is not a JPEG, no
+    * SOF precedes SOS/EOI, or the SOF defers its height to a DNL marker
+    * (Y = 0) — all the caller's cue for null dims.
     *
     * Walk: after the FFD8 SOI, each segment is `FF marker len_hi len_lo
     * payload[len−2]` (length includes its own two bytes). Fill bytes
@@ -59,6 +60,10 @@ object BinaryKernels {
           if (len < 7 || pos + 8 >= n) return -1L
           val h = ((b(pos + 5) & 0xff) << 8) | (b(pos + 6) & 0xff)
           val w = ((b(pos + 7) & 0xff) << 8) | (b(pos + 8) & 0xff)
+          // height 0 is legal (ISO 10918-1 B.2.2: Y deferred to a DNL
+          // marker after the first scan) — dims are NOT in this header,
+          // so report absent rather than a zero-height "measurement"
+          if (h == 0 || w == 0) return -1L
           return (w.toLong << 16) | h.toLong
         }
         pos += 2 + len

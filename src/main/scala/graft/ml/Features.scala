@@ -101,10 +101,17 @@ object Features {
   def quantileTransform(df: DataFrame, groupCol: String, valueCol: String,
                         buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // localCheckpoint pins the bucket ids: __b comes from
+    // spark_partition_id over SAMPLED range boundaries, and byVal feeds
+    // both the prefix table and the rank side — re-executing the exchange
+    // (exchange reuse off, plan drift) could re-sample different
+    // boundaries and desync __b between the two consumers. The pinned
+    // object is the post-aggregate histogram, not corpus data.
     val byVal = df.groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("__n"))
       .repartitionByRange(buckets, col(groupCol), col(valueCol))
       .withColumn("__b", spark_partition_id())
+      .localCheckpoint()
     val inBucket = Window.partitionBy(col("__b"), col(groupCol))
       .orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -116,7 +123,10 @@ object Features {
         Window.partitionBy(col(groupCol)).orderBy(col("__b"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__b"), col(groupCol), col("__before"))
-    val totals = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__total"))
+    // totals fold the HISTOGRAM, not the corpus (the scan in step 1 is
+    // the only corpus-sized pass); null-value rows are histogram rows
+    // too, so n matches the window form's partition size exactly
+    val totals = byVal.groupBy(col(groupCol)).agg(sum("__n").as("__total"))
     val ranked = byVal
       .withColumn("__cum", coalesce(sum(col("__n")).over(inBucket), lit(0L)))
       .join(broadcast(prefix), Seq("__b", groupCol))

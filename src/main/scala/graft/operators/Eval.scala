@@ -105,8 +105,10 @@ object Eval {
                           decimalView: Column, accuracy: Int = 10000): DataFrame = {
     require(bins >= 2, "need at least 2 bins")
     val ps = (1 until bins).map(_.toDouble / bins)
-    val bounds = df.agg(percentile_approx(valueCol,
-      array(ps.map(lit): _*), lit(accuracy)).as("__bounds"))
+    // single-sourced GK invocation: stats/Approx owns the sketch call
+    val bounds = graft.stats.Approx.percentiles(
+        df.select(valueCol.as("__v")), "__v", ps, accuracy)
+      .select(col("pcts").as("__bounds"))
     df.crossJoin(broadcast(bounds))
       .withColumn("__bin",
         (size(filter(col("__bounds"), b => b < valueCol)) + 1).cast("int"))
@@ -160,8 +162,12 @@ object Eval {
                 buckets: Int = 32): DataFrame = {
     val pts = df.groupBy(col(costCol), col(gainCol))
       .agg(count(lit(1)).as("n_points"))
+    // pinned for the same reason as Features.quantileTransform: __b is
+    // sampled-boundary-dependent and stamped feeds both the prefix table
+    // and the probe side — a re-executed exchange could desync them
     val stamped = pts.repartitionByRange(buckets, col(costCol))
       .withColumn("__b", spark_partition_id())
+      .localCheckpoint()
     val inBucket = Window.partitionBy(col("__b"))
       .orderBy(col(costCol).asc, col(gainCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -37,12 +37,16 @@ object Graph {
     * can name), otherwise the distinct union of `src` and `dst`, so
     * sink-only nodes hold rank and absorb the contributions pointed at
     * them (before r5 they derived from `src` alone, silently discarding
-    * that mass — the r4 verdict's leak). Dangling nodes (no out-edges)
-    * keep their rank but do NOT redistribute it: there is no dangling-
-    * mass correction, so total mass decays toward the teleport floor on
-    * graphs with sinks — fine for ranking, not for a probability
-    * interpretation; symmetrize or add self-loops if conservation
-    * matters. */
+    * that mass — the r4 verdict's leak). With an explicit `nodeTable`
+    * the walk runs on the NODE-INDUCED SUBGRAPH: edges with either
+    * endpoint outside the table are removed BEFORE out-degrees are
+    * computed, so an in-table neighbor receives 1/deg' of the in-table
+    * degree — not a fraction silently leaked to excluded endpoints.
+    * Dangling nodes (no out-edges) keep their rank but do NOT
+    * redistribute it: there is no dangling-mass correction, so total
+    * mass decays toward the teleport floor on graphs with sinks — fine
+    * for ranking, not for a probability interpretation; symmetrize or
+    * add self-loops if conservation matters. */
   def pageRankScaled(edges: DataFrame, iterations: Int,
                      dampNum: Long = 85L, dampDen: Long = 100L,
                      scale: Long = 1000000000000L,
@@ -51,7 +55,18 @@ object Graph {
     // materialize the loop invariants ONCE: without this every iteration
     // re-derives the edge list from source (scan + any upstream distinct)
     // — 3 iterations = 4 redundant corpus passes
-    val e = edges.localCheckpoint()
+    val e = nodeTable match {
+      case None => edges.localCheckpoint()
+      case Some(nt) =>
+        // induced subgraph: both endpoints must be in the table (two
+        // semi-joins — broadcast when the node table is small)
+        val nn = nt.select(col("node")).distinct()
+        edges
+          .join(nn.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(nn.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint()
+    }
     val nodes = nodeTable
       .map(_.select(col("node")).distinct())
       .getOrElse(e.select(col("src").as("node"))
@@ -60,6 +75,8 @@ object Graph {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     // one scalar to the driver (like the stitching solve): n nodes
     val n = nodes.count()
+    require(n > 0, "pageRankScaled: empty node set (no edges and no " +
+      "nodeTable rows) — nothing to rank")
     val base = ((dampDen - dampNum) * (scale / n)) / dampDen
     var ranks = nodes.withColumn("rank_scaled", lit(scale / n))
     for (i <- 1 to iterations) {

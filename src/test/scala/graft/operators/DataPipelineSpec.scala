@@ -268,7 +268,11 @@ class DataPipelineSpec extends SparkSpec {
     // SOS before any SOF: a JPEG but dims unrecoverable from the header
     val sosFirst = soi ++ seg(0xDA, Array[Byte](1, 1, 0, 0, 63, 0))
     val truncated = soi ++ jfif.take(3)
-    val out = Seq((1L, baseline), (2L, progressive), (3L, sosFirst), (4L, truncated))
+    // DNL-deferred height (Y=0 in the SOF, legal per ISO 10918-1 B.2.2):
+    // dims are NOT in the header — must be null, not height=0
+    val dnl = soi ++ jfif ++ sof(0xC0, 640, 0)
+    val out = Seq((1L, baseline), (2L, progressive), (3L, sosFirst),
+        (4L, truncated), (5L, dnl))
       .toDF("id", "payload")
       .select(col("id"), Multimodal.parseImageDims(col("payload")).as("m"))
       .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
@@ -277,6 +281,7 @@ class DataPipelineSpec extends SparkSpec {
     assert((out(1).getString(1), out(1).getLong(2), out(1).getLong(3)) === ("jpeg", 1024L, 768L))
     assert(out(2).getString(1) === "jpeg" && out(2).isNullAt(2) && out(2).isNullAt(3))
     assert(out(3).getString(1) === "jpeg" && out(3).isNullAt(2) && out(3).isNullAt(3))
+    assert(out(4).getString(1) === "jpeg" && out(4).isNullAt(2) && out(4).isNullAt(3))
   }
 
   test("langId prefers profile with most hits, alphabetical on ties") {

@@ -71,6 +71,32 @@ class GraphSpec extends SparkSpec {
     assert(out(1L) > out(99L)) // connected nodes accumulate each other's mass
   }
 
+  test("pageRankScaled: explicit nodeTable induces the subgraph — no leaked degree") {
+    // 1→2, 1→3 with node table {1, 2}: edge 1→3 must be REMOVED before
+    // degrees, so deg(1)=1 and node 2 receives ALL of 1's mass — not the
+    // half that a full-edge-list degree would silently leak to 3
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L).toDF("node")
+    val out = Graph.pageRankScaled(edges, iterations = 1,
+        nodeTable = Some(nodes))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set(1L, 2L))
+    val r0 = 1000000000000L / 2
+    val base = (15L * r0) / 100
+    assert(out(2L) === base + (85L * r0) / 100) // whole rank, deg'(1)=1
+    assert(out(1L) === base)
+  }
+
+  test("pageRankScaled: empty node set fails fast with a named require") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException](
+      Graph.pageRankScaled(edges, 1,
+        nodeTable = Some(Seq.empty[Long].toDF("node"))))
+    assert(e.getMessage.contains("empty node set"))
+  }
+
   test("pageRankScaled: on a symmetrized graph union(src,dst) ≡ src-only (q122 unchanged)") {
     // every node of pathEdges appears as a source, so the r5 node-set fix
     // must be a no-op there — pins that q122's oracle stays valid

@@ -42,15 +42,20 @@ for name in sorted(os.listdir(outdir)):
         for c in a.columns:
             av, bv = a[c], b[c]
             # Dtype-strict: the driver's hash renders values, so int64 2 vs
-            # float64 2.0 (or Decimal vs float) hash-differ even when equal.
+            # float64 2.0 (or Decimal('2') vs 2) hash-differ even when equal.
             # Coercing here is what let q90/q142 pass locally while failing
-            # the driver for two rounds — flag the mismatch instead.
-            af, bf = av.dtype.kind == 'f', bv.dtype.kind == 'f'
-            if af != bf:
+            # the driver for two rounds — flag the class mismatch instead.
+            # Classes: float ('f'), integer ('i'/'u' — widths render alike),
+            # other (object/bool/datetime — int-vs-Decimal renders '2' both
+            # ways locally but not through the driver, so int-vs-object
+            # must fail too).
+            kclass = lambda dt: 'f' if dt.kind == 'f' else ('i' if dt.kind in 'iu' else 'o')
+            ak, bk = kclass(av.dtype), kclass(bv.dtype)
+            if ak != bk:
                 status.append(
                     f"col {c}: DTYPE {av.dtype}(spark) vs {bv.dtype}(oracle) — "
-                    "int/object-vs-float renders differently in the driver hash")
-            elif af:
+                    "different type classes render differently in the driver hash")
+            elif ak == 'f':
                 if not np.array_equal(av.values.astype(float), bv.values.astype(float), equal_nan=True):
                     mx = np.nanmax(np.abs(av.values.astype(float) - bv.values.astype(float)))
                     status.append(f"col {c} float diff max={mx}")
