@@ -97,9 +97,18 @@ object Features {
     * single row map to 0.0 (PERCENT_RANK's convention). Rows with a null
     * group or value are DROPPED (the rank join-back is null-rejecting) —
     * unlike the window form, which ranks nulls first; filter or coalesce
-    * nulls upstream if they must rank. */
+    * nulls upstream if they must rank. The rank fraction lands in
+    * `outCol` (must not collide with an existing column). The two
+    * join-backs carry NO broadcast hint: the prefix table is
+    * |buckets|·|groups| rows and the totals table |groups| rows, so with
+    * a high-cardinality group column a forced broadcast would OOM the
+    * driver — Catalyst/AQE picks broadcast when the post-aggregate stats
+    * are small and degrades to a shuffle join otherwise. */
   def quantileTransform(df: DataFrame, groupCol: String, valueCol: String,
-                        buckets: Int = 32): DataFrame = {
+                        buckets: Int = 32, outCol: String = "q"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"quantileTransform output column '$outCol' already exists in the input; " +
+        "pass a different outCol")
     import org.apache.spark.sql.expressions.Window
     // localCheckpoint pins the bucket ids: __b comes from
     // spark_partition_id over SAMPLED range boundaries, and byVal feeds
@@ -129,14 +138,14 @@ object Features {
     val totals = byVal.groupBy(col(groupCol)).agg(sum("__n").as("__total"))
     val ranked = byVal
       .withColumn("__cum", coalesce(sum(col("__n")).over(inBucket), lit(0L)))
-      .join(broadcast(prefix), Seq("__b", groupCol))
-      .join(broadcast(totals), Seq(groupCol))
+      .join(prefix, Seq("__b", groupCol))
+      .join(totals, Seq(groupCol))
       .select(col(groupCol), col(valueCol),
         // (rank−1)/(n−1): strictly-before count over n−1, the exact
         // operands PERCENT_RANK divides; 1-row groups → 0.0
         when(col("__total") === 1L, lit(0.0))
           .otherwise((col("__cum") + col("__before")).cast("double")
-            / (col("__total") - 1L).cast("double")).as("q"))
+            / (col("__total") - 1L).cast("double")).as(outCol))
     df.join(ranked, Seq(groupCol, valueCol))
   }
 

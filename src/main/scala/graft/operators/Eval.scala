@@ -99,8 +99,14 @@ object Eval {
     * at most 2n/accuracy (two boundary rank errors), and values equal to
     * a boundary all land in the bin BELOW it (ties are never split the
     * way NTILE splits them — bin boundaries here are value-defined, so
-    * equal values always share a bin; `tieBreak` is unnecessary). Same
-    * output schema as [[equiDepthBins]]. */
+    * equal values always share a bin; `tieBreak` is unnecessary). Under
+    * heavy ties the sketch can return DUPLICATE boundary values (a value
+    * holding more than 1/bins of the mass spans several nominal
+    * boundaries); the bin ids those duplicates separate are then empty
+    * and absent from the output, so the result may have FEWER than
+    * `bins` rows — by construction, not by error: every row is still
+    * counted exactly once in the bin its value falls in. Same output
+    * schema as [[equiDepthBins]]. */
   def equiDepthBinsApprox(df: DataFrame, bins: Int, valueCol: Column,
                           decimalView: Column, accuracy: Int = 10000): DataFrame = {
     require(bins >= 2, "need at least 2 bins")
@@ -228,6 +234,13 @@ object Eval {
         Window.orderBy(col("__s").desc, col("__t"))))
     val per = ranked.groupBy(col("__b").as("bucket"))
       .agg(count(lit(1)).as("n"), sum("__y").as("n_pos"))
+    liftFromBucketCounts(per)
+  }
+
+  /** Shared tail of [[liftTable]]/[[liftTableApprox]]: cumulative capture
+    * / depth / lift from per-bucket (n, n_pos) counts. The windows here
+    * run over ≤ `buckets` rows — never corpus data. */
+  private def liftFromBucketCounts(per: DataFrame): DataFrame = {
     val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     per
@@ -243,6 +256,44 @@ object Eval {
       .withColumn("lift", col("capture") / col("depth"))
       .select(col("bucket"), col("n"), col("n_pos"), col("cum_pos"),
         col("capture"), col("depth"), col("lift"))
+  }
+
+  /** Approximate gains/lift table — [[liftTable]]'s 100 TB path, the same
+    * swap [[equiDepthBinsApprox]] makes for [[equiDepthBins]]: score
+    * buckets come from a Greenwald–Khanna quantile sketch
+    * (`percentile_approx`, rank error ≤ n/accuracy per boundary) and rows
+    * are assigned map-side against the broadcast (buckets−1)-element
+    * boundary array — NO global single-partition NTILE window ever runs.
+    * The corpus-sized passes are one sketch aggregate and one
+    * hash-aggregating bucket count; everything after runs over ≤
+    * `buckets` rows.
+    *
+    * Contract vs the exact form: bucket 1 is still the highest scores;
+    * bucket populations deviate from n/buckets by at most two boundary
+    * rank errors (2n/accuracy); rows with a score EQUAL to a boundary all
+    * land in the higher-score bucket (value-defined boundaries never
+    * split ties, so no tie column is needed — and as with
+    * [[equiDepthBinsApprox]], duplicate boundaries under heavy ties leave
+    * the bucket ids between them empty, so the output may have fewer than
+    * `buckets` rows). `capture`/`depth`/`lift` stay exact for the
+    * realized buckets: they divide exact long counts of the actual
+    * assignment. Same output schema as [[liftTable]]. */
+  def liftTableApprox(df: DataFrame, scoreCol: Column, labelCol: Column,
+                      buckets: Int = 10, accuracy: Int = 10000): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val base = df.select(scoreCol.as("__s"), labelCol.cast("long").as("__y"))
+    val ps = (1 until buckets).map(_.toDouble / buckets)
+    // boundaries ascending at ranks n/buckets … (buckets-1)n/buckets;
+    // a score above m of them sits in descending bucket (buckets − m)
+    val bounds = graft.stats.Approx.percentiles(
+        base.select(col("__s").as("__v")), "__v", ps, accuracy)
+      .select(col("pcts").as("__bounds"))
+    val per = base.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        (lit(buckets) - size(filter(col("__bounds"), b => b < col("__s")))).cast("int"))
+      .groupBy(col("__b").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("__y").as("n_pos"))
+    liftFromBucketCounts(per)
   }
 
   /** Exact weighted median per group: the smallest value whose running

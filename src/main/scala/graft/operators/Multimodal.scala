@@ -112,15 +112,22 @@ object Multimodal {
     val pngMagic = hex(substring(payload, 1, 8)) === "89504E470D0A1A0A"
     val gifMagic = substring(payload, 1, 6).cast("string").isin("GIF87a", "GIF89a")
     val jpegMagic = hex(substring(payload, 1, 2)) === "FFD8"
+    // let-bind the packed width<<16|height through a 1-element transform
+    // lambda: the lambda variable is evaluated ONCE, so the header
+    // byte-walk kernel appears exactly once in the plan instead of
+    // relying on subexpression elimination to merge a width and a height
+    // instantiation
     val packed = graft.functions.BinaryKernels.jpegDimsPackedCol(payload)
+    val jpegStruct = element_at(
+      transform(array(packed), p => struct(lit("jpeg").as("format"),
+        shiftright(p, 16).as("width"),
+        p.bitwiseAND(lit(0xFFFFL)).as("height"))), 1)
     val nullDim = lit(null).cast("long")
     when(pngMagic, struct(lit("png").as("format"),
         be32(payload, 17).as("width"), be32(payload, 21).as("height")))
       .when(gifMagic, struct(lit("gif").as("format"),
         le16(payload, 7).as("width"), le16(payload, 9).as("height")))
-      .when(jpegMagic, struct(lit("jpeg").as("format"),
-        shiftright(packed, 16).as("width"),
-        packed.bitwiseAND(lit(0xFFFFL)).as("height")))
+      .when(jpegMagic, jpegStruct)
       .otherwise(struct(lit("unknown").as("format"),
         nullDim.as("width"), nullDim.as("height")))
   }

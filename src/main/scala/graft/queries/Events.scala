@@ -94,7 +94,16 @@ object Events {
       .orderBy("event_id")
   }
 
-  /** Two-level aggregate + dense_rank over grouped totals. */
+  /** Two-level aggregate + top-20 by grouped totals. The oracle keeps the
+    * DENSE_RANK formulation; the Spark side uses `orderBy(...).limit(20)`
+    * — planned as TakeOrderedAndProject (per-partition top-k + a k-row
+    * driver merge, NO single-task global sort), equivalent row-for-row
+    * because the user_id tiebreak makes the order total, so dense_rank
+    * equals row position and `rnk <= 20` selects exactly the first 20
+    * rows. The rank is then recomputed positionally over the 20-row
+    * result (a window over 20 rows, not the user table). Scale-safe at
+    * 10⁹ users where the ranked-window form sorts the whole post-
+    * aggregate table through one task. */
   val q18 = QueryDef(
     "q18_user_rank",
     oracle = Some("""
@@ -109,8 +118,10 @@ object Events {
       .groupBy("user_id")
       .agg(sum(money(col("value"))).as("total_dec"))
     totals
-      .withColumn("rnk", dense_rank().over(Window.orderBy(col("total_dec").desc, col("user_id"))))
-      .filter(col("rnk") <= 20)
+      .orderBy(col("total_dec").desc, col("user_id"))
+      .limit(20)
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("total_dec").desc, col("user_id"))))
       .select(col("user_id"), col("total_dec").cast("double").as("total_value"), col("rnk"))
       .orderBy("rnk")
   }

@@ -66,6 +66,19 @@ class FeaturesSpec extends SparkSpec {
     assert(ids === Set(1L, 2L))
   }
 
+  test("quantileTransform: custom outCol lands, existing-column collision rejected") {
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L)).toDF("grp", "v", "id")
+    val out = Features.quantileTransform(df, "grp", "v", outCol = "rank_frac")
+    assert(out.columns.contains("rank_frac") && !out.columns.contains("q"))
+    // input already carrying the output name must fail fast, not emit
+    // ambiguous duplicate columns from the join-back
+    val clash = df.withColumn("q", lit(0.0))
+    val e = intercept[IllegalArgumentException] {
+      Features.quantileTransform(clash, "grp", "v")
+    }
+    assert(e.getMessage.contains("outCol"))
+  }
+
   test("gramUpper is repartition-stable (decimal sums commute)") {
     val rnd = new scala.util.Random(3)
     val df = Seq.fill(200)(Seq.fill(8)(rnd.nextFloat())).toDF("v")

@@ -193,6 +193,63 @@ class EvalSpec extends SparkSpec {
     assert(out.toSeq === Seq((3L, 0.6, 1.0), (2L, 1.0, 1.0)))
   }
 
+  test("liftTableApprox: bucket depths within rank-error of exact NTILE form, same schema") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val n = 4000
+    // near-unique scores (doubles off a 10^6 grid) + a score-correlated label
+    val df = (1 to n).map { i =>
+      val sc = rnd.nextInt(1000000) / 1000.0
+      (i.toLong, if (sc + rnd.nextInt(400) > 700) 1 else 0, sc)
+    }.toDF("id", "y", "score")
+    val buckets = 8
+    val accuracy = 10000
+    val approx = Eval.liftTableApprox(df, col("score"), col("y") === 1,
+      buckets, accuracy).orderBy("bucket").collect()
+    val exact = Eval.liftTable(df, col("score"), col("y") === 1, col("id"),
+      buckets).orderBy("bucket").collect()
+    // partition: nothing lost, totals identical to the exact form
+    assert(approx.map(_.getAs[Long]("n")).sum === n.toLong)
+    assert(approx.map(_.getAs[Long]("n_pos")).sum ===
+      exact.map(_.getAs[Long]("n_pos")).sum)
+    // per-bucket depth within two boundary rank errors of n/buckets
+    val tol = 2.0 * n / accuracy + 1
+    approx.foreach { r =>
+      val dev = math.abs(r.getAs[Long]("n") - n.toDouble / buckets)
+      assert(dev <= tol, s"bucket ${r.getAs[Int]("bucket")} depth off by $dev")
+    }
+    // bucket 1 = top scores: capture increases with depth, ends at 1.0
+    val caps = approx.map(_.getAs[Double]("capture"))
+    assert(caps.zip(caps.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(caps.last - 1.0) < 1e-12)
+    // a score-correlated model front-loads lift: bucket 1 beats the tail
+    assert(approx.head.getAs[Double]("lift") > approx.last.getAs[Double]("lift"))
+    // same output schema as the exact form
+    val exactSchema = Eval.liftTable(df, col("score"), col("y") === 1,
+      col("id"), buckets).schema.map(f => (f.name, f.dataType))
+    val approxSchema = Eval.liftTableApprox(df, col("score"), col("y") === 1,
+      buckets, accuracy).schema.map(f => (f.name, f.dataType))
+    assert(exactSchema === approxSchema)
+  }
+
+  test("liftTableApprox plan: no single-partition row-level window (the exact form's global NTILE is gone)") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i % 2, i.toDouble)).toDF("id", "y", "score")
+    val p = Eval.liftTableApprox(df, col("score"), col("y") === 1, 4)
+      .queryExecution.executedPlan.toString
+    // the ≤buckets-row cumulative windows survive; the corpus-sized NTILE
+    // window (which plans as Window over SinglePartition BEFORE any
+    // aggregate) must not: assignment is a broadcast of sketch boundaries
+    // "ntile(" — the window function; plain "ntile" also matches
+    // perce-NTILE-_approx, which must stay
+    assert(!p.contains("ntile("), s"approx lift table still plans an NTILE:\n$p")
+    assert(p.contains("percentile_approx"), s"expected the GK sketch in:\n$p")
+  }
+
   test("weightedMedian: hand-checked with ties, dominant weight pulls the median") {
     import org.apache.spark.sql.functions._
     val s = spark

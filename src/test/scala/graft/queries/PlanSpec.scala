@@ -224,6 +224,16 @@ class PlanSpec extends SparkSpec {
       s"sampling shuffles more than (group key, output sort):\n$sample")
   }
 
+  test("q18: top-20 plans as TakeOrdered, not a global rank window over all users") {
+    val p = plan("q18_user_rank")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q18 lost its TakeOrdered top-k plan:\n$p")
+    // the only window left runs over the 20-row result (positional rank),
+    // never the full post-aggregate user table: the take must come first
+    assert(p.indexOf("TakeOrderedAndProject") > p.indexOf("Window"),
+      s"rank window runs before the top-k cut:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // codegen stages ('*(n)' prefixes) only appear in the FINAL adaptive
     // plan, so execute before inspecting
