@@ -42,15 +42,21 @@ object Graph {
     * endpoint outside the table are removed BEFORE out-degrees are
     * computed, so an in-table neighbor receives 1/deg' of the in-table
     * degree — not a fraction silently leaked to excluded endpoints.
-    * Dangling nodes (no out-edges) keep their rank but do NOT
-    * redistribute it: there is no dangling-mass correction, so total
-    * mass decays toward the teleport floor on graphs with sinks — fine
-    * for ranking, not for a probability interpretation; symmetrize or
-    * add self-loops if conservation matters. */
+    * Dangling nodes (no out-edges) keep their rank but by default do NOT
+    * redistribute it, so total mass decays toward the teleport floor on
+    * graphs with sinks — fine for ranking, not for a probability
+    * interpretation. `conserveMass = true` adds the classic per-iteration
+    * dangling-mass term: the summed rank of all dangling nodes is spread
+    * uniformly (D div n to every node, inside the damped part), making
+    * Σ rank ≈ `scale` a loop invariant (up to the floor-division units).
+    * Cost per iteration: one anti-join aggregate producing a ONE-ROW
+    * scalar that crossJoin-broadcasts into the update — no corpus-sized
+    * work and no driver round-trip; the default path is unchanged. */
   def pageRankScaled(edges: DataFrame, iterations: Int,
                      dampNum: Long = 85L, dampDen: Long = 100L,
                      scale: Long = 1000000000000L,
-                     nodeTable: Option[DataFrame] = None): DataFrame = {
+                     nodeTable: Option[DataFrame] = None,
+                     conserveMass: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 50)
     // materialize the loop invariants ONCE: without this every iteration
     // re-derives the edge list from source (scan + any upstream distinct)
@@ -89,11 +95,25 @@ object Graph {
         .select(col("dst").as("node"), expr("rank_scaled div deg").as("c"))
         .groupBy("node")
         .agg(sum("c").as("s"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      val gathered = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))
-        .select(col("node"),
-          expr(s"$base + ($dampNum * s) div $dampDen").as("rank_scaled"))
-      if (i % 5 == 0) ranks = ranks.localCheckpoint()
+      val redistributed =
+        if (!conserveMass) gathered
+        else {
+          // Σ rank over dangling nodes (no out-degree row) — a one-row
+          // scalar; each node receives D div n inside the damped term
+          val dangling = ranks
+            .join(deg, ranks("node") === deg("src"), "left_anti")
+            .agg(coalesce(sum("rank_scaled"), lit(0L)).as("__d"))
+          gathered.crossJoin(broadcast(dangling))
+            .select(col("node"), (col("s") + expr(s"__d div $n")).as("s"))
+        }
+      ranks = redistributed.select(col("node"),
+        expr(s"$base + ($dampNum * s) div $dampDen").as("rank_scaled"))
+      // conserveMass references `ranks` twice per iteration (contrib +
+      // dangling scalar), so the lazy plan tree doubles per step —
+      // truncate lineage every iteration there, every 5 otherwise
+      if (conserveMass || i % 5 == 0) ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -99,15 +99,18 @@ object Multimodal {
 
   /** REAL header decode (not the stub): container format + dimensions
     * from the magic bytes — PNG (IHDR big-endian dims at offset 17), GIF
-    * (logical-screen little-endian dims at offset 7), and JPEG (SOFn
-    * frame header behind the variable-length segment chain, walked by
-    * the native [[graft.functions.BinaryKernels.jpegDimsPacked]] kernel
-    * — baseline SOF0 and progressive SOF2 included). Everything stays in
-    * whole-stage codegen, so a 100 TB media scan classifies and measures
-    * without a UDF or a codec. Unknown containers yield format='unknown'
-    * with null dims; a JPEG whose SOF can't be found (truncated header)
-    * is format='jpeg' with null dims — either way the cue to route the
-    * payload to the [[decodeBatch]] seam. */
+    * (logical-screen little-endian dims at offset 7), JPEG (SOFn frame
+    * header behind the variable-length segment chain, walked by the
+    * native [[graft.functions.BinaryKernels.jpegDimsPacked]] kernel —
+    * baseline SOF0 and progressive SOF2 included), and WebP (RIFF
+    * container, VP8/VP8L/VP8X first-chunk variants via
+    * [[graft.functions.BinaryKernels.webpDimsPacked]]). Everything stays
+    * in whole-stage codegen, so a 100 TB media scan classifies and
+    * measures without a UDF or a codec. Unknown containers yield
+    * format='unknown' with null dims; a recognized container whose
+    * dimensions can't be reached (truncated header) keeps its format
+    * with null dims — either way the cue to route the payload to the
+    * [[decodeBatch]] seam. Video containers: [[parseMediaDims]]. */
   def parseImageDims(payload: Column): Column = {
     val pngMagic = hex(substring(payload, 1, 8)) === "89504E470D0A1A0A"
     val gifMagic = substring(payload, 1, 6).cast("string").isin("GIF87a", "GIF89a")
@@ -117,19 +120,49 @@ object Multimodal {
     // byte-walk kernel appears exactly once in the plan instead of
     // relying on subexpression elimination to merge a width and a height
     // instantiation
+    val webpMagic = substring(payload, 1, 4).cast("string") === "RIFF" &&
+      substring(payload, 9, 4).cast("string") === "WEBP"
     val packed = graft.functions.BinaryKernels.jpegDimsPackedCol(payload)
     val jpegStruct = element_at(
       transform(array(packed), p => struct(lit("jpeg").as("format"),
         shiftright(p, 16).as("width"),
         p.bitwiseAND(lit(0xFFFFL)).as("height"))), 1)
+    val webpStruct = element_at(
+      transform(array(graft.functions.BinaryKernels.webpDimsPackedCol(payload)),
+        p => packedWideStruct("webp", p)), 1)
     val nullDim = lit(null).cast("long")
     when(pngMagic, struct(lit("png").as("format"),
         be32(payload, 17).as("width"), be32(payload, 21).as("height")))
       .when(gifMagic, struct(lit("gif").as("format"),
         le16(payload, 7).as("width"), le16(payload, 9).as("height")))
       .when(jpegMagic, jpegStruct)
+      .when(webpMagic, webpStruct)
       .otherwise(struct(lit("unknown").as("format"),
         nullDim.as("width"), nullDim.as("height")))
+  }
+
+  /** (format, width, height) from a 32-bit-field packed dims value — the
+    * WebP/MP4 kernels pack `(w << 32) | h` because their dims exceed 16
+    * bits (24-bit VP8X canvases, 32-bit tkhd fields). */
+  private def packedWideStruct(format: String, p: Column): Column =
+    struct(lit(format).as("format"),
+      shiftright(p, 32).as("width"),
+      p.bitwiseAND(lit(0xFFFFFFFFL)).as("height"))
+
+  /** [[parseImageDims]] widened to video containers: ISO-BMFF (MP4/MOV,
+    * `ftyp` magic at offset 5) resolves the first visual track's tkhd
+    * dimensions via the native box-walk kernel
+    * [[graft.functions.BinaryKernels.mp4DimsPacked]]; everything else
+    * falls through to the image chain. An MP4 whose `moov` is out of
+    * reach (no-faststart file with only a header prefix stored) is
+    * format='mp4' with null dims — the decode-seam cue, same contract as
+    * a truncated JPEG. */
+  def parseMediaDims(payload: Column): Column = {
+    val mp4Magic = substring(payload, 5, 4).cast("string") === "ftyp"
+    val mp4Struct = element_at(
+      transform(array(graft.functions.BinaryKernels.mp4DimsPackedCol(payload)),
+        p => packedWideStruct("mp4", p)), 1)
+    when(mp4Magic, mp4Struct).otherwise(parseImageDims(payload))
   }
 
   /** Frame sampling: slice every k-th byte window as a stand-in for video

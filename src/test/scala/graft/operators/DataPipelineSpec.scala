@@ -284,6 +284,79 @@ class DataPipelineSpec extends SparkSpec {
     assert(out(4).getString(1) === "jpeg" && out(4).isNullAt(2) && out(4).isNullAt(3))
   }
 
+  test("parseImageDims reads real WebP headers: VP8 lossy, VP8L lossless, VP8X extended, truncation") {
+    val s = spark
+    import s.implicits._
+    def le32(v: Long): Array[Byte] =
+      Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff).map(_.toByte)
+    def riff(fourcc: String, chunk: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("ASCII") ++ le32(chunk.length + 12) ++ "WEBP".getBytes("ASCII") ++
+        fourcc.getBytes("ASCII") ++ le32(chunk.length) ++ chunk
+    // VP8 lossy 640x480: 3-byte frame tag, start code 9D 01 2A, LE14 dims
+    val vp8 = riff("VP8 ", Array(0x10, 0x00, 0x00, 0x9D, 0x01, 0x2A,
+      0x80, 0x02, 0xE0, 0x01).map(_.toByte))
+    // VP8L 1024x768: signature 2F + LE32 of (w-1) | (h-1)<<14 = 0xBFC3FF
+    val vp8l = riff("VP8L", Array(0x2F, 0xFF, 0xC3, 0xBF, 0x00).map(_.toByte))
+    // VP8X canvas 16384x9000: 4 flag/reserved bytes + LE24 (w-1) + LE24 (h-1)
+    val vp8x = riff("VP8X", Array(0x02, 0x00, 0x00, 0x00,
+      0xFF, 0x3F, 0x00, 0x27, 0x23, 0x00).map(_.toByte))
+    // RIFF/WEBP magic but the chunk is cut before the dims
+    val truncated = vp8.take(24)
+    // VP8 chunk whose start code is wrong: recognized container, no measurement
+    val badCode = riff("VP8 ", Array(0x10, 0x00, 0x00, 0x00, 0x01, 0x2A,
+      0x80, 0x02, 0xE0, 0x01).map(_.toByte))
+    val out = Seq((1L, vp8), (2L, vp8l), (3L, vp8x), (4L, truncated), (5L, badCode))
+      .toDF("id", "payload")
+      .select(col("id"), Multimodal.parseImageDims(col("payload")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .orderBy("id").collect()
+    assert((out(0).getString(1), out(0).getLong(2), out(0).getLong(3)) === ("webp", 640L, 480L))
+    assert((out(1).getString(1), out(1).getLong(2), out(1).getLong(3)) === ("webp", 1024L, 768L))
+    assert((out(2).getString(1), out(2).getLong(2), out(2).getLong(3)) === ("webp", 16384L, 9000L))
+    assert(out(3).getString(1) === "webp" && out(3).isNullAt(2) && out(3).isNullAt(3))
+    assert(out(4).getString(1) === "webp" && out(4).isNullAt(2) && out(4).isNullAt(3))
+  }
+
+  test("parseMediaDims walks real MP4 boxes: skips the audio trak, v0+v1 tkhd, mdat truncation") {
+    val s = spark
+    import s.implicits._
+    def be32(v: Long): Array[Byte] =
+      Array((v >> 24) & 0xff, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff).map(_.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ typ.getBytes("ASCII") ++ payload
+    def tkhd(w: Int, h: Int, version: Int): Array[Byte] = {
+      val timeIdDur = if (version == 1) 32 else 20
+      box("tkhd", Array[Byte](version.toByte, 0, 0, 7) ++
+        Array.fill[Byte](timeIdDur)(0) ++ // creation/modification/id/duration
+        Array.fill[Byte](8)(0) ++ // reserved
+        Array.fill[Byte](8)(0) ++ // layer/alternate_group/volume/reserved
+        Array.fill[Byte](36)(0) ++ // matrix
+        be32(w.toLong << 16) ++ be32(h.toLong << 16)) // 16.16 fixed point
+    }
+    val ftyp = box("ftyp", "isom".getBytes("ASCII") ++ be32(0x200))
+    // audio trak (0x0 dims) FIRST: the walk must skip it, not return 0x0
+    val movie = ftyp ++ box("moov",
+      box("trak", tkhd(0, 0, 0)) ++ box("trak", tkhd(640, 360, 0)))
+    val movieV1 = ftyp ++ box("moov", box("trak", tkhd(1920, 1080, 1)))
+    // no-faststart prefix: mdat claims bytes the stored payload doesn't
+    // have, moov is out of reach → format known, dims null
+    val noFaststart = ftyp ++ be32(1000000L) ++ "mdat".getBytes("ASCII") ++
+      Array.fill[Byte](16)(0)
+    // a PNG through the media chain still classifies as png
+    val png: Array[Byte] = (Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0x00, 0x00, 0x00, 0x0D, 0x49, 0x48, 0x44, 0x52,
+      0x00, 0x00, 0x02, 0x80, 0x00, 0x00, 0x01, 0xE0)).map(_.toByte).toArray
+    val out = Seq((1L, movie), (2L, movieV1), (3L, noFaststart), (4L, png))
+      .toDF("id", "payload")
+      .select(col("id"), Multimodal.parseMediaDims(col("payload")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .orderBy("id").collect()
+    assert((out(0).getString(1), out(0).getLong(2), out(0).getLong(3)) === ("mp4", 640L, 360L))
+    assert((out(1).getString(1), out(1).getLong(2), out(1).getLong(3)) === ("mp4", 1920L, 1080L))
+    assert(out(2).getString(1) === "mp4" && out(2).isNullAt(2) && out(2).isNullAt(3))
+    assert((out(3).getString(1), out(3).getLong(2), out(3).getLong(3)) === ("png", 640L, 480L))
+  }
+
   test("langId prefers profile with most hits, alphabetical on ties") {
     val s = spark
     import s.implicits._

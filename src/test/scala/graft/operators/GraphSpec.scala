@@ -57,6 +57,35 @@ class GraphSpec extends SparkSpec {
     assert(out(3L) === base + (85L * (r0 / 2)) / 100)
   }
 
+  test("pageRankScaled conserveMass: sinks redistribute, Σ rank ≈ scale is a loop invariant") {
+    // chain with a hard sink: 1→2, 2→3, 3 dangles. Default mode decays;
+    // conserveMass must hold the total at scale up to floor-division units.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val scale = 1000000000000L
+    for (iters <- Seq(1, 5, 12)) {
+      val total = Graph.pageRankScaled(edges, iters, conserveMass = true)
+        .agg(sum("rank_scaled")).head.getLong(0)
+      // ≤ a few floor losses per node per iteration — ppb of the scale
+      assert(math.abs(total - scale) <= 10L * 3 * iters,
+        s"mass not conserved at $iters iterations: $total")
+    }
+    // and the default mode on the same graph DOES decay (the documented
+    // contract the flag changes): strictly below scale by far more than
+    // floor losses
+    val decayed = Graph.pageRankScaled(edges, 5)
+      .agg(sum("rank_scaled")).head.getLong(0)
+    assert(decayed < scale - 1000000L)
+    // hand-check one conserveMass iteration: D = r0 (node 3 dangles)
+    val r0 = scale / 3
+    val base = (15L * r0) / 100
+    val dShare = r0 / 3
+    val out = Graph.pageRankScaled(edges, 1, conserveMass = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === base + (85L * dShare) / 100)
+    assert(out(2L) === base + (85L * (r0 + dShare)) / 100)
+    assert(out(3L) === base + (85L * (r0 + dShare)) / 100)
+  }
+
   test("pageRankScaled: explicit node table ranks isolated nodes, node-set = the table") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val nodes = Seq(1L, 2L, 99L).toDF("node") // 99 touches no edge
