@@ -477,14 +477,17 @@ object Relational {
   /** Per-group Pearson correlation from exact decimal moment sums — the
     * `corr` aggregate rebuilt order-free: every sum is exact decimal
     * (l_quantity is integral, prices have 2 decimals, so products have
-    * ≤ 2 decimals and the casts never round), and the final r is pure
-    * IEEE arithmetic on identical inputs — bit-equal with no rounding. */
+    * ≤ 2 decimals and the casts never round). The moment sums' DECIMAL→
+    * DOUBLE casts can still double-round differently between engines once
+    * an unscaled value exceeds 2^53 (sum of price² does at ~1M rows), so
+    * the final r rounds to the 1e-6 grid on both sides (the q152 idiom) —
+    * the 1-ulp input wobble is 10 orders of magnitude below the grid. */
   val q109 = QueryDef(
     "q109_group_corr",
     oracle = Some("""
       SELECT l_returnflag, n,
-        (n * sxy - sx * sy) /
-          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS r
+        ROUND((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r
       FROM (
         SELECT l_returnflag,
           CAST(COUNT(*) AS DOUBLE) AS n,
@@ -506,9 +509,9 @@ object Relational {
         sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(28,2)")).cast("double").as("sxy"))
     m.select(
       col("l_returnflag"), col("n"),
-      ((col("n") * col("sxy") - col("sx") * col("sy")) /
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
         (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-          sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("r"))
+          sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r"))
       .orderBy("l_returnflag")
   }
 
