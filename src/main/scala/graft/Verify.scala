@@ -6,9 +6,15 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional 3rd arg: comma-separated query-name filter (local iteration)
-    val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // optional 3rd arg: comma-separated query-name filter (local
+    // iteration); prefix the list with '!' to EXCLUDE instead — used by
+    // scale rehearsals to skip the oracles that are quadratic in corpus
+    // size by design (all-pairs ground truths for LSH/SimHash/near-dup)
+    val filter: (String => Boolean) =
+      if (args.length <= 2) _ => true
+      else if (args(2).startsWith("!")) {
+        val ex = args(2).drop(1).split(",").toSet; name => !ex.contains(name)
+      } else { val in = args(2).split(",").toSet; in.contains(_) }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,7 +28,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => filter(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

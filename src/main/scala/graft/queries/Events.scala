@@ -459,8 +459,12 @@ object Events {
   /** Per-user time-weighted average value (`Timeseries.twap`): each
     * observation weights by its holding duration — the correct "average
     * over the day" where the plain mean over-counts bursts. Durations
-    * are exact longs, values canonicalize to DECIMAL(12,4): products and
-    * sums are exact decimals; the quotient rounds to 1e-6 (see operator scaladoc) — hash-exact. */
+    * are exact longs, values canonicalize to exact decimal: products and
+    * sums are exact decimals; the quotient rounds to 1e-6 (see operator
+    * scaladoc) — hash-exact. The oracle casts to DECIMAL(19,x), not the
+    * minimal widths: 19 digits forces DuckDB onto int128 arithmetic,
+    * whose int64 product path overflows once per-user gaps reach days
+    * (micros ~2e11 × value ~5e6 unscaled). */
   val q152 = QueryDef(
     "q152_twap",
     oracle = Some("""
@@ -472,9 +476,9 @@ object Events {
           LEAD(tus) OVER (PARTITION BY user_id ORDER BY tus) AS nt
         FROM e)
       SELECT user_id, COUNT(*) AS n_intervals,
-        ROUND(CAST(SUM(CAST(value AS DECIMAL(12,4)) * CAST(nt - tus AS DECIMAL(16,0)))
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(19,4)) * CAST(nt - tus AS DECIMAL(19,0)))
           AS DOUBLE)
-          / CAST(SUM(CAST(nt - tus AS DECIMAL(16,0))) AS DOUBLE), 6) AS twap
+          / CAST(SUM(CAST(nt - tus AS DECIMAL(19,0))) AS DOUBLE), 6) AS twap
       FROM iv WHERE nt IS NOT NULL
       GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
     val ev = Tables.load(s, dir, "events")
