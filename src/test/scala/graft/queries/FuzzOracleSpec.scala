@@ -1,0 +1,287 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import graft.SparkSpec
+import graft.operators.{Curation, Eval, TemporalJoin, Timeseries}
+import graft.functions.Text
+import scala.sys.process._
+
+/** Property-based oracle fuzzing for PARAMETERIZED operators.
+  *
+  * The registry's fixed-parameter oracle rows (q95, q96, q130, q154,
+  * q163, q90, q160) prove one point in each operator's parameter space;
+  * a boundary bug at a parameter the registry never draws — the r4
+  * liftTable remainder bug was exactly this class — sails through. This
+  * spec redraws the parameters with ScalaCheck (fixed seed, so CI is
+  * deterministic), re-derives the DuckDB oracle SQL for each draw, and
+  * pushes every draw through the SAME engine-vs-DuckDB comparator the
+  * driver uses (tools/check.py — dtype-strict, value-exact).
+  *
+  * 7 operators x 20 draws each. All runs execute against the driver's
+  * sf0.001 fixtures; each operator's draws land in one Verify-shaped
+  * output dir and one check.py invocation scores all of them.
+  */
+class FuzzOracleSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+  private val nDraws = 20
+
+  /** Deterministic ScalaCheck draws: walk the seed chain from a fixed
+    * root so every CI run sees the identical parameter sequence. */
+  private def draws[T](g: Gen[T], seed: Long): Seq[T] =
+    Iterator.iterate(rng.Seed(seed))(_.next).take(nDraws)
+      .map(s => g.pureApply(Gen.Parameters.default, s)).toSeq
+
+  /** JSON string escape, same contract as Verify's dump (control chars
+    * would break the driver-side json.load). */
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Write each draw's result + oracle_sql.json, then run the driver's
+    * comparator once over the whole sweep. */
+  private def checkSweep(tag: String, results: Seq[(String, DataFrame, String)]): Unit = {
+    val out = Files.createTempDirectory(s"fuzz_$tag").toString
+    results.foreach { case (name, df, _) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
+    }
+    val json = results.map { case (name, _, sql) => s"${jq(name)}: ${jq(sql)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$out/oracle_sql.json"), json)
+    val logLines = scala.collection.mutable.ArrayBuffer[String]()
+    val rc = Process(Seq("python3", "tools/check.py", sfDir, out),
+      new java.io.File(sys.props.getOrElse("user.dir", "."))) ! ProcessLogger(logLines += _)
+    assert(rc == 0,
+      s"$tag fuzz sweep failed:\n" + logLines.filter(_.contains("FAIL")).mkString("\n"))
+  }
+
+  private def events = graft.core.Tables.load(spark, sfDir, "events")
+  private def lineitem = graft.core.Tables.load(spark, sfDir, "lineitem")
+  private def documents = graft.core.Tables.load(spark, sfDir, "documents")
+
+  // ---- 1. backward as-of join: random tolerance ----------------------
+  // Latest view at/before each purchase, nulled when farther back than
+  // the drawn tolerance. Standard-SQL mirror (DuckDB ASOF has no
+  // tolerance): latest candidate WITHIN tolerance — equivalent, because
+  // any row older than the latest is farther back still.
+  test("asOfJoin tolerance draws match a re-derived DuckDB oracle") {
+    val tolGen = Gen.choose(3600L, 10L * 86400 * 1000000) // 1h .. 10d (us)
+    val sweeps = draws(tolGen, seed = 0xA50F01L).zipWithIndex.map { case (tol, i) =>
+      val ev = events.withColumn("tus", expr("ts div 1000"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "tus")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("tus").as("vtus"))
+        .agg(max("event_id").as("view_event_id"))
+      val df = TemporalJoin.asOfJoin(p, v, Seq("user_id"), "tus", "vtus",
+          Seq("view_event_id", "vtus"), tolerance = Some(tol))
+        .select(col("event_id"), col("user_id"), col("view_event_id"), col("vtus"))
+        .orderBy("event_id")
+      val sql = s"""
+        WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tus
+                   FROM events WHERE event_type = 'purchase'),
+        v AS (SELECT user_id, epoch_us(ts) AS vtus, MAX(event_id) AS view_event_id
+              FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        j AS (SELECT p.event_id, p.user_id, v.view_event_id, v.vtus,
+                ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY v.vtus DESC) AS rn
+              FROM p LEFT JOIN v ON p.user_id = v.user_id
+                AND v.vtus <= p.tus AND p.tus - v.vtus <= $tol)
+        SELECT event_id, user_id, view_event_id, vtus
+        FROM j WHERE rn = 1 ORDER BY event_id"""
+      (f"asof_$i%02d", df, sql)
+    }
+    checkSweep("asof", sweeps)
+  }
+
+  // ---- 2. forward as-of join: random tolerance -----------------------
+  test("forwardAsOfJoin tolerance draws match a re-derived DuckDB oracle") {
+    val tolGen = Gen.choose(3600L, 10L * 86400 * 1000000)
+    val sweeps = draws(tolGen, seed = 0xF0A50FL).zipWithIndex.map { case (tol, i) =>
+      val ev = events.withColumn("tus", expr("ts div 1000"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "tus")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("tus").as("vtus"))
+        .agg(max("event_id").as("view_event_id"))
+      val df = TemporalJoin.forwardAsOfJoin(p, v, Seq("user_id"), "tus", "vtus",
+          Seq("view_event_id", "vtus"), tolerance = Some(tol))
+        .select(col("event_id"), col("user_id"), col("view_event_id"), col("vtus"))
+        .orderBy("event_id")
+      val sql = s"""
+        WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tus
+                   FROM events WHERE event_type = 'purchase'),
+        v AS (SELECT user_id, epoch_us(ts) AS vtus, MAX(event_id) AS view_event_id
+              FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        j AS (SELECT p.event_id, p.user_id, v.view_event_id, v.vtus,
+                ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY v.vtus ASC) AS rn
+              FROM p LEFT JOIN v ON p.user_id = v.user_id
+                AND v.vtus >= p.tus AND v.vtus - p.tus <= $tol)
+        SELECT event_id, user_id, view_event_id, vtus
+        FROM j WHERE rn = 1 ORDER BY event_id"""
+      (f"fasof_$i%02d", df, sql)
+    }
+    checkSweep("fasof", sweeps)
+  }
+
+  // ---- 3. band join: random [lower, upper) window --------------------
+  test("bandPairs window draws match a re-derived DuckDB oracle") {
+    val bandGen = for {
+      lower <- Gen.choose(-4L * 3600 * 1000000, 3600L * 1000000)
+      width <- Gen.choose(60L * 1000000, 6L * 3600 * 1000000)
+    } yield (lower, lower + width)
+    val sweeps = draws(bandGen, seed = 0xBA4DL).zipWithIndex.map { case ((lo, hi), i) =>
+      val ev = events.withColumn("tus", expr("ts div 1000"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "tus")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tus").as("ctus"), col("value"))
+      val pairs = TemporalJoin.bandPairs(
+        p, c, Seq("user_id"), "tus", "ctus", Seq("ctus", "value"),
+        lower = lo, upper = hi)
+      val agg = pairs.groupBy("event_id")
+        .agg(count(lit(1)).as("nc"), sum(Compat.money(col("value"))).as("cv"))
+      val df = p.join(agg, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("nc"), lit(0L)).as("n_clicks"),
+          coalesce(col("cv").cast("double"), lit(0.0)).as("click_value"))
+        .orderBy("event_id")
+      val sql = s"""
+        WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tus
+                   FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, epoch_us(ts) AS ctus, value
+              FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id,
+          COUNT(c.ctus) AS n_clicks,
+          CAST(COALESCE(SUM(CAST(c.value AS DECIMAL(18,4))), 0) AS DOUBLE) AS click_value
+        FROM p LEFT JOIN c
+          ON p.user_id = c.user_id
+          AND c.ctus >= p.tus + ($lo) AND c.ctus < p.tus + ($hi)
+        GROUP BY 1, 2 ORDER BY event_id"""
+      (f"band_$i%02d", df, sql)
+    }
+    checkSweep("band", sweeps)
+  }
+
+  // ---- 4. equi-depth bins: random bin count --------------------------
+  test("equiDepthBins bin-count draws match a re-derived DuckDB oracle") {
+    val binsGen = Gen.choose(2, 40)
+    val sweeps = draws(binsGen, seed = 0xB125L).zipWithIndex.map { case (bins, i) =>
+      val ev = events.filter(col("value").isNotNull)
+      val df = Eval.equiDepthBins(ev, bins, col("value"),
+          Compat.money(col("value")), col("event_id"))
+        .orderBy("bin")
+      val sql = s"""
+        WITH t AS (SELECT value, event_id FROM events WHERE value IS NOT NULL),
+        b AS (SELECT value,
+                CAST(NTILE($bins) OVER (ORDER BY value, event_id) AS INT) AS bin
+              FROM t)
+        SELECT bin, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean
+        FROM b GROUP BY bin ORDER BY bin"""
+      (f"bins_$i%02d", df, sql)
+    }
+    checkSweep("bins", sweeps)
+  }
+
+  // ---- 5. winsorize: random clip percentiles -------------------------
+  // pLo/pHi drawn on the k/64 grid: exactly-representable doubles keep
+  // the (n-1)*p interpolation index bit-identical across engines.
+  test("winsorize percentile draws match a re-derived DuckDB oracle") {
+    val pGen = for {
+      kLo <- Gen.choose(1, 25)
+      kHi <- Gen.choose(39, 63)
+    } yield (kLo / 64.0, kHi / 64.0)
+    val sweeps = draws(pGen, seed = 0x4150L).zipWithIndex.map { case ((pLo, pHi), i) =>
+      val df = Eval.winsorize(lineitem, "l_returnflag",
+          col("l_extendedprice"), pLo = pLo, pHi = pHi)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("was_clipped"), 1L).otherwise(0L)).as("n_clipped"),
+          sum(col("clipped").cast("decimal(18,4)")).cast("double").as("sum_clipped"))
+        .orderBy("l_returnflag")
+      val sql = s"""
+        WITH b AS (
+          SELECT l_returnflag,
+            ROUND(quantile_cont(l_extendedprice, ${pLo}), 4) AS lo,
+            ROUND(quantile_cont(l_extendedprice, ${pHi}), 4) AS hi
+          FROM lineitem GROUP BY 1)
+        SELECT l.l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+          CAST(SUM(CAST(LEAST(GREATEST(l_extendedprice, lo), hi)
+            AS DECIMAL(18,4))) AS DOUBLE) AS sum_clipped
+        FROM lineitem l JOIN b USING (l_returnflag)
+        GROUP BY 1 ORDER BY 1"""
+      (f"wins_$i%02d", df, sql)
+    }
+    checkSweep("wins", sweeps)
+  }
+
+  // ---- 6. sequence packing: random token budget ----------------------
+  test("packSequences budget draws match a re-derived DuckDB oracle") {
+    val budgetGen = Gen.choose(64L, 2048L)
+    val sweeps = draws(budgetGen, seed = 0x9AC4L).zipWithIndex.map { case (budget, i) =>
+      val df = Curation.packSequences(documents, budget = budget)
+        .groupBy(col("source"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("tokens_started"),
+          sum(col("straddles").cast("long")).as("n_straddle"))
+        .orderBy("source", "chunk_id")
+      val sql = s"""
+        WITH t AS (
+          SELECT source, doc_id, CAST(${Text.tokenCountSql("text")} AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (
+          SELECT source, doc_id, n_tok,
+            COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM t)
+        SELECT source, CAST(cum_before // $budget AS BIGINT) AS chunk_id,
+          COUNT(*) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS tokens_started,
+          CAST(SUM(CASE WHEN cum_before % $budget + n_tok > $budget
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+        FROM c GROUP BY 1, 2 ORDER BY source, chunk_id"""
+      (f"pack_$i%02d", df, sql)
+    }
+    checkSweep("pack", sweeps)
+  }
+
+  // ---- 7. resample + forward-fill: random grid step ------------------
+  test("resampleFfill step draws match a re-derived DuckDB oracle") {
+    val stepGen = Gen.choose(1L, 48L).map(_ * 3600L * 1000000) // 1h .. 48h
+    val sweeps = draws(stepGen, seed = 0x5A3EL).zipWithIndex.map { case (step, i) =>
+      val ev = events.filter(col("value").isNotNull)
+        .select(col("user_id"), expr("ts div 1000").as("tus"), col("value"))
+      val df = Timeseries.resampleFfill(ev, "user_id", "tus", "value", step = step)
+        .select(col("user_id"), col("tick"), col("value"))
+        .orderBy("user_id", "tick")
+      val sql = s"""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS tus, value
+          FROM events WHERE value IS NOT NULL),
+        b AS (
+          SELECT user_id,
+            MIN(tus) - ((MIN(tus) % $step + $step) % $step) AS lo,
+            MAX(tus) - ((MAX(tus) % $step + $step) % $step) AS hi
+          FROM e GROUP BY 1),
+        g AS (
+          SELECT user_id, unnest(generate_series(lo, hi, $step)) AS tick
+          FROM b)
+        SELECT g.user_id, g.tick, e.value
+        FROM g ASOF LEFT JOIN e
+          ON g.user_id = e.user_id AND g.tick >= e.tus
+        ORDER BY g.user_id, g.tick"""
+      (f"rsmp_$i%02d", df, sql)
+    }
+    checkSweep("rsmp", sweeps)
+  }
+}
