@@ -21,10 +21,9 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *    so IVF/ANN cell structure is real.
   *
   * Output layout matches the driver: one flat `<table>.parquet` FILE per
-  * table (tools/gen_sf.sh flattens the Spark part-file and rewrites
-  * events.ts to physical TIMESTAMP(NANOS) via pyarrow, which Spark cannot
-  * emit — the driver's events table is NANOS and Verify/Bench read it with
-  * nanosAsLong=true).
+  * table; `events.ts` is TIMESTAMP(MICROS) without timezone (timestamp_ntz),
+  * the layout the driver ships as of round 6 (Tables.normalizeTs adapts
+  * readers to either this or the older TIMESTAMP(NANOS) layout).
   *
   * Usage: runMain graft.GenData <outDir> <sf>   (e.g. /tmp/testdata/sf1 1.0)
   */
@@ -157,14 +156,13 @@ object GenData {
       date_from_unix_date((lOrderDay + u(69, 95) + 1).cast("int"))
         .cast("timestamp_ntz").as("l_shipdate")))
 
-    // events over a 30-day window from 2024-01-01 (micros grid so the
-    // pyarrow ns rewrite is exact); ts_ns is LONG here — tools/gen_sf.sh
-    // rewrites it to physical TIMESTAMP(NANOS) named `ts`
-    val baseNs = 1704067200000000000L // 2024-01-01T00:00:00Z
+    // events over a 30-day window from 2024-01-01, on a microsecond grid —
+    // written as timestamp_ntz micros, the driver's current layout
+    val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z
     write("events", spark.range(nEvents).select(
       col("id").as("event_id"),
-      (lit(baseNs) + u(71, 30L * 86400) * lit(1000000000L) +
-        u(72, 1000000) * lit(1000L)).as("ts_ns"),
+      timestamp_micros(lit(baseUs) + u(71, 30L * 86400) * lit(1000000L) +
+        u(72, 1000000)).cast("timestamp_ntz").as("ts"),
       u(73, nUsers).as("user_id"),
       element_at(array(Seq("click", "error", "purchase", "signup",
         "view").map(lit): _*), u(74, 5).cast("int") + 1).as("event_type"),

@@ -192,33 +192,51 @@ class FuzzOracleSpec extends SparkSpec {
   }
 
   // ---- 5. winsorize: random clip percentiles -------------------------
-  // pLo/pHi drawn on the k/64 grid: exactly-representable doubles keep
-  // the (n-1)*p interpolation index bit-identical across engines.
+  // pLo/pHi drawn on the k/64 grid AND the value fed in as integer cents:
+  // percentile interpolation is then lo + (hi-lo)*(k/64) over integers
+  // < 2^37 — EXACT in double no matter which algebraically-equivalent
+  // formula an engine uses, so the bounds are bit-identical across
+  // engines by construction. (Over the raw 0.01-grid doubles, Spark's
+  // and DuckDB's interpolations differ in the last ulp, and ROUND(·,4)
+  // at a half-boundary then splits a clip bound — 2/20 draws hit this.)
+  // roundDigits=6 covers a /64 fraction's full 6-digit decimal expansion,
+  // making the operator's canonicalization the identity on both sides.
+  // The clipped SUM reports ×64 as BIGINT (bounds live on the /64 grid, so
+  // 64·sum is an exact integer): the natural DOUBLE output hits engine
+  // double-rounding — DuckDB casts decimal→double via int128→double→÷10^6
+  // (two roundings) where Spark rounds once from the exact decimal, a
+  // one-ulp split once sums scale past 2^53/10^6.
   test("winsorize percentile draws match a re-derived DuckDB oracle") {
     val pGen = for {
       kLo <- Gen.choose(1, 25)
       kHi <- Gen.choose(39, 63)
     } yield (kLo / 64.0, kHi / 64.0)
+    val cents = lineitem.withColumn("cents",
+      round(col("l_extendedprice") * 100).cast("long"))
     val sweeps = draws(pGen, seed = 0x4150L).zipWithIndex.map { case ((pLo, pHi), i) =>
-      val df = Eval.winsorize(lineitem, "l_returnflag",
-          col("l_extendedprice"), pLo = pLo, pHi = pHi)
+      val df = Eval.winsorize(cents, "l_returnflag",
+          col("cents"), pLo = pLo, pHi = pHi, roundDigits = 6)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           sum(when(col("was_clipped"), 1L).otherwise(0L)).as("n_clipped"),
-          sum(col("clipped").cast("decimal(18,4)")).cast("double").as("sum_clipped"))
+          (sum(col("clipped").cast("decimal(18,6)")) * 64)
+            .cast("long").as("sum_clipped64"))
         .orderBy("l_returnflag")
       val sql = s"""
-        WITH b AS (
+        WITH t AS (
+          SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem),
+        b AS (
           SELECT l_returnflag,
-            ROUND(quantile_cont(l_extendedprice, ${pLo}), 4) AS lo,
-            ROUND(quantile_cont(l_extendedprice, ${pHi}), 4) AS hi
-          FROM lineitem GROUP BY 1)
-        SELECT l.l_returnflag, COUNT(*) AS n,
-          CAST(SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+            ROUND(quantile_cont(cents, ${pLo}), 6) AS lo,
+            ROUND(quantile_cont(cents, ${pHi}), 6) AS hi
+          FROM t GROUP BY 1)
+        SELECT t.l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN cents < lo OR cents > hi
             THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
-          CAST(SUM(CAST(LEAST(GREATEST(l_extendedprice, lo), hi)
-            AS DECIMAL(18,4))) AS DOUBLE) AS sum_clipped
-        FROM lineitem l JOIN b USING (l_returnflag)
+          CAST(SUM(CAST(LEAST(GREATEST(cents, lo), hi)
+            AS DECIMAL(18,6))) * 64 AS BIGINT) AS sum_clipped64
+        FROM t JOIN b USING (l_returnflag)
         GROUP BY 1 ORDER BY 1"""
       (f"wins_$i%02d", df, sql)
     }
