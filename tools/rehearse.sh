@@ -1,0 +1,38 @@
+#!/usr/bin/env bash
+# Scale rehearsal: everything round 6 ran by hand, as one command.
+# Generates fixtures at the given sf, dumps bench-set physical plans at
+# sf0.1 and at the rehearsal sf and diffs their shapes (broadcast->SMJ
+# flips, exchange-count changes, lost pushdown), runs the bench, then the
+# strict DuckDB-oracle sweep — excluding only the oracles that are
+# all-pairs in corpus size by design (their scale paths, the LSH/banding
+# operators themselves, DO run and ARE checked).
+#
+# Usage: tools/rehearse.sh <sf> [workDir]     e.g. tools/rehearse.sh 1.0
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF="$1"; WORK="${2:-/tmp/rehearse_sf$SF}"
+DATA="$WORK/data"
+
+QUADRATIC_ORACLES="q35_jaccard_blocked,q36_minhash_lsh,q37_simhash,q92_containment_pairs,q145_prefix_join,q155_sparse_cosine"
+
+mkdir -p "$WORK"
+
+echo "== generate fixtures @ sf$SF =="
+tools/gen_sf.sh "$DATA" "$SF"
+
+echo "== plan dumps (sf0.1 baseline vs sf$SF) =="
+sbt -batch "runMain graft.Plans /root/testdata/sf0.1 $WORK/plans_sf01.txt" \
+           "runMain graft.Plans $DATA $WORK/plans_sf$SF.txt"
+python3 tools/plandiff.py "$WORK/plans_sf01.txt" "$WORK/plans_sf$SF.txt" \
+  | tee "$WORK/plandiff.txt"
+
+echo "== bench @ sf$SF =="
+SPARK_GRAFT_SF_DIR="$DATA" sbt -batch "runMain graft.Bench" \
+  | grep '{"metric"' | tee "$WORK/bench.json"
+
+echo "== strict oracle sweep @ sf$SF (excluding all-pairs ground truths) =="
+SPARK_GRAFT_CPUS=32 sbt -batch \
+  "runMain graft.Verify $DATA $WORK/verify !$QUADRATIC_ORACLES"
+python3 tools/check.py "$DATA" "$WORK/verify"
+
+echo "REHEARSAL OK — artifacts in $WORK"
