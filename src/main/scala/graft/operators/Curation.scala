@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Rand, Text}
+import graft.functions.{Rand, Seeds, Text, TopK}
 
 /** Corpus-curation operators for training-data pipelines: benchmark
   * decontamination, boilerplate n-gram mining, repetition scoring, and
@@ -164,6 +164,63 @@ object Curation {
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     docs.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= k)
+  }
+
+  /** Per-group document cap via the bounded TopK AGGREGATE — the
+    * huge-group twin [[uniformSamplePerGroup]]'s scaladoc promises: keep
+    * at most `k` documents per group, chosen by a deterministic portable
+    * hash rank (smallest `md5-lower-64(salt|id) mod 2^40`, ties by id
+    * ascending). Where the window form shuffles and sorts EVERY row of a
+    * group to rank it, this formulation partial-aggregates map-side into
+    * a k-slot buffer ([[graft.functions.TopK]]) — the exchange carries at
+    * most k `(double, long)` pairs per (task, group), so a domain with a
+    * billion pages costs the same exchange as one with a hundred. That is
+    * the per-domain-cap shape (RefinedWeb-style curation) at 100 TB.
+    *
+    * The 2^40 modulus keeps the rank key exactly representable as the
+    * aggregate's double key (2^40 < 2^53), so the buffer's ordering is
+    * bit-identical to an engine sorting the exact integers; a 40-bit
+    * collision inside one group falls back to the id tie-break — the SAME
+    * total order on both sides of an oracle, so determinism survives
+    * collisions rather than depending on their absence.
+    *
+    * Returns (groupCol, sample_rank 1..k, idCol), best (smallest hash)
+    * first — the window twin's contract with the portable key. */
+  def capPerGroupAgg(docs: DataFrame, k: Int, groupCol: String,
+                     idCol: String = "doc_id", salt: String = "cap"): DataFrame = {
+    val two40 = 1099511627776L // 2^40
+    val h40 = pmod(
+      Seeds.portableHash64(concat(lit(salt + "|"), col(idCol).cast("string"))),
+      lit(two40))
+    docs.groupBy(col(groupCol))
+      .agg(TopK.topK(h40.cast("double"), col(idCol), k, largest = false).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__p", "__kv")))
+      .select(col(groupCol), (col("__p") + 1).cast("long").as("sample_rank"),
+        col("__kv.id").as(idCol))
+  }
+
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * word n-grams that occur in no other document — high novelty marks
+    * fresh content, low novelty marks boilerplate/template mass worth
+    * down-sampling, and (run corpus-vs-corpus) it is the memorization
+    * screen of Lee et al.'s dedup study. Inverted-index plan: one explode
+    * of distinct grams, one map-side-combined count per gram, one keyed
+    * join back — both exchanges are (gram, count)-shaped and linear in
+    * total gram mass; document text never shuffles. Documents with fewer
+    * than `n` tokens have no grams and drop out (same as the oracle's
+    * inner join). `novel_frac` is a ratio of two exact integers. */
+  def ngramNovelty(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(array_distinct(Text.shingles(col(textCol), n))).as("__s"))
+    val df = sh.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
+    sh.join(df, Seq("__s"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novel_frac",
+        col("n_novel").cast("double") / col("n_grams"))
   }
 
   /** Per-document top-k TF-IDF terms: tf = in-document term count, idf =

@@ -45,6 +45,28 @@ object Dedup {
     docs.groupBy(digest(col(text)).as("content_hash"))
       .agg(min(col(id)).as("rep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental (batch-vs-corpus) exact dedup — the continuous-ingest
+    * shape: of a new `batch`, keep one representative (minimum id) per
+    * content digest AND drop every digest already present in `corpus`.
+    * `digestExpr` is any deterministic digest over the document columns
+    * ([[digest]] for true content identity; a weaker digest — e.g. a text
+    * prefix — for near-identity blocking).
+    *
+    * Scale: both sides reduce to digest-only projections before touching
+    * each other — the batch side partial-aggregates (digest, min id)
+    * map-side, the corpus side is a digest `distinct`, and the anti-join
+    * shuffles digests, never bodies. At 100 TB the corpus digest set is
+    * what a production pipeline would persist between ingests (or carry
+    * as the [[Sketches]] Bloom filter when false-drops are acceptable —
+    * q125's pattern); this operator is the exact form of that contract. */
+  def incrementalNew(batch: DataFrame, corpus: DataFrame, digestExpr: Column,
+                     id: String = "doc_id"): DataFrame = {
+    val b = batch.select(col(id), digestExpr.as("__h"))
+      .groupBy(col("__h")).agg(min(col(id)).as(id))
+    val c = corpus.select(digestExpr.as("__h")).distinct()
+    b.join(c, Seq("__h"), "left_anti").select(col(id))
+  }
+
   /** Exact-dedup projection: keep only the representative row per content
     * group — the distributed `DISTINCT ON (content)`. */
   def exactDedup(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {

@@ -16,7 +16,7 @@ object DataPipeline {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
     q102, q106, q108, q116, q117, q118, q119, q120, q125, q127, q139, q140, q141, q143,
-    q145, q150, q153, q155, q161, q162, q164)
+    q145, q150, q153, q155, q161, q162, q164, q165, q166, q167)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -1674,5 +1674,75 @@ object DataPipeline {
           .cast("long").as("n_true_hits"),
         sum(when(col("in_eval").isNull && col("might_contain") === 1, 1).otherwise(0))
           .cast("long").as("n_false_pos"))
+  }
+
+  /** Per-source document cap through the bounded TopK aggregate
+    * (`Curation.capPerGroupAgg`) — the huge-group twin of q135's window
+    * form: identical rank contract (portable-hash order, id tie-break),
+    * but the exchange carries ≤ k pairs per (task, source) instead of
+    * every row of every group. The oracle re-derives the exact same
+    * 40-bit hash rank with a window — proving the k-slot buffer IS the
+    * window's top-k. */
+  val q165 = QueryDef(
+    "q165_source_cap",
+    oracle = Some(s"""
+      WITH h AS (
+        SELECT source, doc_id,
+          ((${Sketches.signed64FromHexSql("md5('cap|' || CAST(doc_id AS VARCHAR))")} % 1099511627776)
+            + 1099511627776) % 1099511627776 AS h40
+        FROM documents),
+      r AS (
+        SELECT source, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY h40, doc_id) AS rn
+        FROM h)
+      SELECT source, CAST(rn AS BIGINT) AS sample_rank, doc_id
+      FROM r WHERE rn <= 7 ORDER BY source, sample_rank""")) { (s, dir) =>
+    Curation.capPerGroupAgg(Tables.load(s, dir, "documents"), k = 7,
+        groupCol = "source")
+      .orderBy("source", "sample_rank")
+  }
+
+  /** Incremental ingest dedup (`Dedup.incrementalNew`): a new batch
+    * (doc_id ≡ 7 mod 10) deduped within itself and against the standing
+    * corpus (everything else), on the q67 prefix digest (the fixtures
+    * have no exact duplicate texts; shared 12-char prefixes give real
+    * batch-vs-corpus collisions). Digest-only anti-join — bodies never
+    * shuffle. */
+  val q166 = QueryDef(
+    "q166_incremental_dedup",
+    oracle = Some("""
+      WITH b AS (SELECT doc_id, substring(text, 1, 12) AS h
+                 FROM documents WHERE doc_id % 10 = 7),
+        c AS (SELECT DISTINCT substring(text, 1, 12) AS h
+              FROM documents WHERE doc_id % 10 <> 7),
+        k AS (SELECT h, MIN(doc_id) AS doc_id FROM b GROUP BY h)
+      SELECT k.doc_id FROM k LEFT JOIN c ON k.h = c.h
+      WHERE c.h IS NULL ORDER BY doc_id""")) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    Dedup.incrementalNew(
+        docs.filter(pmod(col("doc_id"), lit(10L)) === 7),
+        docs.filter(pmod(col("doc_id"), lit(10L)) =!= 7),
+        substring(col("text"), 1, 12))
+      .orderBy("doc_id")
+  }
+
+  /** Distinct-3-gram novelty per document (`Curation.ngramNovelty`):
+    * fraction of a document's grams appearing in no other document —
+    * the inverted-index df pass re-derived by the oracle over the shared
+    * gram template. */
+  val q167 = QueryDef(
+    "q167_ngram_novelty",
+    oracle = Some(s"""
+      WITH sh AS (SELECT doc_id, unnest($shingleSql) AS s FROM documents),
+        df AS (SELECT s, COUNT(*) AS c FROM sh GROUP BY s)
+      SELECT sh.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_grams,
+        CAST(SUM(CASE WHEN df.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        CAST(SUM(CASE WHEN df.c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novel_frac
+      FROM sh JOIN df USING (s)
+      GROUP BY sh.doc_id ORDER BY doc_id""")) { (s, dir) =>
+    Curation.ngramNovelty(Tables.load(s, dir, "documents"), n = 3)
+      .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novel_frac"))
+      .orderBy("doc_id")
   }
 }

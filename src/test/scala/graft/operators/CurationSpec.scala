@@ -151,4 +151,58 @@ class CurationSpec extends SparkSpec {
     val tiny = Seq((1L, "g"), (2L, "g")).toDF("doc_id", "source")
     assert(Curation.uniformSamplePerGroup(tiny, 5, "source").count() === 2L)
   }
+
+  test("capPerGroupAgg equals the window formulation of the same hash rank") {
+    val s = spark
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val df = (1L to 500L).map(i => (i, s"g${i % 4}")).toDF("doc_id", "source")
+    val agg = Curation.capPerGroupAgg(df, 6, "source")
+    // window twin over the identical portable 40-bit key
+    val h40 = pmod(graft.functions.Seeds.portableHash64(
+      concat(lit("cap|"), col("doc_id").cast("string"))), lit(1099511627776L))
+    val win = df.withColumn("__h", h40)
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))).cast("long"))
+      .filter(col("sample_rank") <= 6)
+      .select(col("source"), col("sample_rank"), col("doc_id"))
+    assert(agg.orderBy("source", "sample_rank").collect().toSeq ===
+      win.orderBy("source", "sample_rank").collect().toSeq)
+    // repartition-stable; small groups yield all rows, ranks contiguous
+    val again = Curation.capPerGroupAgg(df.repartition(13), 6, "source")
+    assert(agg.orderBy("source", "sample_rank").collect().toSeq ===
+      again.orderBy("source", "sample_rank").collect().toSeq)
+    val tiny = Seq((1L, "g"), (2L, "g")).toDF("doc_id", "source")
+    val t = Curation.capPerGroupAgg(tiny, 5, "source")
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(t === Seq(1L, 2L))
+  }
+
+  test("ngramNovelty: df==1 grams over distinct grams, short docs drop") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a b c d"),       // grams: "a b c","b c d" — "a b c" shared with doc 2
+      (2L, "a b c x"),       // grams: "a b c","b c x"
+      (3L, "one two"),       // no trigrams → drops
+      (4L, "p q r p q r")).toDF("doc_id", "text") // 4 grams, 3 distinct, all unique to doc 4
+    val out = Curation.ngramNovelty(d, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((2L, 1L, 0.5)))
+    assert(out(2L) === ((2L, 1L, 0.5)))
+    assert(!out.contains(3L))
+    assert(out(4L) === ((3L, 3L, 1.0)))
+  }
+
+  test("incrementalNew dedups within the batch and against the corpus") {
+    val s = spark
+    import s.implicits._
+    val batch = Seq((10L, "AAA"), (11L, "AAA"), (12L, "BBB"), (13L, "CCC"))
+      .toDF("doc_id", "text")
+    val corpus = Seq((1L, "BBB"), (2L, "DDD")).toDF("doc_id", "text")
+    val kept = Dedup.incrementalNew(batch, corpus, Dedup.digest(col("text")))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // AAA → representative 10 (11 is an in-batch dup); BBB already in corpus; CCC new
+    assert(kept === Seq(10L, 13L))
+  }
 }

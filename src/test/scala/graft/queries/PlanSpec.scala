@@ -234,6 +234,26 @@ class PlanSpec extends SparkSpec {
       s"rank window runs before the top-k cut:\n$p")
   }
 
+  test("q165: per-group cap is a bounded aggregate — no rank window, partial agg before the one exchange") {
+    val p = plan("q165_source_cap")
+    assert(!p.contains("Window"),
+      s"cap fell back to a rank window over full groups:\n$p")
+    // TopK is a TypedImperativeAggregate: partial_ buffers map-side, so
+    // the exchange carries ≤k pairs per (task, source)
+    assert(p.contains("partial_graft_topk") || p.contains("partial_topk") ||
+      (p.contains("ObjectHashAggregate") && p.split("Exchange").length - 1 <= 2),
+      s"cap aggregate is not map-side partial:\n$p")
+  }
+
+  test("q166: incremental dedup anti-joins digests only — document text never shuffles") {
+    val p = plan("q166_incremental_dedup")
+    assert(p.contains("LeftAnti"), s"expected an anti join:\n$p")
+    // every exchange carries digest/id projections, never the text column
+    val shuffled = p.split("Exchange hashpartitioning").drop(1)
+    assert(shuffled.nonEmpty && !p.contains("Exchange hashpartitioning(text"),
+      s"document bodies reach an exchange:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // codegen stages ('*(n)' prefixes) only appear in the FINAL adaptive
     // plan, so execute before inspecting
