@@ -83,13 +83,21 @@ object TextKernels {
     * for fuzzy-join verification (millions of candidate pairs, small k)
     * the band IS the scale path, and the common reject case exits after
     * a handful of rows. Code-point semantics, matching the builtin
-    * `levenshtein` (pinned by fuzz in `TextKernelsSpec`). */
+    * `levenshtein` (pinned by fuzz in `TextKernelsSpec`).
+    *
+    * Per-pair allocation matters as much as the DP bound: a verify join
+    * evaluates this kernel Σ|block|² times (hundreds of millions at
+    * scale), so the length gate runs BEFORE any conversion (`numChars`
+    * scans, allocates nothing) and the all-ASCII common case fills its
+    * code-point array straight from the UTF-8 bytes — no String, no
+    * stream — the sf1 rehearsal measured the String round-trip as the
+    * top of the profile, not the band itself. */
   def editWithin(a: UTF8String, b: UTF8String, k: Int): Boolean = {
-    val s = a.toString.codePoints().toArray
-    val t = b.toString.codePoints().toArray
+    if (math.abs(a.numChars - b.numChars) > k) return false
+    val s = codePointArray(a)
+    val t = codePointArray(b)
     val n = s.length
     val m = t.length
-    if (math.abs(n - m) > k) return false
     if (k == 0) return java.util.Arrays.equals(s, t)
     val inf = k + 1
     val width = 2 * k + 1
@@ -126,6 +134,27 @@ object TextKernels {
     }
     val cEnd = m - n + k
     cEnd >= 0 && cEnd < width && prev(cEnd) <= k
+  }
+
+  /** Code points of a UTF8String without the String/stream round-trip:
+    * the all-ASCII case (every byte ≥ 0) copies bytes directly. */
+  private def codePointArray(u: UTF8String): Array[Int] = {
+    val nb = u.numBytes()
+    val base = u.getBaseObject
+    val off = u.getBaseOffset
+    var i = 0
+    while (i < nb) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) < 0)
+        return u.toString.codePoints().toArray
+      i += 1
+    }
+    val out = new Array[Int](nb)
+    i = 0
+    while (i < nb) {
+      out(i) = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      i += 1
+    }
+    out
   }
 
   def editWithinCol(a: Column, b: Column, k: Int): Column =

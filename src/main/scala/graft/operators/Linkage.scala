@@ -26,15 +26,32 @@ import org.apache.spark.sql.functions._
 object Linkage {
 
   /** All pairs within `maxDist` edit distance that share a block key.
-    * `blockFn` maps the text column to the blocking key. */
+    * `blockFn` maps the text column to the blocking key.
+    *
+    * `verifyParallelism` guards against the trap the sf1 rehearsal caught
+    * live: the shuffle INPUT of the block join is tiny (ids + names), so
+    * AQE coalesces the verify stage down to one partition — but the join
+    * OUTPUT is Σ|block|² candidate pairs, which AQE cannot see, and the
+    * whole edit-distance verify ran single-threaded. With
+    * `verifyParallelism` > 0 the left side is explicitly repartitioned
+    * (explicit partition counts are exempt from AQE coalescing) and the
+    * right side broadcasts — the streaming-probe linkage plan: zero
+    * shuffle of the catalog, verify work spread evenly by left id
+    * regardless of block skew. Use it when the clean side fits a
+    * broadcast (catalogs usually do); leave 0 for the plain equi-join
+    * when both sides are corpus-sized (then AQE skew-split applies). */
   def fuzzyPairs(left: DataFrame, right: DataFrame,
                  leftId: String, leftText: String,
                  rightId: String, rightText: String,
-                 blockFn: Column => Column, maxDist: Int): DataFrame = {
-    val l = left.select(col(leftId).as("__lid"), col(leftText).as("__ltext"),
+                 blockFn: Column => Column, maxDist: Int,
+                 verifyParallelism: Int = 0): DataFrame = {
+    val l0 = left.select(col(leftId).as("__lid"), col(leftText).as("__ltext"),
       blockFn(col(leftText)).as("__block"))
-    val r = right.select(col(rightId).as("__rid"), col(rightText).as("__rtext"),
+    val l = if (verifyParallelism > 0)
+      l0.repartition(verifyParallelism, col("__lid")) else l0
+    val r0 = right.select(col(rightId).as("__rid"), col(rightText).as("__rtext"),
       blockFn(col(rightText)).as("__block"))
+    val r = if (verifyParallelism > 0) broadcast(r0) else r0
     l.join(r, Seq("__block"))
       // banded O(k·n) threshold check rejects the (overwhelming) majority
       // of candidates without the full O(n·m) DP — levenshtein then runs
@@ -54,8 +71,10 @@ object Linkage {
   def bestFuzzyMatch(left: DataFrame, right: DataFrame,
                      leftId: String, leftText: String,
                      rightId: String, rightText: String,
-                     blockFn: Column => Column, maxDist: Int): DataFrame =
-    fuzzyPairs(left, right, leftId, leftText, rightId, rightText, blockFn, maxDist)
+                     blockFn: Column => Column, maxDist: Int,
+                     verifyParallelism: Int = 0): DataFrame =
+    fuzzyPairs(left, right, leftId, leftText, rightId, rightText, blockFn,
+        maxDist, verifyParallelism)
       .groupBy(col(leftId))
       .agg(min(struct(col("distance"), col(rightId))).as("__best"))
       .select(col(leftId), col(s"__best.distance").as("distance"),

@@ -144,6 +144,24 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup: the keep-set after dropping all but
+    * one representative (minimum id) of every cosine-near-dup cluster.
+    * Composition of the two primitives this module/`Dedup` already prove
+    * at scale: [[nearDupPairs]] (cell-blocked pair generation — pair
+    * space, never corpus², is the only quadratic term) feeds
+    * [[Dedup.components]] (min-label propagation — iterations touch
+    * (id, label) pairs, not vectors), and the final projection is a
+    * digest-width anti-join of the corpus against the dropped ids.
+    * Embeddings never shuffle after the pair stage. At 100 TB the `cell`
+    * is a trained IVF/k-means partition ([[Quantize]]), exactly the
+    * SemDeDup recipe; any blocking column works. */
+  def semanticDedup(corpus: DataFrame, threshold: Double, cell: String,
+                    id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val comps = Dedup.components(nearDupPairs(corpus, threshold, cell, id, vec))
+    val dropped = comps.filter(col("id") =!= col("component")).select(col("id"))
+    corpus.join(dropped, corpus(id) === dropped("id"), "left_anti")
+  }
+
   /** Sparse term-frequency cosine pairs — the INVERTED-INDEX similarity
     * join, the sparse complement of the dense-embedding paths above: no
     * embedding model required, and the candidate join touches only

@@ -16,7 +16,7 @@ object DataPipeline {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
     q102, q106, q108, q116, q117, q118, q119, q120, q125, q127, q139, q140, q141, q143,
-    q145, q150, q153, q155, q161, q162, q164, q165, q166, q167)
+    q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -1472,7 +1472,8 @@ object DataPipeline {
       concat(substring(col("p_name"), 1, 2), expr("substring(p_name, 4)"))
         .as("dirty_name"))
     Linkage.bestFuzzyMatch(dirty, part, "dirty_id", "dirty_name",
-        "p_partkey", "p_name", t => element_at(split(t, " "), -1), maxDist = 2)
+        "p_partkey", "p_name", t => element_at(split(t, " "), -1), maxDist = 2,
+        verifyParallelism = s.sparkContext.defaultParallelism)
       .orderBy("dirty_id")
   }
 
@@ -1744,5 +1745,51 @@ object DataPipeline {
     Curation.ngramNovelty(Tables.load(s, dir, "documents"), n = 3)
       .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novel_frac"))
       .orderBy("doc_id")
+  }
+
+  /** SemDeDup pipeline summary (`Similarity.semanticDedup`'s stages run
+    * explicitly): label-blocked cosine near-dup pairs (q40's operator) →
+    * connected components (q67's operator) → drop non-representatives.
+    * The oracle re-derives the whole pipeline in SQL, including the
+    * transitive closure as a recursive CTE — so the hash match pins the
+    * component structure, not just pair counts. */
+  val q168 = QueryDef(
+    "q168_semantic_dedup",
+    oracle = Some(s"""
+      WITH RECURSIVE p AS (
+        SELECT a.vec_id id_a, q.vec_id id_b,
+          $dotSql / (${normSql("a")} * ${normSql("q")}) AS c
+        FROM embeddings a JOIN embeddings q
+          ON a.label = q.label AND a.vec_id < q.vec_id),
+      e0 AS (SELECT id_a, id_b FROM p WHERE c >= 0.4),
+      edges AS (SELECT id_a AS a, id_b AS b FROM e0 UNION ALL SELECT id_b, id_a FROM e0),
+      nodes AS (SELECT DISTINCT a AS id FROM edges),
+      reach AS (
+        SELECT id, id AS r FROM nodes
+        UNION
+        SELECT reach.id, e.b AS r FROM reach JOIN edges e ON e.a = reach.r),
+      comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+      dropped AS (SELECT id FROM comp WHERE id <> component)
+      SELECT
+        (SELECT COUNT(*) FROM embeddings) AS n_total,
+        (SELECT COUNT(*) FROM comp) AS n_in_clusters,
+        (SELECT COUNT(DISTINCT component) FROM comp) AS n_clusters,
+        (SELECT COUNT(*) FROM dropped) AS n_dropped,
+        (SELECT COUNT(*) FROM embeddings) - (SELECT COUNT(*) FROM dropped) AS n_kept,
+        (SELECT CAST(COALESCE(SUM(id), 0) AS BIGINT) FROM dropped) AS dropped_id_sum""")) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val comps = graft.operators.Dedup.components(
+      Similarity.nearDupPairs(emb, threshold = 0.4, cell = "label"))
+    val dropped = comps.filter(col("id") =!= col("component"))
+    emb.agg(count(lit(1)).as("n_total"))
+      .crossJoin(comps.agg(
+        count(lit(1)).as("n_in_clusters"),
+        countDistinct(col("component")).as("n_clusters")))
+      .crossJoin(dropped.agg(
+        count(lit(1)).as("n_dropped"),
+        coalesce(sum(col("id")), lit(0L)).cast("long").as("dropped_id_sum")))
+      .withColumn("n_kept", col("n_total") - col("n_dropped"))
+      .select(col("n_total"), col("n_in_clusters"), col("n_clusters"),
+        col("n_dropped"), col("n_kept"), col("dropped_id_sum"))
   }
 }

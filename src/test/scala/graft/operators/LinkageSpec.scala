@@ -45,4 +45,22 @@ class LinkageSpec extends SparkSpec {
       .as[(Long, Int, Long)].head()
     assert(best2 === ((1L, 1, 5L)))
   }
+
+  test("verifyParallelism changes the plan, not the result") {
+    val dirty = Seq((1L, "green apple"), (2L, "blu lacee"), (3L, "red rose"))
+      .toDF("d_id", "d_name")
+    val clean = Seq((20L, "greon apple"), (30L, "green apple"),
+      (10L, "blue lacee"), (40L, "red rose"), (50L, "rod rose"))
+      .toDF("c_id", "c_name")
+    val plain = Linkage.fuzzyPairs(dirty, clean, "d_id", "d_name",
+      "c_id", "c_name", lastToken, maxDist = 2)
+    val spread = Linkage.fuzzyPairs(dirty, clean, "d_id", "d_name",
+      "c_id", "c_name", lastToken, maxDist = 2, verifyParallelism = 8)
+    assert(plain.collect().toSet === spread.collect().toSet)
+    val p = spread.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"catalog side should broadcast under verifyParallelism:\n$p")
+    assert(p.contains("hashpartitioning(__lid"),
+      s"left side should repartition by id (AQE-coalesce-exempt):\n$p")
+  }
 }

@@ -57,4 +57,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out((1L, 3L)) === 2.0 / (2.0 * math.sqrt(2.0)))
     assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("semanticDedup keeps the min-id representative per cluster, leaves singletons") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), "a"), (2L, Seq(1.0f, 0.01f), "a"), // near-dups → keep 1
+      (3L, Seq(0.0f, 1.0f), "a"), // orthogonal singleton
+      (4L, Seq(1.0f, 1.0f), "b"), (5L, Seq(2.0f, 2.0f), "b"), // colinear → keep 4
+      (6L, Seq(-1.0f, 1.0f), "b"))
+      .toDF("vec_id", "embedding", "cell")
+    val kept = Similarity.semanticDedup(emb, threshold = 0.9, cell = "cell")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 3L, 4L, 6L))
+    // cross-cell near-dups are invisible by construction (blocking contract)
+    val crossCell = emb.withColumn("cell",
+      when(col("vec_id") === 2L, lit("z")).otherwise(col("cell")))
+    val kept2 = Similarity.semanticDedup(crossCell, threshold = 0.9, cell = "cell")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept2 === Seq(1L, 2L, 3L, 4L, 6L))
+  }
 }

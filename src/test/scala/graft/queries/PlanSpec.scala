@@ -148,7 +148,10 @@ class PlanSpec extends SparkSpec {
       // q164 cross-joins the tiny row-total × col-total tables to build
       // the full contingency grid (ka×kb cells, fail-fast bounded by
       // chiSquare's maxCells guard; n/ka/kb are plan literals since r5)
-      "q164_chi_square")
+      "q164_chi_square",
+      // q168 composes q40's pair stage (allowed above) and cross-joins
+      // three one-row summary aggregates — scalar shapes like q89
+      "q168_semantic_dedup")
     val offenders = Registry.all.flatMap { q =>
       val p =
         try Registry.queries(q.name)(spark, dir).queryExecution.executedPlan.toString

@@ -13,7 +13,16 @@ cd "$(dirname "$0")/.."
 SF="$1"; WORK="${2:-/tmp/rehearse_sf$SF}"
 DATA="$WORK/data"
 
-QUADRATIC_ORACLES="q35_jaccard_blocked,q36_minhash_lsh,q37_simhash,q92_containment_pairs,q145_prefix_join,q155_sparse_cosine"
+# q140: the fixture block vocabulary is 8 last-name tokens, so BOTH sides
+# (Spark verify and the DuckDB full-levenshtein oracle) are Σ|block|² ≈
+# (n/8)·n pairs — 5e9 at sf1, infeasible for the oracle (the Spark side
+# runs in ~4 min via the broadcast-probe verify; sf0.1 keeps oracling it).
+# q168: its oracle materializes the transitive closure of the near-dup
+# graph as a recursive CTE — Σ|component|² rows; the rehearsal fixtures'
+# label-clustered embeddings connect EVERY within-label pair at τ=0.4
+# (10 components of 2k/20k at sf1), so the closure is the corpus squared.
+# The Spark side (min-label propagation, linear per iteration) runs fine.
+QUADRATIC_ORACLES="q35_jaccard_blocked,q36_minhash_lsh,q37_simhash,q92_containment_pairs,q140_fuzzy_join,q145_prefix_join,q155_sparse_cosine,q168_semantic_dedup"
 
 mkdir -p "$WORK"
 
