@@ -76,7 +76,12 @@ final case class JecChain(
   def sql(ptRawSql: String, extra: (String, String)*): SqlResult = {
     val pt = levels.foldLeft(s"($ptRawSql)") { (p, corr) =>
       val raw = corr.sql(extra :+ (ptInput -> p): _*)
-      val c = if (roundDigits > 0) s"ROUND($raw, $roundDigits)" else s"($raw)"
+      // Spark-round mirror (graft.queries.Compat.roundSql): a plain
+      // DuckDB ROUND rounds the binary value while Spark rounds the
+      // shortest decimal repr half-up — on-grid momenta make the interp
+      // factor a TRUE tie at roundDigits (sf1: 1.0018215 → .822 vs .821)
+      val c = if (roundDigits > 0) graft.queries.Compat.roundSql(raw, roundDigits)
+              else s"($raw)"
       s"($p * $c)"
     }
     val shifts = uncSources.flatMap { case (name, corr) =>

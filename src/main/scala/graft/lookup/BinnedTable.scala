@@ -18,6 +18,20 @@ import graft.hist.Axis
   */
 object BinnedTable {
 
+  /** Render a payload value as a DuckDB DOUBLE literal. A bare decimal
+    * literal (`1.2`) parses as DECIMAL in DuckDB, so oracle arithmetic on
+    * it runs EXACT where Spark's runs IEEE double — e.g. `(sf - 1)` is
+    * exactly 0.2 in DuckDB but 0.19999999999999996 in Spark. The one-ulp
+    * product divergence is invisible until a downstream round lands on a
+    * true decimal tie, where the engines split (sf1 rehearsal, q70: fac
+    * 1.0009125 rounded .913 vs .914). Pinning every VALUE literal to
+    * DOUBLE makes both engines run the identical IEEE arithmetic, so
+    * ties flip together. (Comparison/axis literals are safe without the
+    * cast — mixed DOUBLE/DECIMAL expressions promote to DOUBLE before
+    * any arithmetic — but value lists feed decimal-side arithmetic.) */
+  def dLit(v: Double): String = s"CAST($v AS DOUBLE)"
+  def dList(vs: Seq[Double]): String = vs.map(dLit).mkString("[", ", ", "]")
+
   /** 1-D lookup: `values(i)` for the bin of `x` on `axis`; under/overflow
     * clamp to the edge bins (correctionlib "clamp" semantics). */
   final case class Lookup1D(axis: Axis, values: IndexedSeq[Double]) {
@@ -30,7 +44,7 @@ object BinnedTable {
 
     /** DuckDB mirror: list literal + same clamped index. */
     def sql(e: String): String = {
-      val list = values.mkString("[", ", ", "]")
+      val list = dList(values)
       val id = s"LEAST(GREATEST(${axis.binIdSql(e)}, 0), ${axis.nBins - 1})"
       s"($list)[$id + 1]"
     }
@@ -48,7 +62,7 @@ object BinnedTable {
     }
 
     def sql(e1: String, e2: String): String = {
-      val flat = grid.flatten.mkString("[", ", ", "]")
+      val flat = dList(grid.flatten)
       val i = s"LEAST(GREATEST(${ax1.binIdSql(e1)}, 0), ${ax1.nBins - 1})"
       val j = s"LEAST(GREATEST(${ax2.binIdSql(e2)}, 0), ${ax2.nBins - 1})"
       s"($flat)[($i) * ${ax2.nBins} + ($j) + 1]"
@@ -78,21 +92,18 @@ object BinnedTable {
         .otherwise(y0 + (x - x0) * (y1 - y0) / (x1 - x0))
     }
 
-    /** DuckDB mirror with the same arithmetic shape. Note: the knot-list
-      * literals parse as DECIMAL in DuckDB, so its lerp numerators (e.g.
-      * y1−y0) are exact where Spark subtracts doubles — a few-ulp
-      * divergence in the output. Oracle comparisons must absorb it:
-      * round results at/above the payload's true decimal scale (on-grid
-      * recovery) or round a transcendental-bearing product at a scale
-      * whose tie window dwarfs ulp noise. NEVER round a raw lerp output
-      * below its true scale (exact half-grid ties — JecChain scaladoc). */
+    /** DuckDB mirror with the same arithmetic shape. Knot lists render as
+      * DOUBLE literals ([[BinnedTable.dLit]]) so the lerp numerators
+      * subtract the identical IEEE doubles Spark subtracts — bare decimal
+      * literals would make DuckDB's y1−y0 exact and leave a few-ulp
+      * divergence for downstream rounds to trip over on true ties. */
     def sql(e: String): String = {
       val kTerms = xs.map(x0 => s"(CASE WHEN $e >= $x0 THEN 1 ELSE 0 END)").mkString(" + ")
-      val xsL = xs.mkString("[", ", ", "]")
-      val ysL = ys.mkString("[", ", ", "]")
+      val xsL = dList(xs)
+      val ysL = dList(ys)
       val s = s"LEAST(GREATEST($kTerms, 1), ${n - 1})"
-      s"""CASE WHEN $e <= ${xs.head} THEN ${ys.head}
-          WHEN $e >= ${xs.last} THEN ${ys.last}
+      s"""CASE WHEN $e <= ${xs.head} THEN ${dLit(ys.head)}
+          WHEN $e >= ${xs.last} THEN ${dLit(ys.last)}
           ELSE ($ysL)[$s] + ($e - ($xsL)[$s]) * (($ysL)[$s + 1] - ($ysL)[$s]) / (($xsL)[$s + 1] - ($xsL)[$s])
           END"""
     }

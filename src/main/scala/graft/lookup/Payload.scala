@@ -164,19 +164,22 @@ object Payload {
     }
   }
 
+  // Value literals render as DOUBLE (BinnedTable.dLit): bare decimals
+  // parse as DECIMAL in DuckDB and make oracle-side arithmetic exact
+  // where Spark's is IEEE — the one-ulp gap flips rounding ties (q70).
   private def sqlFlowValue(flow: Flow): String = flow match {
-    case Flow.Const(v) => v.toString
+    case Flow.Const(v) => BinnedTable.dLit(v)
     case _ => "NULL"
   }
 
   private def sqlNode(n: Node, args: Map[String, String]): String = n match {
-    case Scalar(v) => v.toString
+    case Scalar(v) => BinnedTable.dLit(v)
     case Linear(in, xs, ys) => BinnedTable.Interp1D(xs, ys).sql(args(in))
     case Binning(in, edges, content, flow) =>
       val (id, oor) = sqlBinWithFlow(args(in), edges, flow)
       val body =
         if (content.forall(_.isInstanceOf[Scalar])) {
-          val list = content.map(_.asInstanceOf[Scalar].v).mkString("[", ", ", "]")
+          val list = BinnedTable.dList(content.map(_.asInstanceOf[Scalar].v))
           s"($list)[($id) + 1]"
         } else {
           val cases = content.zipWithIndex.tail.map { case (node, i) =>
@@ -189,7 +192,7 @@ object Payload {
       val ids = ins.zip(edges).map { case (in, e) => sqlBinWithFlow(args(in), e, flow) }
       val strides = edges.map(_.size - 1).scanRight(1)(_ * _).tail
       val flat = ids.map(_._1).zip(strides).map { case (id, s) => s"($id) * $s" }.mkString(" + ")
-      val list = values.mkString("[", ", ", "]")
+      val list = BinnedTable.dList(values)
       val body = s"($list)[($flat) + 1]"
       val oor = ids.flatMap(_._2).reduceOption((a, b) => s"($a OR $b)")
       oor.fold(body)(c => s"(CASE WHEN $c THEN ${sqlFlowValue(flow)} ELSE $body END)")

@@ -197,9 +197,9 @@ object Ops {
           SELECT l_orderkey, pt,
             CASE WHEN $matchedCond THEN 1 ELSE 0 END AS matched,
             CASE WHEN $matchedCond
-              THEN ROUND(1 + ($sf - 1) * (1 - gpt / pt), 6)
-              ELSE ROUND(1 + ${Rand.portableGaussianSql(key)} * $jer *
-                sqrt(GREATEST($sf * $sf - 1, 0)), 6) END AS fac
+              THEN ${Compat.roundSql(s"1 + ($sf - 1) * (1 - gpt / pt)", 6)}
+              ELSE ${Compat.roundSql(s"1 + ${Rand.portableGaussianSql(key)} * $jer * " +
+                s"sqrt(GREATEST($sf * $sf - 1, 0))", 6)} END AS fac
           FROM sm)
         SELECT l_orderkey AS o_orderkey,
           COUNT(*) AS n_items,

@@ -139,7 +139,7 @@ object Physics {
         // (ulp(x·10^d)) negligible.
         def one(shift: String, v: String, d: Int) =
           s"""SELECT '$shift' AS shift, l_orderkey AS o_orderkey,
-             CAST(SUM(CAST(ROUND($v, $d) AS DECIMAL(18,$d))) AS DOUBLE) AS sum_pt
+             CAST(SUM(CAST(${Compat.roundSql(v, d)} AS DECIMAL(18,$d))) AS DOUBLE) AS sum_pt
              FROM lineitem GROUP BY 2"""
         (("raw", r.ptRaw, 6) +: ("nominal", r.pt, 2) +: r.shifts.map { case (n, v) => (n, v, 2) })
           .map { case (n, v, d) => one(n, v, d) }

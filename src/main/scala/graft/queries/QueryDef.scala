@@ -73,4 +73,31 @@ object Compat {
   def fracSql(e: String) = s"CAST($e AS DECIMAL(8,4))"
   def libmSql(e: String) = s"CAST($e AS DECIMAL(18,6))"
   def norm6Sql(e: String) = s"CAST($e AS DECIMAL(18,6))"
+
+  /** Correctly-rounded DECIMAL→DOUBLE for the oracle, at ANY magnitude.
+    * DuckDB's direct cast computes double(unscaled)/double(10^scale),
+    * which double-rounds once the unscaled value passes 2^53 — the sf1
+    * rehearsal caught q1's sum_charge (scale-6 sum ≈ 1.3e10 → unscaled
+    * 1.3e16) off Spark's correctly-rounded BigDecimal path by 2e-6.
+    * Routing through VARCHAR is exact: decimal→varchar emits the exact
+    * digits, varchar→double is a correctly-rounded strtod. Wrap every
+    * corpus-sized decimal SUM that a 10×-larger fixture could push past
+    * 2^53 unscaled. */
+  def exactDoubleSql(e: String) = s"CAST(CAST(($e) AS VARCHAR) AS DOUBLE)"
+
+  /** DuckDB mirror of Spark's `round(x, d)` SEMANTICS, not just its
+    * grid: Spark rounds the double's SHORTEST DECIMAL REPRESENTATION
+    * half-up (BigDecimal.valueOf), DuckDB's ROUND rounds the exact
+    * binary value — they split on every TRUE decimal tie at scale d
+    * (sf1 rehearsal: the JEC L2 interp factor for on-grid momenta is
+    * exactly 1.0018215; Spark → 1.001822, DuckDB binary → 1.001821,
+    * 51 divergent cells at sf1 and growing linearly with the corpus).
+    * DuckDB's double→VARCHAR cast emits the same shortest repr, the
+    * varchar→DECIMAL(38,18) cast is digit-exact for |x| in [1e-2, 1e19]
+    * (shortest reprs carry ≤ 17 significant digits), and decimal ROUND
+    * is half-away-from-zero ≡ HALF_UP on the magnitude — so this form
+    * reproduces Spark's result bit-for-bit, ties included. Result is a
+    * DECIMAL(38,d); its double conversion is exact for x < 2^53/10^d. */
+  def roundSql(e: String, d: Int) =
+    s"ROUND(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(38,18)), $d)"
 }
