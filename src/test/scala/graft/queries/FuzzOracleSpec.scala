@@ -302,4 +302,33 @@ class FuzzOracleSpec extends SparkSpec {
     }
     checkSweep("rsmp", sweeps)
   }
+
+  // ---- 8. per-group cap: random k ------------------------------------
+  // The TopK-aggregate cap (q165's operator) against the window form of
+  // the identical 40-bit portable hash rank, at k values the registry
+  // never uses — including k=1 (argmin) and k beyond every group size
+  // (cap degenerates to identity ranks).
+  test("capPerGroupAgg k draws match a re-derived DuckDB oracle") {
+    val kGen = Gen.choose(1, 40)
+    val two40 = "1099511627776"
+    val sweeps = draws(kGen, seed = 0xCA9L).zipWithIndex.map { case (k, i) =>
+      val df = Curation.capPerGroupAgg(documents, k = k, groupCol = "source")
+        .orderBy("source", "sample_rank")
+      val h = graft.operators.Sketches.signed64FromHexSql(
+        "md5('cap|' || CAST(doc_id AS VARCHAR))")
+      val sql = s"""
+        WITH h AS (
+          SELECT source, doc_id,
+            (($h % $two40) + $two40) % $two40 AS h40
+          FROM documents),
+        r AS (
+          SELECT source, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY h40, doc_id) AS rn
+          FROM h)
+        SELECT source, CAST(rn AS BIGINT) AS sample_rank, doc_id
+        FROM r WHERE rn <= $k ORDER BY source, sample_rank"""
+      (f"cap_$i%02d", df, sql)
+    }
+    checkSweep("cap", sweeps)
+  }
 }
