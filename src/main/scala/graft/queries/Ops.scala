@@ -372,8 +372,8 @@ object Ops {
         COALESCE(o_orderpriority, 'ALL') AS priority,
         COUNT(*) AS num_events,
         CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS num_events_selected,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_w,
-        CAST(SUM(CASE WHEN o_totalprice > 200000 THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_w_selected
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_w,
+        CAST(CAST(SUM(CASE WHEN o_totalprice > 200000 THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS sum_w_selected
       FROM orders
       GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY status, priority""")) { (s, dir) =>

@@ -78,7 +78,7 @@ object Relational {
     "q3_dim_join_revenue",
     oracle = Some("""
       SELECT r_name, n_name,
-        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         COUNT(*) AS n_items
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
@@ -109,7 +109,7 @@ object Relational {
     oracle = Some("""
       SELECT c_mktsegment, o_orderpriority,
         COUNT(DISTINCT o_orderkey) AS n_orders,
-        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -411,7 +411,7 @@ object Relational {
     "q107_local_supplier_volume",
     oracle = Some("""
       SELECT n_name,
-        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         COUNT(*) AS n_items
       FROM customer
       JOIN orders ON c_custkey = o_custkey
@@ -610,7 +610,7 @@ object Relational {
         COALESCE(o_orderpriority, 'ALL') AS priority,
         CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
         COUNT(*) AS n,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                               (o_orderpriority), ())
