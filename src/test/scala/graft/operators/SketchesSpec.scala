@@ -28,6 +28,28 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est("big") - 1960.0) / 1960.0 < 0.3)
   }
 
+  test("kmvSketchFast (xxhash production path): same estimator contract, same merge law") {
+    val df = (1 to 2000).map(i => (if (i <= 40) "small" else "big", s"val$i"))
+      .toDF("g", "v")
+    val est = df.groupBy("g")
+      .agg(Sketches.kmvSketchFast(col("v"), k = 128).as("kmv"))
+      .select(col("g"), Sketches.kmvEstimate(col("kmv"), k = 128).as("est"))
+      .as[(String, Double)].collect().toMap
+    assert(est("small") === 40.0)
+    assert(math.abs(est("big") - 1960.0) / 1960.0 < 0.3)
+    // merge of per-shard sketches == sketch of the whole (same k smallest)
+    val k = 16
+    val whole = df.agg(Sketches.kmvSketchFast(col("v"), k).as("kmv"))
+      .select(col("kmv")).as[Seq[Long]].head()
+    val merged = df.withColumn("shard", pmod(xxhash64(col("v"), lit(7)), lit(4)))
+      .groupBy("shard").agg(Sketches.kmvSketchFast(col("v"), k).as("kmv"))
+      .agg(collect_list(col("kmv")).as("all"))
+      .select(aggregate(col("all"), typedLit(Seq.empty[Long]),
+        (acc, x) => Sketches.kmvMerge(acc, x, k)).as("m"))
+      .as[Seq[Long]].head()
+    assert(merged === whole)
+  }
+
   test("kmvMerge of group sketches equals the sketch of the union") {
     val k = 64
     val df = (1 to 1000).map(i => (s"g${i % 4}", s"item$i")).toDF("g", "v")
