@@ -28,8 +28,17 @@ object BinnedTable {
     * DOUBLE makes both engines run the identical IEEE arithmetic, so
     * ties flip together. (Comparison/axis literals are safe without the
     * cast — mixed DOUBLE/DECIMAL expressions promote to DOUBLE before
-    * any arithmetic — but value lists feed decimal-side arithmetic.) */
-  def dLit(v: Double): String = s"CAST($v AS DOUBLE)"
+    * any arithmetic — but value lists feed decimal-side arithmetic.)
+    *
+    * The literal is QUOTED: `CAST(v AS DOUBLE)` parses `v` as DECIMAL
+    * first, and the decimal→double step double-rounds once the unscaled
+    * value needs > 53 bits (a 17-significant-digit shortest repr, common
+    * in fit-produced payloads), leaving a 1-ulp oracle/Spark gap of
+    * exactly the tie-flip class this helper exists to kill. A
+    * varchar→double cast is a correctly-rounded strtod at ANY magnitude
+    * and renders E-notation / Infinity / NaN (invalid as bare SQL
+    * tokens) uniformly. */
+  def dLit(v: Double): String = s"CAST('$v' AS DOUBLE)"
   def dList(vs: Seq[Double]): String = vs.map(dLit).mkString("[", ", ", "]")
 
   /** 1-D lookup: `values(i)` for the bin of `x` on `axis`; under/overflow

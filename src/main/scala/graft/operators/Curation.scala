@@ -185,12 +185,22 @@ object Curation {
     * collisions rather than depending on their absence.
     *
     * Returns (groupCol, sample_rank 1..k, idCol), best (smallest hash)
-    * first — the window twin's contract with the portable key. */
+    * first — the window twin's contract with the portable key.
+    *
+    * `portable = false` swaps the per-row md5 rank hash for xxhash64 —
+    * the production kernel for a 100 TB run (the sf10 rehearsal showed
+    * md5-per-row scans are hash-bound, q118: 40.7× at 100×; xxhash64 is
+    * a codegen'd builtin with no digest allocation). Same buffer, same
+    * modulus, same tie-break — a DIFFERENT (but equally deterministic,
+    * repartition-stable) sample, so only the md5 form is oracle-mirrored.
+    * Rule: per-row md5 only where a DuckDB oracle must re-derive it. */
   def capPerGroupAgg(docs: DataFrame, k: Int, groupCol: String,
-                     idCol: String = "doc_id", salt: String = "cap"): DataFrame = {
+                     idCol: String = "doc_id", salt: String = "cap",
+                     portable: Boolean = true): DataFrame = {
     val two40 = 1099511627776L // 2^40
+    val key = concat(lit(salt + "|"), col(idCol).cast("string"))
     val h40 = pmod(
-      Seeds.portableHash64(concat(lit(salt + "|"), col(idCol).cast("string"))),
+      if (portable) Seeds.portableHash64(key) else xxhash64(key),
       lit(two40))
     docs.groupBy(col(groupCol))
       .agg(TopK.topK(h40.cast("double"), col(idCol), k, largest = false).as("__top"))
@@ -203,18 +213,24 @@ object Curation {
     * word n-grams that occur in no other document — high novelty marks
     * fresh content, low novelty marks boilerplate/template mass worth
     * down-sampling, and (run corpus-vs-corpus) it is the memorization
-    * screen of Lee et al.'s dedup study. Inverted-index plan: one explode
-    * of distinct grams, one map-side-combined count per gram, one keyed
-    * join back — both exchanges are (gram, count)-shaped and linear in
-    * total gram mass; document text never shuffles. Documents with fewer
-    * than `n` tokens have no grams and drop out (same as the oracle's
-    * inner join). `novel_frac` is a ratio of two exact integers. */
+    * screen of Lee et al.'s dedup study. Inverted-index plan: ONE explode
+    * of distinct grams; df piggybacks as a count window over the gram
+    * partition of that same pass (the [[tfIdfTopK]] trick) rather than a
+    * separate aggregate + self-join — a two-subplan form scans and
+    * re-shingles the whole corpus twice, because partial aggregation
+    * below the exchange defeats exchange reuse, and at 100 TB that is 2×
+    * the dominant cost. Exchanges are (id, gram)-shaped and linear in
+    * total gram mass; document text never shuffles; a boilerplate gram's
+    * window group is df rows of that width, which `WindowExec` spills.
+    * Documents with fewer than `n` tokens have no grams and drop out
+    * (same as the oracle's inner join). `novel_frac` is a ratio of two
+    * exact integers. */
   def ngramNovelty(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol),
-      explode(array_distinct(Text.shingles(col(textCol), n))).as("__s"))
-    val df = sh.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
-    sh.join(df, Seq("__s"))
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col(idCol),
+        explode(array_distinct(Text.shingles(col(textCol), n))).as("__s"))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("__s")))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_grams"),
@@ -283,13 +299,21 @@ object Curation {
     * (corpus/nShards) is sorted, in parallel, by its own window. Changing
     * `salt` produces an independent permutation (per-epoch reshuffles);
     * the result is repartition-stable and engine-portable (md5 hash).
-    * Hash ties (≈2⁻⁶⁴) break on the id, keeping the order total. */
+    * Hash ties (≈2⁻⁶⁴) break on the id, keeping the order total.
+    *
+    * `portable = false` uses xxhash64 for the permutation — the 100 TB
+    * kernel (md5-per-row is hash-bound at corpus scale; see
+    * [[capPerGroupAgg]]). Equally deterministic and repartition-stable,
+    * but a different permutation than the md5 form, which stays the
+    * oracle-re-derivable contract. */
   def deterministicShuffle(df: DataFrame, idCol: String, nShards: Int,
-                           salt: String = "shuffle"): DataFrame = {
+                           salt: String = "shuffle",
+                           portable: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nShards >= 1)
-    val h = graft.functions.Seeds.portableHash64(
-      concat(lit(s"$salt|"), col(idCol).cast("string")))
+    val key = concat(lit(s"$salt|"), col(idCol).cast("string"))
+    val h =
+      if (portable) graft.functions.Seeds.portableHash64(key) else xxhash64(key)
     df.withColumn("__h", h)
       .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
       .withColumn("pos", row_number().over(

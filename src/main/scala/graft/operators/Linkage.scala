@@ -39,19 +39,36 @@ object Linkage {
     * shuffle of the catalog, verify work spread evenly by left id
     * regardless of block skew. Use it when the clean side fits a
     * broadcast (catalogs usually do); leave 0 for the plain equi-join
-    * when both sides are corpus-sized (then AQE skew-split applies). */
+    * when both sides are corpus-sized (then AQE skew-split applies).
+    *
+    * The broadcast is guarded by `maxBroadcastBytes` against the
+    * optimizer's size estimate of the catalog side: an unconditionally
+    * forced broadcast would hit Spark's 8 GB broadcast limit (or driver
+    * OOM) if a caller pointed the "catalog" at a corpus-sized table.
+    * Over the threshold the plan degrades to the shuffle equi-join with
+    * BOTH sides explicitly repartitioned on the block key at
+    * `verifyParallelism` — explicit counts stay exempt from the AQE
+    * verify-stage collapse, and block skew is AQE's skew-join case. */
   def fuzzyPairs(left: DataFrame, right: DataFrame,
                  leftId: String, leftText: String,
                  rightId: String, rightText: String,
                  blockFn: Column => Column, maxDist: Int,
-                 verifyParallelism: Int = 0): DataFrame = {
+                 verifyParallelism: Int = 0,
+                 maxBroadcastBytes: Long = 512L << 20): DataFrame = {
     val l0 = left.select(col(leftId).as("__lid"), col(leftText).as("__ltext"),
       blockFn(col(leftText)).as("__block"))
-    val l = if (verifyParallelism > 0)
-      l0.repartition(verifyParallelism, col("__lid")) else l0
     val r0 = right.select(col(rightId).as("__rid"), col(rightText).as("__rtext"),
       blockFn(col(rightText)).as("__block"))
-    val r = if (verifyParallelism > 0) broadcast(r0) else r0
+    val canBroadcast = verifyParallelism > 0 &&
+      r0.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(maxBroadcastBytes)
+    val l =
+      if (canBroadcast) l0.repartition(verifyParallelism, col("__lid"))
+      else if (verifyParallelism > 0) l0.repartition(verifyParallelism, col("__block"))
+      else l0
+    val r =
+      if (canBroadcast) broadcast(r0)
+      else if (verifyParallelism > 0) r0.repartition(verifyParallelism, col("__block"))
+      else r0
     l.join(r, Seq("__block"))
       // banded O(k·n) threshold check rejects the (overwhelming) majority
       // of candidates without the full O(n·m) DP — levenshtein then runs

@@ -51,10 +51,13 @@ object Multimodal {
     md5(payload).as("content_digest"))
 
   /** Deterministic fake decode for one payload: stands in for the real
-    * codec (`???` marks the seam). Features are reproducible functions of
-    * the bytes so downstream tests are stable. */
+    * codec (`???` marks the remaining seam — PNG is REAL now, see
+    * [[decodePngBatch]]/[[PngDecode]]; JPEG/WebP/MP4 pixel decode still
+    * routes here). Features are reproducible functions of the bytes so
+    * downstream tests are stable. */
   def fakeDecode(bytes: Array[Byte]): (Long, Int, Array[Double]) = {
-    // real implementation: ??? (JNI decode → pixels → feature extractor)
+    // real implementation: ??? (JNI decode → pixels → feature extractor;
+    // the PNG arm is implemented JVM-side in PngDecode)
     val n = bytes.length.toLong
     val first = if (bytes.isEmpty) -1 else bytes(0) & 0xff
     val feat = Array.tabulate(4) { i =>
@@ -84,6 +87,49 @@ object Multimodal {
       rows.map { r =>
         val (n, first, feat) = fakeDecode(r.getAs[Array[Byte]](pIdx))
         Row(r.getLong(idIdx), n, first, feat.toSeq)
+      }
+    }(enc)
+  }
+
+  /** REAL pixel decode through the same partition contract as
+    * [[decodeBatch]] — the PNG arm of the codec seam, filled by
+    * [[PngDecode]] (JDK Inflater + scanline unfilter; no native libs).
+    * Output per payload: dimensions, channel count, and per-channel mean
+    * pixel value (the canonical cheap feature); non-PNG or unsupported
+    * payloads (16-bit, interlaced, truncated, other formats) emit null
+    * stats with `decoded = false` — the cue that they remain on the
+    * stub/JNI seam. Decode is map-side only: payload bytes never shuffle,
+    * codec state is per-partition, and the decompression-bomb guard
+    * (`maxPixels`) bounds per-row memory before inflation. */
+  def decodePngBatch(df: DataFrame, id: String = "doc_id",
+                     payload: String = "payload",
+                     maxPixels: Long = 64L * 1024 * 1024): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(id, LongType),
+      StructField("decoded", BooleanType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("mean_channel", ArrayType(DoubleType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(id)
+    val pIdx = df.schema.fieldIndex(payload)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        PngDecode.decode(r.getAs[Array[Byte]](pIdx), maxPixels) match {
+          case Some(img) =>
+            val sums = new Array[Long](img.channels)
+            var i = 0
+            while (i < img.pixels.length) {
+              sums(i % img.channels) += img.pixels(i) & 0xff
+              i += 1
+            }
+            val nPix = (img.width.toLong * img.height).toDouble
+            Row(r.getLong(idIdx), true, img.width, img.height, img.channels,
+              sums.map(_ / nPix).toSeq)
+          case None =>
+            Row(r.getLong(idIdx), false, null, null, null, null)
+        }
       }
     }(enc)
   }

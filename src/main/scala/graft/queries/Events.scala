@@ -16,7 +16,7 @@ import Compat._
 object Events {
 
   def defs: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q95, q96, q110, q111, q113,
-    q114, q115, q121, q122, q126, q146, q149, q151, q152, q154, q156, q159, q160)
+    q114, q115, q121, q122, q126, q146, q149, q151, q152, q154, q156, q159, q160, q169)
 
   /** JSON field extraction (scalar function family, SURVEY §2.9 date/json). */
   val q14 = QueryDef(
@@ -430,6 +430,56 @@ object Events {
     val edges = clicks.select(col("u").as("src"), col("it").as("dst"))
       .union(clicks.select(col("it").as("src"), col("u").as("dst")))
     graft.operators.Graph.pageRankScaled(edges, iterations = 3)
+      .orderBy(col("rank_scaled").desc, col("node"))
+      .limit(20)
+  }
+
+  /** Mass-conserving PageRank (`Graph.pageRankScaled(conserveMass =
+    * true)`) over the DIRECTED user→item click graph — unlike q122's
+    * symmetrized graph, every item is a sink, so the dangling-mass term
+    * genuinely binds: each iteration gathers Σ rank of the no-out-degree
+    * nodes (a one-row scalar, broadcast) and spreads `D div n` to every
+    * node inside the damped part, keeping Σ rank ≈ scale a loop
+    * invariant. The oracle unrolls the same three iterations INCLUDING
+    * the dangling CTE; all updates are integer floor-divisions of
+    * positive longs (`div` ≡ DuckDB `//`), so the hash match pins the
+    * conservation arithmetic bit-for-bit, not just the ranking. */
+  val q169 = QueryDef(
+    "q169_pagerank_conserve",
+    oracle = Some {
+      def step(i: Int, prev: String) = s"""
+      d$i AS (SELECT COALESCE(SUM(p.r), 0) AS dm
+        FROM $prev p LEFT JOIN deg ON p.node = deg.src WHERE deg.src IS NULL),
+      s$i AS (SELECT e.dst AS node, SUM(r.r // d.d) AS s
+        FROM edges e JOIN $prev r ON e.src = r.node JOIN deg d ON e.src = d.src
+        GROUP BY 1),
+      r$i AS (SELECT nodes.node,
+        CAST(((15 * (1000000000000 // cnt.n)) // 100)
+          + ((85 * (COALESCE(s$i.s, 0) + (d$i.dm // cnt.n))) // 100) AS BIGINT) AS r
+        FROM nodes CROSS JOIN cnt CROSS JOIN d$i
+        LEFT JOIN s$i ON nodes.node = s$i.node)"""
+      s"""
+      WITH edges AS (SELECT DISTINCT user_id AS src,
+          1000000 + CAST(json_extract_string(props, '$$.k') AS BIGINT) AS dst
+        FROM events WHERE event_type = 'click'),
+      nodes AS (SELECT DISTINCT node FROM
+        (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+      cnt AS (SELECT COUNT(*) AS n FROM nodes),
+      deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+      r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes CROSS JOIN cnt),
+      ${step(1, "r0")},
+      ${step(2, "r1")},
+      ${step(3, "r2")}
+      SELECT node, r AS rank_scaled FROM r3
+      ORDER BY rank_scaled DESC, node LIMIT 20"""
+    }) { (s, dir) =>
+    val edges = Tables.load(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("src"),
+        (get_json_object(col("props"), "$.k").cast("long") + 1000000L).as("dst"))
+      .distinct()
+    graft.operators.Graph.pageRankScaled(edges, iterations = 3,
+        conserveMass = true)
       .orderBy(col("rank_scaled").desc, col("node"))
       .limit(20)
   }

@@ -97,7 +97,18 @@ object Compat {
     * (shortest reprs carry ≤ 17 significant digits), and decimal ROUND
     * is half-away-from-zero ≡ HALF_UP on the magnitude — so this form
     * reproduces Spark's result bit-for-bit, ties included. Result is a
-    * DECIMAL(38,d); its double conversion is exact for x < 2^53/10^d. */
-  def roundSql(e: String, d: Int) =
-    s"ROUND(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(38,18)), $d)"
+    * DECIMAL(38,d); its double conversion is exact for x < 2^53/10^d.
+    *
+    * DOMAIN: |x| in [1e-2, 1e19) (or exactly 0). Below 1e-2 the
+    * DECIMAL(38,18) parse silently truncates shortest-repr digits past
+    * scale 18; at >= 1e20 it overflows. Nothing at the call sites
+    * (JecChain factors, pt-scale kinematics) can leave that range today,
+    * but rather than trust that forever the emitted SQL ERRORs loudly on
+    * a domain violation — a red oracle row beats a silent 1-ulp drift. */
+  def roundSql(e: String, d: Int) = {
+    require(d >= 0 && d <= 18, s"roundSql scale out of DECIMAL(38,18) range: $d")
+    s"""(CASE WHEN ($e) <> 0 AND (ABS($e) < 1e-2 OR ABS($e) >= 1e19)
+          THEN CAST(ERROR('roundSql domain: |x| outside [1e-2,1e19)') AS DECIMAL(38,$d))
+          ELSE ROUND(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(38,18)), $d) END)"""
+  }
 }

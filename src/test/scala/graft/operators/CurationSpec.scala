@@ -178,6 +178,48 @@ class CurationSpec extends SparkSpec {
     assert(t === Seq(1L, 2L))
   }
 
+  test("xxhash64 production twins (portable = false): same contracts, different permutation") {
+    val s = spark
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val df = (1L to 500L).map(i => (i, s"g${i % 4}")).toDF("doc_id", "source")
+    // capPerGroupAgg: equals the window twin over the identical xxhash64
+    // 40-bit key, repartition-stable, and ≠ the md5 sample
+    val fast = Curation.capPerGroupAgg(df, 6, "source", portable = false)
+    val h40 = pmod(xxhash64(concat(lit("cap|"), col("doc_id").cast("string"))),
+      lit(1099511627776L))
+    val win = df.withColumn("__h", h40)
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))).cast("long"))
+      .filter(col("sample_rank") <= 6)
+      .select(col("source"), col("sample_rank"), col("doc_id"))
+    assert(fast.orderBy("source", "sample_rank").collect().toSeq ===
+      win.orderBy("source", "sample_rank").collect().toSeq)
+    val fastAgain = Curation.capPerGroupAgg(df.repartition(13), 6, "source", portable = false)
+    assert(fast.orderBy("source", "sample_rank").collect().toSeq ===
+      fastAgain.orderBy("source", "sample_rank").collect().toSeq)
+    assert(fast.orderBy("source", "sample_rank").select("doc_id").as[Long].collect().toSeq !==
+      Curation.capPerGroupAgg(df, 6, "source")
+        .orderBy("source", "sample_rank").select("doc_id").as[Long].collect().toSeq)
+    // deterministicShuffle: still a permutation with contiguous positions,
+    // repartition-stable, and ≠ the md5 permutation
+    val ids = (1L to 300L).toDF("id")
+    val sh = Curation.deterministicShuffle(ids, "id", 4, "e1", portable = false)
+    assert(sh.count() === 300)
+    sh.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), countDistinct("pos").as("nd"))
+      .collect().foreach { r =>
+        assert(r.getAs[Int]("mx").toLong === r.getAs[Long]("n"))
+        assert(r.getAs[Long]("nd") === r.getAs[Long]("n"))
+      }
+    val shAgain = Curation.deterministicShuffle(ids.repartition(7), "id", 4, "e1", portable = false)
+    assert(sh.orderBy("shard", "pos").collect().toSeq ===
+      shAgain.orderBy("shard", "pos").collect().toSeq)
+    assert(sh.orderBy("shard", "pos").select("id").as[Long].collect().toSeq !==
+      Curation.deterministicShuffle(ids, "id", 4, "e1")
+        .orderBy("shard", "pos").select("id").as[Long].collect().toSeq)
+  }
+
   test("ngramNovelty: df==1 grams over distinct grams, short docs drop") {
     val s = spark
     import s.implicits._

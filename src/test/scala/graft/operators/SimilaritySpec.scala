@@ -58,6 +58,32 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("sparseCosinePairs maxDf guard: cap above max df ≡ unguarded; small cap drops stop-word pairs, keeps rare-term pairs, never inflates") {
+    val s = spark
+    import s.implicits._
+    // "the" is a stop word (df=4); "quark"/"gluon" are discriminative
+    val docs = Seq(
+      (1L, "the the quark gluon"), (2L, "the quark gluon"),
+      (3L, "the lepton"), (4L, "the boson"))
+      .toDF("doc_id", "text")
+    def pairs(maxDf: Int) =
+      Similarity.sparseCosinePairs(docs, threshold = 0.1, maxDf = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairs(0)
+    // a cap no term exceeds is bit-identical to the unguarded form
+    assert(pairs(10) === exact)
+    val guarded = pairs(3) // drops "the" (df=4), keeps everything else
+    // guarded output ⊆ unguarded, and every surviving cosine is a lower bound
+    assert(guarded.keySet.subsetOf(exact.keySet))
+    guarded.foreach { case (k, v) => assert(v <= exact(k) + 1e-15) }
+    // pairs that ride only on the stop word vanish; rare-term pairs survive
+    assert(!guarded.contains((3L, 4L)) && exact.contains((3L, 4L)))
+    assert(guarded.contains((1L, 2L)))
+    // norms still use the FULL vector: doc1=(2,1,1,…) doc2=(1,1,1) share
+    // quark+gluon after the cap → dot=2, cos = 2/(√6·√3)
+    assert(guarded((1L, 2L)) === 2.0 / (math.sqrt(6.0) * math.sqrt(3.0)))
+  }
+
   test("semanticDedup keeps the min-id representative per cluster, leaves singletons") {
     val s = spark
     import s.implicits._

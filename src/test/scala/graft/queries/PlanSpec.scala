@@ -249,12 +249,41 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q166: incremental dedup anti-joins digests only — document text never shuffles") {
-    val p = plan("q166_incremental_dedup")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = Registry.queries("q166_incremental_dedup")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("LeftAnti"), s"expected an anti join:\n$p")
-    // every exchange carries digest/id projections, never the text column
-    val shuffled = p.split("Exchange hashpartitioning").drop(1)
-    assert(shuffled.nonEmpty && !p.contains("Exchange hashpartitioning(text"),
-      s"document bodies reach an exchange:\n$p")
+    // every exchange carries digest/id projections, never the text column —
+    // checked on the exchange NODES (partitioning keys at any position AND
+    // the projected output), not a leading-prefix string match, which a
+    // secondary-key shuffle or a text column riding through an exchange's
+    // output would slip past
+    def exchanges(plan: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] =
+      plan.collect {
+        case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+        case s: QueryStageExec => exchanges(s.plan)
+        case e: ShuffleExchangeExec => Seq(e)
+      }.flatten
+    val ex = exchanges(df.queryExecution.executedPlan)
+    assert(ex.nonEmpty, s"expected at least one shuffle in:\n$p")
+    ex.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"document bodies ride through an exchange's output:\n$e")
+      assert(!e.outputPartitioning.toString.matches("(?s).*\\btext#\\d+.*"),
+        s"document bodies are a shuffle partitioning key:\n$e")
+    }
+  }
+
+  test("q167: novelty df folds into the shingle pass — documents scanned once") {
+    val p = plan("q167_ngram_novelty")
+    // the r7 two-subplan form (df aggregate + self-join on the exploded
+    // frame) re-scanned and re-shingled the corpus: partial aggregation
+    // below the exchange defeats exchange reuse, so the parquet scan
+    // appeared twice. The window form shares one scan.
+    val scans = p.split("\n").count(l => l.contains("parquet") && l.contains("documents"))
+    assert(scans == 1, s"expected exactly one scan of documents, saw $scans:\n$p")
+    assert(p.contains("Window"), s"df is not the piggybacked window pass:\n$p")
   }
 
   test("whole-stage codegen covers the scan-filter-project pipeline") {

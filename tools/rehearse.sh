@@ -36,6 +36,16 @@ python3 tools/plandiff.py "$WORK/plans_sf01.txt" "$WORK/plans_sf$SF.txt" \
   | tee "$WORK/plandiff.txt"
 
 echo "== bench @ sf$SF =="
+# Refuse to RECORD a bench from a busy machine: the r7 driver artifact
+# (22.26 s) was sampled while the sf1 DuckDB oracle sweep saturated the
+# other cores, and the clean number (21.27 s) lived only in prose. A
+# bench sample is only meaningful idle — gate on 1-min load average.
+LOAD=$(cut -d' ' -f1 /proc/loadavg)
+MAXLOAD="${GRAFT_BENCH_MAX_LOAD:-4.0}"
+if ! awk -v l="$LOAD" -v m="$MAXLOAD" 'BEGIN{exit !(l <= m)}'; then
+  echo "REFUSING to record bench: 1-min load $LOAD > $MAXLOAD (set GRAFT_BENCH_MAX_LOAD to override)" >&2
+  exit 1
+fi
 SPARK_GRAFT_SF_DIR="$DATA" sbt -batch "runMain graft.Bench" \
   | grep '{"metric"' | tee "$WORK/bench.json"
 
