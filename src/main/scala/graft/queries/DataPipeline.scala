@@ -513,9 +513,9 @@ object DataPipeline {
     * contract is bit-equality with exactly that integer-grid mean. */
   val q58 = QueryDef(
     "q58_embedding_centroids",
-    oracle = Some("""
+    oracle = Some(s"""
       SELECT label, CAST(pos AS INT) AS pos,
-        CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE) / 10000000.0 / COUNT(*) AS centroid
+        CAST(SUM(${Compat.roundToLongSql("CAST(v AS DOUBLE) * 10000000.0")}) AS DOUBLE) / 10000000.0 / COUNT(*) AS centroid
       FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
             FROM embeddings)
       GROUP BY 1, 2
@@ -625,10 +625,10 @@ object DataPipeline {
 
   /** Shared oracle CTEs: grid-exact label centroids + unnested embedding
     * components (the q58 training step re-derived in SQL). */
-  private val centUnnSql = """
+  private val centUnnSql = s"""
       cent AS (
         SELECT label, CAST(pos AS INT) AS pos,
-          CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE) / 10000000.0 / COUNT(*) AS c
+          CAST(SUM(${Compat.roundToLongSql("CAST(v AS DOUBLE) * 10000000.0")}) AS DOUBLE) / 10000000.0 / COUNT(*) AS c
         FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
               FROM embeddings)
         GROUP BY 1, 2),
@@ -688,7 +688,7 @@ object DataPipeline {
             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, label) AS rn
           FROM qd) WHERE rn = 1)
       SELECT a.cluster, u.pos,
-        CAST(SUM(CAST(ROUND(u.v * 10000000.0) AS BIGINT)) AS DOUBLE) / 10000000.0 / COUNT(*) AS centroid,
+        CAST(SUM(${Compat.roundToLongSql("u.v * 10000000.0")}) AS DOUBLE) / 10000000.0 / COUNT(*) AS centroid,
         COUNT(*) AS n
       FROM unn u JOIN asg a USING (vec_id)
       GROUP BY 1, 2

@@ -514,10 +514,15 @@ object Events {
     * scaladoc) — hash-exact. The oracle casts to DECIMAL(19,x), not the
     * minimal widths: 19 digits forces DuckDB onto int128 arithmetic,
     * whose int64 product path overflows once per-user gaps reach days
-    * (micros ~2e11 × value ~5e6 unscaled). */
+    * (micros ~2e11 × value ~5e6 unscaled). The quotient is RATIONAL-
+    * LATTICE (exact decimal / exact decimal), so its decimal ties are
+    * reachable — the num/den doubles convert via the exact VARCHAR route
+    * (the direct decimal cast double-rounds past 2^53 unscaled, which
+    * sf10-sized duration sums exceed) and the final round uses the
+    * Spark-semantics mirror. */
   val q152 = QueryDef(
     "q152_twap",
-    oracle = Some("""
+    oracle = Some(s"""
       WITH e AS (
         SELECT user_id, epoch_us(ts) AS tus, value
         FROM events WHERE value IS NOT NULL),
@@ -526,9 +531,11 @@ object Events {
           LEAD(tus) OVER (PARTITION BY user_id ORDER BY tus) AS nt
         FROM e)
       SELECT user_id, COUNT(*) AS n_intervals,
-        ROUND(CAST(SUM(CAST(value AS DECIMAL(19,4)) * CAST(nt - tus AS DECIMAL(19,0)))
-          AS DOUBLE)
-          / CAST(SUM(CAST(nt - tus AS DECIMAL(19,0))) AS DOUBLE), 6) AS twap
+        CAST(${Compat.roundSql(
+          s"""${Compat.exactDoubleSql(
+            "SUM(CAST(value AS DECIMAL(19,4)) * CAST(nt - tus AS DECIMAL(19,0)))")}
+          / ${Compat.exactDoubleSql("SUM(CAST(nt - tus AS DECIMAL(19,0)))")}""", 6)}
+        AS DOUBLE) AS twap
       FROM iv WHERE nt IS NOT NULL
       GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
     val ev = Tables.load(s, dir, "events")

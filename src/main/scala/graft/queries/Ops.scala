@@ -429,14 +429,33 @@ object Ops {
     * here as a sanity column bounded by the exact values. */
   val q59 = QueryDef(
     "q59_percentiles",
-    oracle = Some("""
+    // percentile interpolation is RATIONAL-LATTICE arithmetic over
+    // lattice data, so true decimal ties at the round scale are reachable
+    // at a large enough fixture. Two-layer mirror: the oracle reproduces
+    // Spark's EXACT interpolation ((hi−pos)·a + (pos−lo)·b on the sorted
+    // list — quantile_cont's internal formula is not contractually the
+    // same IEEE expression, and a 1-ulp pre-round gap flips on ties), and
+    // rounds with the Spark-semantics mirror (Compat.roundSql), not
+    // DuckDB's binary-value ROUND.
+    oracle = Some {
+      def interp(arr: String, p: String) = {
+        val pos = s"((n - 1) * $p)"
+        s"""CASE WHEN FLOOR($pos) = CEIL($pos) THEN $arr[CAST($pos AS BIGINT) + 1]
+            ELSE (CEIL($pos) - $pos) * $arr[CAST(FLOOR($pos) AS BIGINT) + 1]
+               + ($pos - FLOOR($pos)) * $arr[CAST(CEIL($pos) AS BIGINT) + 1] END"""
+      }
+      s"""
+      WITH s AS (
+        SELECT l_returnflag, list_sort(list(CAST(l_quantity AS DOUBLE))) AS q,
+          list_sort(list(CAST(l_extendedprice AS DOUBLE))) AS pr, COUNT(*) AS n
+        FROM lineitem GROUP BY 1)
       SELECT l_returnflag,
-        ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
-        ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90,
-        ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99
-      FROM lineitem
-      GROUP BY 1
-      ORDER BY l_returnflag""")) { (s, dir) =>
+        CAST(${Compat.roundSql(interp("q", "0.5"), 6)} AS DOUBLE) AS p50,
+        CAST(${Compat.roundSql(interp("q", "0.9"), 6)} AS DOUBLE) AS p90,
+        CAST(${Compat.roundSql(interp("pr", "0.99"), 4)} AS DOUBLE) AS price_p99
+      FROM s
+      ORDER BY l_returnflag"""
+    }) { (s, dir) =>
     Tables.load(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(

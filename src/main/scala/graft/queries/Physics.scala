@@ -825,9 +825,9 @@ object Physics {
     * columnflow/production/cms/btag.py:83-350). */
   val q45 = QueryDef(
     "q45_sf_product",
-    oracle = Some("""
+    oracle = Some(s"""
       SELECT l_orderkey AS o_orderkey,
-        CAST(SUM(CAST(ROUND(ln(1 + l_discount), 9) AS DECIMAL(18,9))) AS DOUBLE) AS sum_log_sf,
+        CAST(SUM(CAST(${Compat.roundSql("ln(1 + l_discount)", 9)} AS DECIMAL(18,9))) AS DOUBLE) AS sum_log_sf,
         COUNT(*) AS n_items
       FROM lineitem
       GROUP BY 1
@@ -988,7 +988,7 @@ object Physics {
     * q45 decimal-9 rounding so the per-event product is order-free. */
   val q137 = QueryDef(
     "q137_btag_wp_weight",
-    oracle = Some("""
+    oracle = Some(s"""
       WITH t AS (
         SELECT l_orderkey,
           l_returnflag = 'R' AS tagged,
@@ -996,9 +996,9 @@ object Physics {
           1 + l_discount / 2 AS sf
         FROM lineitem)
       SELECT l_orderkey AS o_orderkey,
-        CAST(SUM(CAST(ROUND(CASE WHEN tagged THEN ln(sf)
-          ELSE ln((1 - sf * eff) / (1 - eff)) END, 9) AS DECIMAL(18,9)))
-          AS DOUBLE) AS sum_log_w,
+        CAST(SUM(CAST(${Compat.roundSql(
+          "CASE WHEN tagged THEN ln(sf) ELSE ln((1 - sf * eff) / (1 - eff)) END", 9)}
+          AS DECIMAL(18,9))) AS DOUBLE) AS sum_log_w,
         CAST(SUM(CASE WHEN tagged THEN 1 ELSE 0 END) AS BIGINT) AS n_tagged,
         COUNT(*) AS n_items
       FROM t GROUP BY 1

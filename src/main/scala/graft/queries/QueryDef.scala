@@ -99,16 +99,34 @@ object Compat {
     * reproduces Spark's result bit-for-bit, ties included. Result is a
     * DECIMAL(38,d); its double conversion is exact for x < 2^53/10^d.
     *
-    * DOMAIN: |x| in [1e-2, 1e19) (or exactly 0). Below 1e-2 the
-    * DECIMAL(38,18) parse silently truncates shortest-repr digits past
-    * scale 18; at >= 1e20 it overflows. Nothing at the call sites
-    * (JecChain factors, pt-scale kinematics) can leave that range today,
-    * but rather than trust that forever the emitted SQL ERRORs loudly on
-    * a domain violation — a red oracle row beats a silent 1-ulp drift. */
+    * MAGNITUDE-ADAPTIVE: a single parse scale can't cover the double
+    * line — DECIMAL(38,18) truncates shortest-repr digits of tiny
+    * magnitudes (17 sig digits starting at decimal position 3+ extend
+    * past scale 18, and the parse ROUNDS there, which can push a
+    * just-below-tie value onto the tie) and overflows at 1e20, while
+    * DECIMAL(38,30) overflows at 1e8. So: |x| < 1e-12 rounds to 0
+    * outright (no tie exists within 1e-12 of the 0.5·10^-d boundary for
+    * d ≤ 11); |x| < 1e7 parses at scale 30 (first sig digit at position
+    * ≤ 12 → repr ends by position 28 — digit-exact); |x| < 1e19 parses
+    * at scale 18 (≤ 9 fraction digits in the repr — digit-exact);
+    * anything larger ERRORs loudly, a red oracle row beating a silent
+    * 1-ulp drift. Verified against the JVM semantics on 56k doubles
+    * including exact decimal ties at every magnitude/sign (round-8
+    * sweep; the tie lattice is the adversarial class). */
   def roundSql(e: String, d: Int) = {
-    require(d >= 0 && d <= 18, s"roundSql scale out of DECIMAL(38,18) range: $d")
-    s"""(CASE WHEN ($e) <> 0 AND (ABS($e) < 1e-2 OR ABS($e) >= 1e19)
-          THEN CAST(ERROR('roundSql domain: |x| outside [1e-2,1e19)') AS DECIMAL(38,$d))
-          ELSE ROUND(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(38,18)), $d) END)"""
+    require(d >= 0 && d <= 11, s"roundSql scale outside the verified [0,11] window: $d")
+    s"""(CASE WHEN ($e) = 0 OR ABS($e) < 1e-12 THEN CAST(0 AS DECIMAL(38,$d))
+          WHEN ABS($e) < 1e7 THEN ROUND(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(38,30)), $d)
+          WHEN ABS($e) < 1e19 THEN ROUND(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(38,18)), $d)
+          ELSE CAST(ERROR('roundSql domain: |x| >= 1e19') AS DECIMAL(38,$d)) END)"""
   }
+
+  /** [[roundSql]] to the integer grid, surfaced as BIGINT — the oracle
+    * mirror of grid quantization (`round(v*grid)` → long sums). Same
+    * HALF_UP-on-shortest-repr semantics; the BIGINT guard trips before
+    * the cast could wrap. */
+  def roundToLongSql(e: String) =
+    s"""(CASE WHEN ABS($e) >= 1e18
+          THEN CAST(ERROR('roundToLongSql domain: |x| >= 1e18') AS BIGINT)
+          ELSE CAST(${roundSql(e, 0)} AS BIGINT) END)"""
 }
