@@ -24,7 +24,32 @@ for name in sorted(os.listdir(outdir)):
         print(f"{name:32s} rows-only: {len(spark_df)} rows")
         continue
     try:
-        oracle_df = con.execute(oracles[name]).df()
+        # Optional per-oracle wall-clock cap (seconds) for scale sweeps:
+        # a quadratic oracle that slipped the exclusion list should log a
+        # timeout and let the sweep continue, not hang it. Uses DuckDB's
+        # interrupt() from a watchdog thread; 0/unset = no cap.
+        cap = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0"))
+        if cap > 0:
+            import threading
+            done = threading.Event()
+            def _watchdog():
+                if not done.wait(cap) and not done.is_set():
+                    con.interrupt()
+            t = threading.Thread(target=_watchdog, daemon=True)
+            t.start()
+            try:
+                oracle_df = con.execute(oracles[name]).df()
+            finally:
+                done.set()
+                t.join()
+                # absorb a late interrupt that landed after completion so
+                # it cannot cancel the NEXT oracle
+                try:
+                    con.execute("SELECT 1")
+                except Exception:
+                    pass
+        else:
+            oracle_df = con.execute(oracles[name]).df()
     except Exception as e:
         print(f"{name:32s} ORACLE SQL ERROR: {e}")
         fails.append(name)

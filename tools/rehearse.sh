@@ -52,6 +52,8 @@ SPARK_GRAFT_SF_DIR="$DATA" sbt -batch "runMain graft.Bench" \
 echo "== strict oracle sweep @ sf$SF (excluding all-pairs ground truths) =="
 SPARK_GRAFT_CPUS=32 sbt -batch \
   "runMain graft.Verify $DATA $WORK/verify !$QUADRATIC_ORACLES"
-python3 tools/check.py "$DATA" "$WORK/verify"
+# 15-min cap per oracle: a super-linear oracle that slipped the exclusion
+# list logs a timeout and the sweep continues (see check.py)
+GRAFT_ORACLE_TIMEOUT="${GRAFT_ORACLE_TIMEOUT:-900}" python3 tools/check.py "$DATA" "$WORK/verify"
 
 echo "REHEARSAL OK — artifacts in $WORK"
