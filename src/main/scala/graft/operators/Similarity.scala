@@ -130,17 +130,59 @@ object Similarity {
 
   /** Embedding near-duplicate pairs within cells: cosine ≥ threshold.
     * The cell constraint is the blocking strategy; an unblocked variant at
-    * scale would use random-hyperplane LSH exactly like Dedup.simhash. */
+    * scale would use random-hyperplane LSH exactly like Dedup.simhash.
+    *
+    * `buckets` decouples the pair stage's PARALLELISM from the cell
+    * count — the trap the round-8 sf10 rehearsal caught live: a plain
+    * within-cell self-join hash-partitions on the cell key, so with C
+    * distinct cells at most C tasks exist no matter how large the pair
+    * space is (the fixtures' 10 labels × 2M vectors serialized 2·10⁹
+    * cosine evaluations onto one core; AQE then coalesces further,
+    * because it sees the tiny shuffle INPUT, not the quadratic join
+    * OUTPUT — the q140 lesson, one operator over). With `buckets = B`,
+    * each row hashes to a bucket and the join runs the standard
+    * triangular block grid: the A side replicates a bucket-b row to
+    * blocks (b, j ≥ b), the B side to blocks (i ≤ b, b), the join key is
+    * (cell, i, j) — C·B(B+1)/2 keys — and same-bucket blocks keep the
+    * id-order filter while cross-bucket blocks are already pair-unique.
+    * The result SET is exactly the unbucketed one (pinned in
+    * `SimilaritySpec`); the cost is ≤ (B+1)/2 replication of each side's
+    * shuffle, bought back as B²-fold parallelism. `pairParallelism` (> 0)
+    * additionally pins both sides to an explicit partition count on the
+    * block key — explicit counts are exempt from AQE input-size
+    * coalescing, exactly like `Linkage.verifyParallelism`. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
                    cell: String, id: String = "vec_id",
-                   vec: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(cell).as("cell_a"), col(id).as("id_a"),
-      col(vec).as("v_a"), norm(col(vec)).as("__na"))
-    val b = corpus.select(col(cell).as("cell_b"), col(id).as("id_b"),
-      col(vec).as("v_b"), norm(col(vec)).as("__nb"))
-    a.join(b, col("cell_a") === col("cell_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        safeDiv(dot(col("v_a"), col("v_b")), col("__na") * col("__nb")).as("cos"))
+                   vec: String = "embedding",
+                   buckets: Int = 1, pairParallelism: Int = 0): DataFrame = {
+    require(buckets >= 1)
+    val base = corpus.select(col(cell).as("__cell"), col(id).as("__id"),
+      col(vec).as("__v"), norm(col(vec)).as("__n"),
+      pmod(xxhash64(col(id).cast("string")), lit(buckets.toLong)).cast("int").as("__b"))
+    def pin(df: DataFrame, keys: Column*): DataFrame =
+      if (pairParallelism > 0) df.repartition(pairParallelism, keys: _*) else df
+    val joined =
+      if (buckets == 1) {
+        val a = pin(base.as("a"), col("__cell"))
+        val b = pin(base.as("b"), col("__cell"))
+        a.join(b, col("a.__cell") === col("b.__cell") &&
+          col("a.__id") < col("b.__id"))
+      } else {
+        val aSide = pin(
+          base.withColumn("__j", explode(sequence(col("__b"), lit(buckets - 1)))).as("a"),
+          col("__cell"), col("__b"), col("__j"))
+        val bSide = pin(
+          base.withColumn("__i", explode(sequence(lit(0), col("__b")))).as("b"),
+          col("__cell"), col("__i"), col("__b"))
+        aSide.join(bSide,
+          col("a.__cell") === col("b.__cell") &&
+            col("a.__b") === col("b.__i") && col("a.__j") === col("b.__b") &&
+            (col("a.__b") < col("b.__b") || col("a.__id") < col("b.__id")))
+      }
+    joined.select(
+      least(col("a.__id"), col("b.__id")).as("id_a"),
+      greatest(col("a.__id"), col("b.__id")).as("id_b"),
+      safeDiv(dot(col("a.__v"), col("b.__v")), col("a.__n") * col("b.__n")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -156,8 +198,10 @@ object Similarity {
     * is a trained IVF/k-means partition ([[Quantize]]), exactly the
     * SemDeDup recipe; any blocking column works. */
   def semanticDedup(corpus: DataFrame, threshold: Double, cell: String,
-                    id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val comps = Dedup.components(nearDupPairs(corpus, threshold, cell, id, vec))
+                    id: String = "vec_id", vec: String = "embedding",
+                    buckets: Int = 1, pairParallelism: Int = 0): DataFrame = {
+    val comps = Dedup.components(
+      nearDupPairs(corpus, threshold, cell, id, vec, buckets, pairParallelism))
     val dropped = comps.filter(col("id") =!= col("component")).select(col("id"))
     corpus.join(dropped, corpus(id) === dropped("id"), "left_anti")
   }

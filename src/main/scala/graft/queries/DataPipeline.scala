@@ -373,8 +373,12 @@ object DataPipeline {
           ON a.label = q.label AND a.vec_id < q.vec_id)
       SELECT id_a, id_b, ROUND(c, 6) AS cos6 FROM p WHERE c >= 0.4
       ORDER BY id_a, id_b""")) { (s, dir) =>
+    // bucketed block grid (exact same pair set): 10 fixture labels would
+    // otherwise bound the pair stage to 10 tasks — at sf10 that serialized
+    // 2e9 cosine evaluations onto one core (SCALE.md round 8)
     Similarity.nearDupPairs(
-      Tables.load(s, dir, "embeddings"), threshold = 0.4, cell = "label")
+      Tables.load(s, dir, "embeddings"), threshold = 0.4, cell = "label",
+      buckets = 8, pairParallelism = 32)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos6"))
       .orderBy("id_a", "id_b")
   }
@@ -393,7 +397,7 @@ object DataPipeline {
     oracle = Some(s"""
       WITH cent AS (
         SELECT label, CAST(pos AS INT) AS pos,
-          CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE) / 10000000.0 / COUNT(*) AS c
+          CAST(SUM(${Compat.roundToLongSql("CAST(v AS DOUBLE) * 10000000.0")}) AS DOUBLE) / 10000000.0 / COUNT(*) AS c
         FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
               FROM embeddings)
         GROUP BY 1, 2),
@@ -447,7 +451,7 @@ object DataPipeline {
     oracle = Some(s"""
       WITH cent AS (
         SELECT label, CAST(pos AS INT) AS pos,
-          CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE) / 10000000.0 / COUNT(*) AS c
+          CAST(SUM(${Compat.roundToLongSql("CAST(v AS DOUBLE) * 10000000.0")}) AS DOUBLE) / 10000000.0 / COUNT(*) AS c
         FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
               FROM embeddings)
         GROUP BY 1, 2),
@@ -1801,7 +1805,8 @@ object DataPipeline {
         (SELECT CAST(COALESCE(SUM(id), 0) AS BIGINT) FROM dropped) AS dropped_id_sum""")) { (s, dir) =>
     val emb = Tables.load(s, dir, "embeddings")
     val comps = graft.operators.Dedup.components(
-      Similarity.nearDupPairs(emb, threshold = 0.4, cell = "label"))
+      Similarity.nearDupPairs(emb, threshold = 0.4, cell = "label",
+        buckets = 8, pairParallelism = 32))
     val dropped = comps.filter(col("id") =!= col("component"))
     emb.agg(count(lit(1)).as("n_total"))
       .crossJoin(comps.agg(

@@ -84,6 +84,36 @@ class SimilaritySpec extends SparkSpec {
     assert(guarded((1L, 2L)) === 2.0 / (math.sqrt(6.0) * math.sqrt(3.0)))
   }
 
+  test("bucketed nearDupPairs ≡ plain within-cell self-join (exact pair set, any B)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    // 3 cells of uneven size incl. a singleton; vectors clustered so a
+    // nontrivial subset of pairs crosses the 0.8 threshold
+    val emb = (1L to 60L).map { i =>
+      val c = if (i <= 40) "a" else if (i <= 59) "b" else "c"
+      val base = if (i % 3 == 0) Seq(1.0f, 0.1f, 0f) else Seq(0.1f, 1.0f, 0.3f)
+      (i, base.map(v => v + rnd.nextFloat() * 0.2f), c)
+    }.toDF("vec_id", "embedding", "cell")
+    def pairs(b: Int, p: Int) =
+      Similarity.nearDupPairs(emb, threshold = 0.8, cell = "cell",
+          buckets = b, pairParallelism = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = pairs(1, 0)
+    assert(plain.nonEmpty && plain.exists(p => p._3 < 0.999), "fixture too degenerate")
+    // every bucket count and the explicit-parallelism pin give the SAME set
+    for (b <- Seq(2, 3, 8, 64); p <- Seq(0, 16))
+      assert(pairs(b, p) === plain, s"buckets=$b parallelism=$p diverged")
+    // ids stay canonically ordered in the bucketed path too
+    assert(pairs(8, 16).forall(p => p._1 < p._2))
+    // semanticDedup keep-set is bucketing-invariant as well
+    val kept1 = Similarity.semanticDedup(emb, 0.8, "cell")
+      .select("vec_id").as[Long].collect().toSet
+    val kept8 = Similarity.semanticDedup(emb, 0.8, "cell", buckets = 8, pairParallelism = 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept8 === kept1)
+  }
+
   test("semanticDedup keeps the min-id representative per cluster, leaves singletons") {
     val s = spark
     import s.implicits._
