@@ -580,8 +580,12 @@ object Events {
     * as-of join (`TemporalJoin.forwardAsOfJoin`: time-negated union-sort
     * — one shuffle per hop, zero candidate pairs), where q115's
     * unconstrained funnel only needed first-occurrence times. The oracle
-    * states each hop as the correlated MIN over an inequality join —
-    * the formulation that blows up quadratically per user at scale. */
+    * states each hop as a DuckDB forward ASOF join (smallest c.t ≥ v.t,
+    * window applied after) — value-identical to the correlated
+    * MIN-over-inequality formulation it replaced, which blew up
+    * quadratically per user (the sf10 sweep's 30-min oracle interrupt:
+    * per-user view×click cross products are Σ|user|², exactly the cost
+    * the Spark side's union-sort plan avoids). */
   val q160 = QueryDef(
     "q160_funnel_windows",
     oracle = Some("""
@@ -595,15 +599,17 @@ object Events {
         SELECT DISTINCT user_id, epoch_us(ts) AS t FROM events
         WHERE event_type = 'purchase'),
       vc AS (
-        SELECT v.event_id, v.user_id, MIN(c.t) AS ct
-        FROM v LEFT JOIN c ON c.user_id = v.user_id
-          AND c.t >= v.t AND c.t - v.t <= 3600000000
-        GROUP BY 1, 2),
+        SELECT v.event_id, v.user_id,
+          CASE WHEN c.t IS NOT NULL AND c.t - v.t <= 3600000000
+               THEN c.t END AS ct
+        FROM v ASOF LEFT JOIN c
+          ON v.user_id = c.user_id AND v.t <= c.t),
       vcp AS (
-        SELECT vc.event_id, MIN(p.t) AS pt
-        FROM vc JOIN p ON vc.ct IS NOT NULL AND p.user_id = vc.user_id
-          AND p.t >= vc.ct AND p.t - vc.ct <= 86400000000
-        GROUP BY 1)
+        SELECT w.event_id,
+          CASE WHEN p.t IS NOT NULL AND p.t - w.ct <= 86400000000
+               THEN p.t END AS pt
+        FROM (SELECT * FROM vc WHERE ct IS NOT NULL) w
+        ASOF LEFT JOIN p ON w.user_id = p.user_id AND w.ct <= p.t)
       SELECT COUNT(*) AS n_views,
         CAST(SUM(CASE WHEN ct IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
           AS n_clicked,
