@@ -22,7 +22,13 @@ DATA="$WORK/data"
 # label-clustered embeddings connect EVERY within-label pair at τ=0.4
 # (10 components of 2k/20k at sf1), so the closure is the corpus squared.
 # The Spark side (min-label propagation, linear per iteration) runs fine.
-QUADRATIC_ORACLES="q35_jaccard_blocked,q36_minhash_lsh,q37_simhash,q92_containment_pairs,q140_fuzzy_join,q145_prefix_join,q155_sparse_cosine,q168_semantic_dedup"
+# q40: the rehearsal fixtures cluster embeddings so tightly by label that
+# EVERY within-label pair passes tau=0.4 (measured 4510/4510 on a 300-row
+# sample at sf10) — the pair LIST is corpus-squared BY FIXTURE SHAPE
+# (2e9 rows at sf10), infeasible to dump or compare on either engine. The
+# operator's scale path (bucketed block grid, pairParallelism) is pinned
+# in SimilaritySpec and oracled at driver scale, where thresholds bind.
+QUADRATIC_ORACLES="q35_jaccard_blocked,q36_minhash_lsh,q37_simhash,q92_containment_pairs,q140_fuzzy_join,q145_prefix_join,q155_sparse_cosine,q168_semantic_dedup,q40_embedding_dedup"
 
 mkdir -p "$WORK"
 
