@@ -191,13 +191,18 @@ object Weights {
     * order priorities; an "exclusive" dataset covers only the URGENT leaf. */
   val q64 = QueryDef(
     "q64_stitching",
-    oracle = Some("""
+    // exactDoubleSql, not a bare decimal→double cast: orders' price sum
+    // passes unscaled 2^53 at sf10 (2.3e16), where DuckDB's direct cast
+    // double-rounds while Scala's BigDecimal.toDouble (the driver-side
+    // solve) is correctly rounded — the br/norm ratios then differ at the
+    // last ulp (caught by the round-8 sf10 full sweep)
+    oracle = Some(s"""
       WITH s AS (
         SELECT o_orderpriority,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sumw
+          ${Compat.exactDoubleSql("SUM(CAST(o_totalprice AS DECIMAL(18,4)))")} AS sumw
         FROM orders GROUP BY 1),
       t AS (
-        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        SELECT ${Compat.exactDoubleSql("SUM(CAST(o_totalprice AS DECIMAL(18,4)))")} AS total
         FROM orders)
       SELECT o_orderpriority, sumw,
         sumw / total AS br,
