@@ -188,10 +188,12 @@ class PayloadSpec extends SparkSpec {
     val s1 = cs("jet_sf").sql("pt" -> "l_pt", "syst" -> "l_syst")
     assert(s1.contains("l_pt") && s1.contains("l_syst") && s1.contains("CASE"))
     val s2 = cs("veto").sql("x" -> "a", "y" -> "b")
-    // value literals are DOUBLE-pinned (BinnedTable.dLit) — bare decimals
-    // would run exact decimal arithmetic oracle-side and flip round ties
+    // value literals are DOUBLE-pinned through a QUOTED varchar cast
+    // (BinnedTable.dLit) — bare decimals would run exact decimal
+    // arithmetic oracle-side and flip round ties, and the unquoted
+    // CAST(v AS DOUBLE) form double-rounds 17-digit payload values
     assert(s2.contains(
-      "[CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE), CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE)]"))
+      "[CAST('1.0' AS DOUBLE), CAST('2.0' AS DOUBLE), CAST('3.0' AS DOUBLE), CAST('4.0' AS DOUBLE)]"))
     val s3 = cs("smooth").sql("rho" -> "r")
     assert(s3.contains("CASE WHEN"))
   }
