@@ -793,9 +793,14 @@ object Events {
         SELECT user_id, epoch_us(ts) AS tus FROM events
         WHERE event_type = 'click'),
       pit AS (
+        -- backward ASOF ≡ the interval-containment join: SCD2 intervals
+        -- tile time per user (eff_to = successor's eff_from), so the max
+        -- eff_from ≤ tus IS the containing interval; the band form
+        -- materialized per-user clicks × history cross products and blew
+        -- the sf10 sweep's 30-min oracle cap
         SELECT c.user_id, h.tier
-        FROM clicks c LEFT JOIN h ON c.user_id = h.user_id
-          AND h.eff_from <= c.tus AND (h.eff_to IS NULL OR c.tus < h.eff_to))
+        FROM clicks c ASOF LEFT JOIN h
+          ON c.user_id = h.user_id AND h.eff_from <= c.tus)
       SELECT COALESCE(tier, 'none') AS tier,
         COUNT(*) AS n_clicks,
         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users

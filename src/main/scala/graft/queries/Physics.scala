@@ -457,8 +457,11 @@ object Physics {
           val sf = tes.sql("dm" -> "dm", "syst" -> s"'$syst'")
           s"CASE WHEN genmatch < 1 OR genmatch > 5 THEN 1.0 ELSE $sf END"
         }
+        // exactDoubleSql: per-returnflag scale-5 sums pass unscaled 2^53
+        // at sf10 (20M rows × pt≈1e5 → 2e17), where DuckDB's direct
+        // decimal→double cast double-rounds — the sweep's 2⁻¹⁴ diff
         def member(syst: String) =
-          s"CAST(SUM(CAST(pt * (${scale(syst)}) AS DECIMAL(18,5))) AS DOUBLE) AS sum_$syst"
+          s"${Compat.exactDoubleSql(s"SUM(CAST(pt * (${scale(syst)}) AS DECIMAL(18,5)))")} AS sum_$syst"
         s"""
         WITH t AS (
           SELECT l_returnflag, l_extendedprice AS pt,
