@@ -123,20 +123,40 @@ object Graph {
     * with two self-joins under the a<b<c total order, so each triangle is
     * counted exactly once.
     *
-    * Scale shape: both joins hash-partition the edge list on a single
-    * vertex column (`b`, then `(a, c)` as a composite) — shuffle volume is
-    * |wedges|, the same bound as any distributed triangle algorithm
-    * (node-iterator). Hub-vertex skew is the classic hazard; AQE's skew
-    * split handles it at runtime, and the a<b<c orientation already
-    * halves wedge fan-out versus the naive direction-free join. Counts
-    * are exact longs — order-free, engine-portable. */
+    * Scale shape: DEGREE-ORDERED orientation (compact-forward). The id
+    * orientation alone leaves hub vertices emitting deg² wedges — the
+    * round-8 sf10 rehearsal measured it directly: the click graph's hubs
+    * spilled more wedge mass than the machine's free disk. Orienting
+    * every edge from its lower-(degree, id) endpoint to the higher one
+    * bounds each vertex's OUT-degree by O(√m) amortized, so total wedge
+    * volume is O(m^1.5) instead of Σdeg² — the standard bound for exact
+    * distributed triangle counting — while each triangle {x,y,z} (π-order
+    * x<y<z) is still counted exactly once via its unique wedge (x→y, x→z)
+    * closed by x's π-smaller leg: edge y→z. Both joins hash-partition on
+    * a vertex column; per-source wedge groups are outdeg-bounded, so no
+    * hub key dominates a task. Counts are exact longs — order-free,
+    * engine-portable. */
   def triangleCount(edges: DataFrame): DataFrame = {
-    val ab = edges.select(col("a"), col("b"))
-    val bc = edges.select(col("a").as("b"), col("b").as("c"))
-    val ac = edges.select(col("a").as("a2"), col("b").as("c2"))
-    val wedges = ab.join(bc, "b") // a < b < c by construction
-    val tri = wedges.join(ac,
-      wedges("a") === ac("a2") && wedges("c") === ac("c2"))
+    val und = edges.select(col("a"), col("b"))
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("s"), col("b").as("t"), col("db").as("dt")))
+          .otherwise(struct(col("b").as("s"), col("a").as("t"), col("da").as("dt")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+      .localCheckpoint() // materialize once: wedge AND closure sides reuse it
+    val w = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") &&
+          (col("e1.dt") < col("e2.dt") ||
+            (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
+      .select(col("e1.t").as("u"), col("e2.t").as("w"))
+    val tri = w.join(oriented.select(col("s").as("u"), col("t").as("w")), Seq("u", "w"))
     // tag-and-union instead of crossJoining the two one-row aggregates:
     // one aggregation, no join operator between scalar results
     edges.select(lit(1L).as("__e"), lit(0L).as("__t"))

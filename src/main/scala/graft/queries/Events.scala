@@ -772,6 +772,13 @@ object Events {
     * shuffle, no candidate pairs) instead of the quadratic
     * BETWEEN-theta-join the naive SQL would run. Clicks before a user's
     * first purchase report tier 'none' (left-outer). */
+  // q146 oracle note: the `pit` CTE states containment as a backward ASOF
+  // join — SCD2 intervals tile time per user (eff_to = successor's
+  // eff_from), so the max eff_from ≤ tus IS the containing interval. The
+  // band-join form materialized per-user clicks × history cross products
+  // and blew the sf10 sweep's 30-min oracle cap. (No `--` comments inside
+  // oracle SQL: the dump collapses newlines, so a line comment would
+  // swallow the rest of the query.)
   val q146 = QueryDef(
     "q146_pit_join",
     oracle = Some("""
@@ -793,11 +800,6 @@ object Events {
         SELECT user_id, epoch_us(ts) AS tus FROM events
         WHERE event_type = 'click'),
       pit AS (
-        -- backward ASOF ≡ the interval-containment join: SCD2 intervals
-        -- tile time per user (eff_to = successor's eff_from), so the max
-        -- eff_from ≤ tus IS the containing interval; the band form
-        -- materialized per-user clicks × history cross products and blew
-        -- the sf10 sweep's 30-min oracle cap
         SELECT c.user_id, h.tier
         FROM clicks c ASOF LEFT JOIN h
           ON c.user_id = h.user_id AND h.eff_from <= c.tus)
