@@ -196,17 +196,18 @@ object DataPipeline {
     * the matrix is bit-identical across engines and partitionings. */
   val q150 = QueryDef(
     "q150_gram_matrix",
-    oracle = Some("""
+    oracle = Some(s"""
       WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
       c AS (
         SELECT a.i AS ii, b.i AS jj,
-          SUM(CAST(ROUND(CAST(embedding[a.i] AS DOUBLE)
-            * CAST(embedding[b.i] AS DOUBLE), 9) AS DECIMAL(18,9))) AS g
+          SUM(CAST(${Compat.roundSql(
+            "CAST(embedding[a.i] AS DOUBLE) * CAST(embedding[b.i] AS DOUBLE)",
+            9)} AS DECIMAL(18,9))) AS g
         FROM embeddings CROSS JOIN idx a CROSS JOIN idx b
         WHERE b.i >= a.i
         GROUP BY 1, 2)
       SELECT CAST(ii - 1 AS INT) AS i, CAST(jj - 1 AS INT) AS j,
-        CAST(g AS DOUBLE) AS g
+        ${Compat.exactDoubleSql("g")} AS g
       FROM c ORDER BY i, j""")) { (s, dir) =>
     graft.ml.Features.gramUpper(
         Tables.load(s, dir, "embeddings"), col("embedding"))
