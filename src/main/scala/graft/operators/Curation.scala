@@ -67,6 +67,67 @@ object Curation {
       .filter(col("df") >= minDf)
   }
 
+  /** Corpus-level duplicated-line removal with document reassembly — the
+    * CCNet/RefinedWeb-style line dedup that REWRITES documents: a line
+    * (any `sep`-delimited segment) occurring in ≥ `minDf` distinct
+    * documents is boilerplate (navigation chrome, cookie banners, license
+    * headers) and is dropped from every document; surviving lines are
+    * re-joined in their original order. Returns one row per input
+    * document: (idCol, kept_text, n_removed, n_lines). Documents whose
+    * every line is boilerplate come back with `kept_text = ""` — the
+    * caller's cue to drop them entirely.
+    *
+    * Reference scope: columnflow treats documents as opaque payloads
+    * (columnar_util.py routes columns, never rewrites text); this is the
+    * pretraining-corpus operation layered on the same engine.
+    *
+    * Scale (100 TB corpus):
+    *   - the df aggregate groups on the line's md5 KEY, not the line text
+    *     — the exchange carries (16-byte key, doc_id) pairs with map-side
+    *     partial aggregation, never line bodies;
+    *   - the hot set is structurally tiny (lines repeated across ≥ minDf
+    *     documents are boilerplate mass, bounded by template vocabulary,
+    *     not corpus size) and BROADCASTS, so flagging is map-side;
+    *   - the one corpus-sized exchange is the reassembly groupBy(id) —
+    *     inherent to rewriting documents; each group is one document's
+    *     own lines, so no key is ever larger than its document.
+    *
+    * `portable = true` keys lines with md5 (engine-re-derivable — the
+    * oracle contract, q170); `portable = false` swaps xxhash64 for the
+    * per-line key, the production kernel for hash-bound corpus scans
+    * (same rule as [[deterministicShuffle]]: per-row md5 only where a
+    * DuckDB oracle must re-derive it). Either key treats a collision as
+    * a shared line — at 128/64 bits across a ≤ template-vocabulary hot
+    * set, vanishing. */
+  def dedupLines(docs: DataFrame, minDf: Long, sep: String = "\n",
+                 idCol: String = "doc_id", textCol: String = "text",
+                 portable: Boolean = true): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(
+        split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__line")))
+      .withColumn("__k",
+        if (portable) md5(col("__line")) else xxhash64(col("__line")).cast("string"))
+    val hot = lines
+      .groupBy(col("__k"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__k"), lit(true).as("__hot"))
+    lines
+      .join(broadcast(hot), Seq("__k"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            filter(
+              sort_array(collect_list(struct(col("__pos").as("p"),
+                coalesce(col("__hot"), lit(false)).as("h"), col("__line").as("l")))),
+              s => !s.getField("h")),
+            s => s.getField("l")),
+          sep).as("kept_text"),
+        sum(when(col("__hot"), 1L).otherwise(0L)).as("n_removed"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** Within-document repetition stats (the Gopher-style quality signal):
     * total and distinct n-gram counts and the duplicate-n-gram fraction
     * `1 − distinct/total` (null for documents with no n-grams). Pure

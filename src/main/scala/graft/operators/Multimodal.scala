@@ -134,6 +134,66 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL audio decode through the same partition contract — the WAV/PCM
+    * arm of the codec seam, filled by [[WavDecode]] (RIFF chunk walk, 8/16
+    * bit integer PCM; no native libs). Output per payload: stream
+    * parameters plus the canonical cheap per-channel features — peak
+    * amplitude, RMS, and zero-crossing count. All integer arithmetic is
+    * exact (sum-of-squares in longs: 16-bit samples square to < 2³¹, so
+    * even `maxFrames` clips stay far from 2⁶³); the only doubles are the
+    * final duration and RMS divisions. Non-WAV / float-PCM / truncated
+    * payloads emit `decoded = false` with null stats — the null-cue
+    * contract shared with [[decodePngBatch]]. Map-side only: payload
+    * bytes never shuffle. */
+  def decodeWavBatch(df: DataFrame, id: String = "doc_id",
+                     payload: String = "payload",
+                     maxFrames: Long = 16L * 1024 * 1024): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(id, LongType),
+      StructField("decoded", BooleanType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("bits", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("duration_s", DoubleType),
+      StructField("peak", ArrayType(IntegerType)),
+      StructField("rms", ArrayType(DoubleType)),
+      StructField("zero_crossings", ArrayType(LongType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(id)
+    val pIdx = df.schema.fieldIndex(payload)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        WavDecode.decode(r.getAs[Array[Byte]](pIdx), maxFrames) match {
+          case Some(w) =>
+            val ch = w.channels
+            val peak = new Array[Int](ch)
+            val sumSq = new Array[Long](ch)
+            val zc = new Array[Long](ch)
+            val neg = new Array[Boolean](ch) // previous sample's sign state
+            var i = 0
+            while (i < w.samples.length) {
+              val c = i % ch
+              val v = w.samples(i)
+              val a = math.abs(v)
+              if (a > peak(c)) peak(c) = a
+              sumSq(c) += v.toLong * v
+              val isNeg = v < 0
+              if (i >= ch && isNeg != neg(c)) zc(c) += 1
+              neg(c) = isNeg
+              i += 1
+            }
+            Row(r.getLong(idIdx), true, w.sampleRate, ch, w.bitsPerSample,
+              w.nFrames, w.nFrames.toDouble / w.sampleRate,
+              peak.toSeq, sumSq.map(s => math.sqrt(s.toDouble / w.nFrames)).toSeq,
+              zc.toSeq)
+          case None =>
+            Row(r.getLong(idIdx), false, null, null, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** Big-endian uint32 read from payload bytes [off, off+3] (1-based). */
   private def be32(payload: Column, off: Int): Column =
     conv(hex(substring(payload, off, 4)), 16, 10).cast("long")

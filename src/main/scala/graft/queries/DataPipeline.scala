@@ -16,7 +16,7 @@ object DataPipeline {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
     q102, q106, q108, q116, q117, q118, q118f, q119, q120, q125, q127, q139, q140, q141, q143,
-    q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168)
+    q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -1819,5 +1819,49 @@ object DataPipeline {
       .withColumn("n_kept", col("n_total") - col("n_dropped"))
       .select(col("n_total"), col("n_in_clusters"), col("n_clusters"),
         col("n_dropped"), col("n_kept"), col("dropped_id_sum"))
+  }
+
+  /** Corpus-level line dedup with document REWRITE (`Curation.dedupLines`,
+    * the CCNet/RefinedWeb boilerplate-line removal): the fixture docs are
+    * single-line word streams, so the query first reshapes each document
+    * into 3-word lines (the q67 synthetic-structure idiom — both engines
+    * run the identical reshape), then drops every line occurring in ≥ 5
+    * distinct documents and reassembles the survivors in order. The
+    * operator's df aggregate keys on md5(line) so line BODIES never ride
+    * its exchange; the hot set (bounded by template vocabulary, not
+    * corpus size) broadcasts; the only corpus-sized shuffle is the
+    * reassembly groupBy(doc_id). The oracle re-derives hot lines and the
+    * ordered reassembly independently (string_agg FILTER ORDER BY). */
+  val q170 = QueryDef(
+    "q170_line_dedup",
+    oracle = Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      l AS (SELECT doc_id, ws,
+              unnest(generate_series(0,
+                CAST(floor((len(ws) + 2) / 3.0) AS BIGINT) - 1)) AS i
+            FROM w),
+      lines AS (SELECT doc_id, i AS pos,
+                  array_to_string(ws[(i*3+1):(i*3+3)], ' ') AS line
+                FROM l),
+      hot AS (SELECT line FROM lines
+              GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 5),
+      f AS (SELECT doc_id, pos, line,
+              line IN (SELECT line FROM hot) AS h
+            FROM lines)
+      SELECT doc_id,
+        COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT h),
+                 '') AS kept_text,
+        CAST(SUM(CASE WHEN h THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        COUNT(*) AS n_lines
+      FROM f GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val ws = split(col("text"), " ")
+    val nl = floor((size(ws) + lit(2)) / lit(3.0)).cast("long")
+    val reshaped = docs.select(col("doc_id"),
+      array_join(
+        transform(sequence(lit(0L), nl - 1),
+          i => array_join(slice(ws, (i * 3 + 1).cast("int"), lit(3)), " ")),
+        "\n").as("text"))
+    Curation.dedupLines(reshaped, minDf = 5L).orderBy("doc_id")
   }
 }

@@ -247,4 +247,56 @@ class CurationSpec extends SparkSpec {
     // AAA → representative 10 (11 is an in-batch dup); BBB already in corpus; CCC new
     assert(kept === Seq(10L, 13L))
   }
+
+  test("dedupLines drops corpus-frequent lines, preserves order, counts removals") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "cookie banner\nreal content one\nfooter"),
+      (2L, "cookie banner\nreal content two\nfooter"),
+      (3L, "cookie banner\nunique thought"),
+      (4L, "footer\ncookie banner")) // all-boilerplate doc → empty rewrite
+      .toDF("doc_id", "text")
+    val out = Curation.dedupLines(d, minDf = 3L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // "cookie banner" df=4 and "footer" df=3 are hot; content lines df=1 survive
+    assert(out(1L) === (("real content one", 2L, 3L)))
+    assert(out(2L) === (("real content two", 2L, 3L)))
+    assert(out(3L) === (("unique thought", 1L, 2L)))
+    assert(out(4L) === (("", 2L, 2L)))
+  }
+
+  test("dedupLines keeps multi-line survivors in original order; minDf above max df is a no-op") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "z last\nshared\na first\nshared"),
+      (2L, "shared\nmiddle"),
+      (3L, "shared"))
+      .toDF("doc_id", "text")
+    val out = Curation.dedupLines(d, minDf = 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "shared" (df=3, twice in doc 1) drops everywhere; survivors keep document order
+    assert(out(1L) === "z last\na first")
+    assert(out(2L) === "middle")
+    assert(out(3L) === "")
+    val noop = Curation.dedupLines(d, minDf = 4L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(noop === Seq((1L, "z last\nshared\na first\nshared", 0L),
+      (2L, "shared\nmiddle", 0L), (3L, "shared", 0L)))
+  }
+
+  test("dedupLines xxhash64 production twin matches the md5 oracle form") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "hot\nalpha"), (2L, "hot\nbeta"), (3L, "hot\ngamma"))
+      .toDF("doc_id", "text")
+    val a = Curation.dedupLines(d, minDf = 2L, portable = true)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    val b = Curation.dedupLines(d, minDf = 2L, portable = false)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    assert(a === b)
+    assert(a.map(_._2) === Seq("alpha", "beta", "gamma"))
+  }
 }
