@@ -134,6 +134,147 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL pixel decode across formats through the same partition
+    * contract: PNG routes to the pure-JVM [[PngDecode]] arm (native
+    * channel view — 1-channel gray stays 1-channel); JPEG/GIF/BMP route
+    * to the JDK-ImageIO arm ([[ImageIoDecode]], sRGB view — 3 or 4
+    * channels). Together they convert the codec seam into working decode
+    * for every common raster format the JDK can read without native
+    * libraries; WebP and video stay on the declared seam
+    * (format-classified by [[parseMediaDims]], `decoded = false` here).
+    * Both arms share the never-throw null-cue contract and the
+    * header-first `maxPixels` bomb guard; decode is map-side only. */
+  def decodeImageBatch(df: DataFrame, id: String = "doc_id",
+                       payload: String = "payload",
+                       maxPixels: Long = 64L * 1024 * 1024): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(id, LongType),
+      StructField("decoded", BooleanType),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("mean_channel", ArrayType(DoubleType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(id)
+    val pIdx = df.schema.fieldIndex(payload)
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.getAs[Array[Byte]](pIdx)
+        val rid = r.getLong(idIdx)
+        val isPng = b != null && b.length >= 4 && b.take(4).sameElements(pngSig)
+        if (isPng) PngDecode.decode(b, maxPixels) match {
+          case Some(img) =>
+            val sums = new Array[Long](img.channels)
+            var i = 0
+            while (i < img.pixels.length) {
+              sums(i % img.channels) += img.pixels(i) & 0xff
+              i += 1
+            }
+            val nPix = (img.width.toLong * img.height).toDouble
+            Row(rid, true, "png", img.width, img.height, img.channels,
+              sums.map(_ / nPix).toSeq)
+          case None => Row(rid, false, "png", null, null, null, null)
+        } else ImageIoDecode.decode(if (b == null) Array.emptyByteArray else b,
+          maxPixels) match {
+          case Some(img) =>
+            Row(rid, true, img.format, img.width, img.height, img.channels,
+              img.meanChannel.toSeq)
+          case None => Row(rid, false, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Image RESIZE through the partition contract: decode (any
+    * ImageIO-readable format — PNG/JPEG/GIF/BMP), downsample to
+    * (targetW, targetH), re-encode as PNG (lossless, so the output
+    * payload round-trips bit-exactly through [[decodeImageBatch]]).
+    *
+    * Resampling is deterministic integer arithmetic, not Graphics2D:
+    * exact BOX averaging (per-channel block mean, half-up rounding) when
+    * the source dims are integer multiples of the target — the thumbnail
+    * path a training pipeline runs — and nearest-neighbor (floor source
+    * index) for every other ratio. Same null-cue contract: undecodable
+    * or oversized payloads emit `decoded = false` with a null payload.
+    *
+    * Scale: map-side only — a 100 TB thumbnail job is a scan; payloads
+    * never shuffle, per-row memory is bounded by `maxPixels` before any
+    * pixel work. */
+  def resizeImageBatch(df: DataFrame, targetW: Int, targetH: Int,
+                       id: String = "doc_id", payload: String = "payload",
+                       maxPixels: Long = 64L * 1024 * 1024): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val outSchema = StructType(Seq(
+      StructField(id, LongType),
+      StructField("decoded", BooleanType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(id)
+    val pIdx = df.schema.fieldIndex(payload)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val rid = r.getLong(idIdx)
+        val b = r.getAs[Array[Byte]](pIdx)
+        ImageIoDecode.readArgb(if (b == null) Array.emptyByteArray else b,
+          maxPixels) match {
+          case Some((w, h, px)) =>
+            val out = new Array[Int](targetW * targetH)
+            val boxable = w % targetW == 0 && h % targetH == 0 && w >= targetW && h >= targetH
+            if (boxable) {
+              val (bw, bh) = (w / targetW, h / targetH)
+              val n = bw * bh
+              var ty = 0
+              while (ty < targetH) {
+                var tx = 0
+                while (tx < targetW) {
+                  var sa, sr, sg, sb = 0L
+                  var dy = 0
+                  while (dy < bh) {
+                    var dx = 0
+                    val base = (ty * bh + dy) * w + tx * bw
+                    while (dx < bw) {
+                      val p = px(base + dx)
+                      sa += (p >>> 24) & 0xff; sr += (p >>> 16) & 0xff
+                      sg += (p >>> 8) & 0xff; sb += p & 0xff
+                      dx += 1
+                    }
+                    dy += 1
+                  }
+                  def m(s: Long) = ((s + n / 2) / n).toInt // half-up block mean
+                  out(ty * targetW + tx) =
+                    (m(sa) << 24) | (m(sr) << 16) | (m(sg) << 8) | m(sb)
+                  tx += 1
+                }
+                ty += 1
+              }
+            } else {
+              var ty = 0
+              while (ty < targetH) {
+                val sy = (ty.toLong * h / targetH).toInt
+                var tx = 0
+                while (tx < targetW) {
+                  out(ty * targetW + tx) = px(sy * w + (tx.toLong * w / targetW).toInt)
+                  tx += 1
+                }
+                ty += 1
+              }
+            }
+            val img = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+            img.setRGB(0, 0, targetW, targetH, out, 0, targetW)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            Row(rid, true, targetW, targetH, bos.toByteArray)
+          case None => Row(rid, false, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** REAL audio decode through the same partition contract — the WAV/PCM
     * arm of the codec seam, filled by [[WavDecode]] (RIFF chunk walk, 8/16
     * bit integer PCM; no native libs). Output per payload: stream
