@@ -35,6 +35,22 @@ object WavDecode {
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
       ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
 
+  /** Minimal PCM-16 mono encoder — the synthesis twin of [[decode]], used
+    * to build real WAV payloads from fixture data (q171) and in specs.
+    * Canonical 44-byte header + little-endian samples. */
+  def encodePcm16Mono(rate: Int, samples: Array[Int]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+    samples.foreach(v => bb.putShort(v.toShort))
+    bb.array()
+  }
+
   /** Decode a WAV byte payload; None on any unsupported/corrupt input. */
   def decode(bytes: Array[Byte], maxFrames: Long = 16L * 1024 * 1024): Option[Wav] =
     try decodeOrThrow(bytes, maxFrames) catch { case _: Throwable => None }

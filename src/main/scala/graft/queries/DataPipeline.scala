@@ -16,7 +16,7 @@ object DataPipeline {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
     q102, q106, q108, q116, q117, q118, q118f, q119, q120, q125, q127, q139, q140, q141, q143,
-    q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170)
+    q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170, q171, q172)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -1863,5 +1863,83 @@ object DataPipeline {
           i => array_join(slice(ws, (i * 3 + 1).cast("int"), lit(3)), " ")),
         "\n").as("text"))
     Curation.dedupLines(reshaped, minDf = 5L).orderBy("doc_id")
+  }
+
+  /** Audio round-trip oracle: synthesize a real PCM-16 WAV per document
+    * (sample_i = 2·ascii(char_i) − 129 at 8 kHz — spaces go negative,
+    * letters positive, never zero), decode it through the REAL container
+    * arm (`WavDecode` RIFF walk + `Multimodal.decodeWavBatch` feature
+    * kernels), while the oracle re-derives peak/RMS/zero-crossings
+    * directly from the characters with no container anywhere — an
+    * independent-path proof that WAV encode→decode is lossless and the
+    * feature arithmetic is engine-exact (integer sums; the only doubles
+    * are one division and one correctly-rounded sqrt at the exits). */
+  val q171 = QueryDef(
+    "q171_audio_roundtrip",
+    oracle = Some("""
+      WITH c AS (SELECT doc_id, text,
+                   unnest(generate_series(1, len(text))) AS i
+                 FROM documents),
+      v AS (SELECT doc_id, i,
+              2 * ascii(substring(text, i, 1)) - 129 AS s
+            FROM c),
+      t AS (SELECT doc_id, s,
+              LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+            FROM v)
+      SELECT doc_id,
+        CAST(COUNT(*) AS DOUBLE) / 8000 AS duration_s,
+        CAST(MAX(ABS(s)) AS INT) AS peak,
+        sqrt(CAST(SUM(CAST(s AS BIGINT) * s) AS DOUBLE) / COUNT(*)) AS rms,
+        CAST(SUM(CASE WHEN prev IS NOT NULL AND ((s < 0) <> (prev < 0))
+                 THEN 1 ELSE 0 END) AS BIGINT) AS zc
+      FROM t GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val wavs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        (id, graft.operators.WavDecode.encodePcm16Mono(
+          8000, t.map(ch => 2 * ch.toInt - 129).toArray))
+      }.toDF("doc_id", "payload")
+    Multimodal.decodeWavBatch(wavs)
+      .select(col("doc_id"), col("duration_s"),
+        element_at(col("peak"), 1).as("peak"),
+        element_at(col("rms"), 1).as("rms"),
+        element_at(col("zero_crossings"), 1).as("zc"))
+      .orderBy("doc_id")
+  }
+
+  /** Image round-trip oracle, the PNG twin of q171: each document's
+    * characters become one row of 8-bit gray pixels, ImageIO-encoded to
+    * PNG and decoded back through the pure-JVM `PngDecode` arm (Inflater
+    * + unfilter); the oracle recomputes the dimensions and mean pixel
+    * value straight from `ascii(char)` — two fully independent decoders
+    * (JDK zlib vs SQL) agreeing bit-for-bit on every document. */
+  val q172 = QueryDef(
+    "q172_image_roundtrip",
+    oracle = Some("""
+      WITH c AS (SELECT doc_id, text, len(text) AS n,
+                   unnest(generate_series(1, len(text))) AS i
+                 FROM documents)
+      SELECT doc_id, TRUE AS decoded,
+        CAST(MIN(n) AS INT) AS width, CAST(1 AS INT) AS height,
+        CAST(1 AS INT) AS channels,
+        CAST(SUM(ascii(substring(text, i, 1))) AS DOUBLE) / MIN(n) AS mean_px
+      FROM c GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val pngs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val img = new java.awt.image.BufferedImage(
+          t.length, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var x = 0
+        while (x < t.length) { img.getRaster.setSample(x, 0, 0, t.charAt(x).toInt); x += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }.toDF("doc_id", "payload")
+    Multimodal.decodePngBatch(pngs)
+      .select(col("doc_id"), col("decoded"), col("width"), col("height"),
+        col("channels"), element_at(col("mean_channel"), 1).as("mean_px"))
+      .orderBy("doc_id")
   }
 }

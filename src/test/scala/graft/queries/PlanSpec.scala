@@ -286,6 +286,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"df is not the piggybacked window pass:\n$p")
   }
 
+  test("q170: line-df aggregate shuffles keys only; line bodies ride just the reassembly exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = Registry.queries("q170_line_dedup")(spark, dir)
+    def exchanges(plan: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] =
+      plan.collect {
+        case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+        case s: QueryStageExec => exchanges(s.plan)
+        case e: ShuffleExchangeExec => Seq(e)
+      }.flatten
+    val ex = exchanges(df.queryExecution.executedPlan)
+    assert(ex.nonEmpty)
+    // the df-count exchange partitions on the md5 key __k: it must not
+    // carry the line text. The one exchange allowed to carry lines is the
+    // doc_id reassembly (each group = one document's own lines).
+    val dfAgg = ex.filter(_.outputPartitioning.toString.contains("__k#"))
+    assert(dfAgg.nonEmpty, s"expected the key-partitioned df exchange:\n${ex.mkString("\n")}")
+    dfAgg.foreach { e =>
+      assert(!e.output.exists(_.name == "__line"),
+        s"line bodies ride the df aggregate's exchange:\n$e")
+    }
+    val lineCarrying = ex.filter(_.output.exists(_.name == "__line"))
+    assert(lineCarrying.forall(_.outputPartitioning.toString.contains("doc_id#")),
+      s"lines shuffle outside the reassembly exchange:\n${lineCarrying.mkString("\n")}")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // codegen stages ('*(n)' prefixes) only appear in the FINAL adaptive
     // plan, so execute before inspecting

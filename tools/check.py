@@ -8,14 +8,28 @@ import pandas as pd
 import numpy as np
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
-con = duckdb.connect()
-for p in glob.glob(f"{sfdir}/*.parquet"):
-    name = os.path.basename(p)[:-8]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
+def fresh_con():
+    c = duckdb.connect()
+    for p in glob.glob(f"{sfdir}/*.parquet"):
+        name = os.path.basename(p)[:-8]
+        c.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    return c
+
+con = fresh_con()
 oracles = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = []
+n_run = 0
 for name in sorted(os.listdir(outdir)):
+    # DuckDB accumulates allocator state across many executes on one
+    # connection; in a full-registry sweep (~170 oracles) the first
+    # too-large allocation poisons the connection and every later oracle
+    # on it fails with "Failed to allocate" regardless of size. A fresh
+    # connection per oracle (views re-register lazily, ~ms) isolates
+    # each oracle's memory use completely.
+    n_run += 1
+    con.close()
+    con = fresh_con()
     d = os.path.join(outdir, name)
     if not os.path.isdir(d):
         continue
