@@ -16,7 +16,8 @@ object DataPipeline {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q58, q67, q79, q80,
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
     q102, q106, q108, q116, q117, q118, q118f, q119, q120, q125, q127, q139, q140, q141, q143,
-    q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170, q171, q172)
+    q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170, q171, q172,
+    q173)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -1941,5 +1942,29 @@ object DataPipeline {
       .select(col("doc_id"), col("decoded"), col("width"), col("height"),
         col("channels"), element_at(col("mean_channel"), 1).as("mean_px"))
       .orderBy("doc_id")
+  }
+
+  /** BPE vocabulary training over the corpus (`operators/Bpe`): 16 merge
+    * rounds on the word-frequency table, plus the corpus token counts
+    * before/after encoding with the learned rules. No SQL oracle by
+    * design — the trainer is iterative with a driver-scalar argmax per
+    * round (like k-means/PageRank training, not expressible as one
+    * DuckDB query); the driver records a rows-only check and `BpeSpec`
+    * pins the textbook merge sequence, losslessness, and
+    * partitioning-stability. */
+  val q173 = QueryDef(
+    "q173_bpe_train",
+    oracle = None) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val merges = graft.operators.Bpe.train(docs, nMerges = 16)
+    val enc = graft.operators.Bpe.encodeBatch(docs, merges)
+    val totals = enc.agg(
+      sum(col("n_tokens").cast("long")).as("total_tokens"),
+      count(lit(1)).as("n_docs"))
+    import s.implicits._
+    val mergeDf = merges
+      .map(m => (m.rank, m.left, m.right, m.count))
+      .toDF("rank", "left", "right", "pair_count")
+    mergeDf.crossJoin(totals).orderBy("rank")
   }
 }

@@ -331,4 +331,46 @@ class FuzzOracleSpec extends SparkSpec {
     }
     checkSweep("cap", sweeps)
   }
+
+  test("dedupLines (minDf, width) draws match a re-derived DuckDB oracle") {
+    // redraw BOTH the hot threshold and the line-reshape width: minDf=2
+    // (everything repeated anywhere drops) through minDf far above max df
+    // (no-op rewrite) and widths that shift which lines collide
+    val gen = for {
+      minDf <- Gen.choose(2, 30)
+      w <- Gen.choose(2, 6)
+    } yield (minDf, w)
+    val sweeps = draws(gen, seed = 0x11DEL).zipWithIndex.map { case ((minDf, w), i) =>
+      val ws = split(col("text"), " ")
+      val nl = floor((size(ws) + lit(w - 1)) / lit(w.toDouble)).cast("long")
+      val reshaped = documents.select(col("doc_id"),
+        array_join(
+          transform(sequence(lit(0L), nl - 1),
+            j => array_join(slice(ws, (j * w + 1).cast("int"), lit(w)), " ")),
+          "\n").as("text"))
+      val df = Curation.dedupLines(reshaped, minDf = minDf.toLong).orderBy("doc_id")
+      val sql = s"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        l AS (SELECT doc_id, ws,
+                unnest(generate_series(0,
+                  CAST(floor((len(ws) + ${w - 1}) / $w.0) AS BIGINT) - 1)) AS i
+              FROM w),
+        lines AS (SELECT doc_id, i AS pos,
+                    array_to_string(ws[(i*$w+1):(i*$w+$w)], ' ') AS line
+                  FROM l),
+        hot AS (SELECT line FROM lines
+                GROUP BY line HAVING COUNT(DISTINCT doc_id) >= $minDf),
+        f AS (SELECT doc_id, pos, line,
+                line IN (SELECT line FROM hot) AS h
+              FROM lines)
+        SELECT doc_id,
+          COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT h),
+                   '') AS kept_text,
+          CAST(SUM(CASE WHEN h THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+          COUNT(*) AS n_lines
+        FROM f GROUP BY doc_id ORDER BY doc_id"""
+      (f"ldd_$i%02d", df, sql)
+    }
+    checkSweep("ldd", sweeps)
+  }
 }

@@ -151,7 +151,10 @@ class PlanSpec extends SparkSpec {
       "q164_chi_square",
       // q168 composes q40's pair stage (allowed above) and cross-joins
       // three one-row summary aggregates — scalar shapes like q89
-      "q168_semantic_dedup")
+      "q168_semantic_dedup",
+      // q173 cross-joins the one-row corpus token totals into the
+      // driver-sized (≤ nMerges rows) merge table — scalar shape
+      "q173_bpe_train")
     val offenders = Registry.all.flatMap { q =>
       val p =
         try Registry.queries(q.name)(spark, dir).queryExecution.executedPlan.toString

@@ -11,6 +11,13 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 
 def fresh_con():
     c = duckdb.connect()
+    # The payload-literal oracles (q69 family) are ~20 MB of SQL and at 32
+    # threads glibc arena churn drives the process to ~47k memory maps —
+    # brushing vm.max_map_count (65530), which surfaces as spurious
+    # "Failed to allocate N bytes (bad allocation)" at ANY later
+    # allocation. Fewer threads → fewer arenas → bounded map count.
+    c.execute(f"SET threads TO {int(os.environ.get('GRAFT_ORACLE_THREADS', '8'))}")
+    c.execute("SET memory_limit = '24GB'")
     for p in glob.glob(f"{sfdir}/*.parquet"):
         name = os.path.basename(p)[:-8]
         c.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
