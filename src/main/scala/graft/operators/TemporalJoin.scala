@@ -155,6 +155,72 @@ object TemporalJoin {
       .select(leftCols.map(lb(_)) ++ payload.map(c => col(s"__p.$c").as(c)): _*)
   }
 
+  /** Interval-overlap join: all (left, right) pairs with the same keys
+    * whose half-open intervals [start, end) intersect — the remaining
+    * temporal-join shape next to as-of (point→latest), band
+    * (point→window) and PIT (point→validity interval). Sessions versus
+    * campaigns, downtime versus deploys, visit windows versus
+    * experiment exposure.
+    *
+    * Scale: the naive form is a per-key theta join (cross product per
+    * key — the q140/q160 hazard). Here time is gridded into
+    * `cellWidth`-sized cells, each interval replicates to the cells it
+    * touches, candidates meet through an EQUI-join on (keys, cell), and
+    * a pair is kept only in the FIRST cell both intervals occupy —
+    * `cell == floor(max(starts) / width)` — so every true pair emits
+    * exactly once with no distinct pass. Replication factor =
+    * span/cellWidth + 1: size `cellWidth` to the typical interval
+    * length (the [[bandPairs]] contract). A runtime guard fail-fasts
+    * when any interval would touch more than `maxCellsPerInterval`
+    * cells (a degenerate interval under a mis-sized grid — the
+    * chi-square maxCells idiom, enforced in-plan so no extra pre-scan).
+    *
+    * Output: the left row's columns, `rightPayload` columns from the
+    * right, and the exact intersection bounds
+    * (`overlap_start`/`overlap_end`). */
+  def intervalOverlapPairs(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      rightPayload: Seq[String],
+      cellWidth: Long,
+      maxCellsPerInterval: Int = 4096): DataFrame = {
+    require(cellWidth > 0, "cellWidth must be positive")
+    val leftCols = left.columns.toSeq
+
+    def withCells(df: DataFrame, s: String, e: String): DataFrame = {
+      val d = df
+        .withColumn("__s", col(s).cast("long"))
+        .withColumn("__e", col(e).cast("long"))
+        .filter(col("__e") > col("__s")) // empty intervals overlap nothing
+        .withColumn("__nc",
+          floorDiv(col("__e") - 1, cellWidth) - floorDiv(col("__s"), cellWidth) + 1)
+      d.filter(isnull(assert_true(col("__nc") <= lit(maxCellsPerInterval.toLong),
+          lit(s"intervalOverlapPairs: an interval spans more than " +
+            s"$maxCellsPerInterval cells of width $cellWidth — raise cellWidth"))))
+        .withColumn("__c", explode(
+          sequence(floorDiv(col("__s"), cellWidth), floorDiv(col("__e") - 1, cellWidth))))
+        .drop("__nc")
+    }
+
+    val lb = withCells(left, leftStart, leftEnd)
+    val rb = withCells(
+      right.select((keys.map(right(_)) ++ Seq(col(rightStart), col(rightEnd)) ++
+        rightPayload.map(c => right(c).as(s"__p_$c"))): _*),
+      rightStart, rightEnd)
+
+    lb.join(rb, (keys :+ "__c").map(n => lb(n) === rb(n)).reduce(_ && _))
+      .filter(lb("__s") < rb("__e") && rb("__s") < lb("__e"))
+      // emit each true pair exactly once: only in the first shared cell
+      .filter(lb("__c") === floorDiv(greatest(lb("__s"), rb("__s")), cellWidth))
+      .select(leftCols.map(lb(_)) ++
+        rightPayload.map(c => col(s"__p_$c").as(c)) ++ Seq(
+          greatest(lb("__s"), rb("__s")).as("overlap_start"),
+          least(lb("__e"), rb("__e")).as("overlap_end")): _*)
+  }
+
   /** Exact floor division for longs (Spark's `/` is double, `div` truncates
     * toward zero — wrong for negative timestamps). */
   private def floorDiv(x: Column, d: Long): Column =

@@ -16,7 +16,8 @@ import Compat._
 object Events {
 
   def defs: Seq[QueryDef] = Seq(q14, q15, q16, q17, q18, q19, q95, q96, q110, q111, q113,
-    q114, q115, q121, q122, q126, q146, q149, q151, q152, q154, q156, q159, q160, q169)
+    q114, q115, q121, q122, q126, q146, q149, q151, q152, q154, q156, q159, q160, q169,
+    q174)
 
   /** JSON field extraction (scalar function family, SURVEY §2.9 date/json). */
   val q14 = QueryDef(
@@ -830,5 +831,45 @@ object Events {
       .agg(count(lit(1)).as("n_clicks"),
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("tier")
+  }
+
+  /** Interval-overlap join (`TemporalJoin.intervalOverlapPairs`): view
+    * activity windows × click activity windows per user, where each
+    * event's window is [ts, ts + (id-derived hours)). The operator
+    * grids time into 7-hour cells and meets candidates through an
+    * equi-join on (user, cell) with first-shared-cell dedup — the oracle
+    * is the plain theta join (per-user cross products, fine at fixture
+    * scale), so the hash match proves the grid plan emits EXACTLY the
+    * theta-join pair set with its intersection bounds. */
+  val q174 = QueryDef(
+    "q174_interval_overlap",
+    oracle = Some("""
+      WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + (event_id % 7 + 1) * 3600000000 AS e
+                 FROM events WHERE event_type = 'view'),
+      c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS s,
+              epoch_us(ts) + (event_id % 5 + 1) * 3600000000 AS e
+            FROM events WHERE event_type = 'click')
+      SELECT v.user_id, v.view_id, c.click_id,
+        GREATEST(v.s, c.s) AS overlap_start, LEAST(v.e, c.e) AS overlap_end
+      FROM v JOIN c ON v.user_id = c.user_id AND v.s < c.e AND c.s < v.e
+      ORDER BY v.user_id, view_id, click_id""")) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+    def windows(kind: String, modMin: Int, idAs: String) =
+      ev.filter(col("event_type") === kind)
+        .select(col("user_id"), col("event_id").as(idAs),
+          col("tus").as(s"${idAs}_s"),
+          (col("tus") + (pmod(col("event_id"), lit(modMin)) + 1) * 3600000000L)
+            .as(s"${idAs}_e"))
+    val v = windows("view", 7, "view_id")
+    val c = windows("click", 5, "click_id")
+    graft.operators.TemporalJoin.intervalOverlapPairs(
+        v, c, Seq("user_id"),
+        "view_id_s", "view_id_e", "click_id_s", "click_id_e",
+        rightPayload = Seq("click_id"),
+        cellWidth = 7L * 3600000000L)
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("overlap_start"), col("overlap_end"))
+      .orderBy("user_id", "view_id", "click_id")
   }
 }

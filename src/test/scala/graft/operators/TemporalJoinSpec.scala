@@ -144,4 +144,49 @@ class TemporalJoinSpec extends SparkSpec {
     // lid 101: no right in [50, 75] → null; lid 102: 200 beyond tolerance
     assert(got === Map(100L -> Some(9L), 101L -> None, 102L -> None))
   }
+
+  test("intervalOverlapPairs equals the theta join on random intervals, any cell width") {
+    val rnd = new scala.util.Random(0x17E4)
+    def intervals(n: Int, idBase: Long) = (0 until n).map { i =>
+      val s = rnd.nextInt(200).toLong
+      (rnd.nextInt(3).toLong + 1, s, s + 1 + rnd.nextInt(40), idBase + i)
+    }
+    val ls = intervals(40, 1000)
+    val rs = intervals(40, 2000)
+    val l = ls.toDF("k", "s", "e", "lid")
+    val r = rs.toDF("k", "s", "e", "rid")
+    val want = (for {
+      (lk, lsv, lev, lid) <- ls
+      (rk, rsv, rev, rid) <- rs
+      if lk == rk && lsv < rev && rsv < lev
+    } yield (lid, rid, math.max(lsv, rsv), math.min(lev, rev))).sorted
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = TemporalJoin.intervalOverlapPairs(
+          l, r, Seq("k"), "s", "e", "s", "e", Seq("rid"), cellWidth = w)
+        .select("lid", "rid", "overlap_start", "overlap_end")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(got === want, s"cellWidth $w")
+    }
+  }
+
+  test("intervalOverlapPairs boundary semantics: touching intervals do not overlap") {
+    val l = Seq((1L, 0L, 10L, 1L), (1L, 20L, 30L, 2L)).toDF("k", "s", "e", "lid")
+    val r = Seq((1L, 10L, 20L, 9L), (1L, 29L, 40L, 8L)).toDF("k", "s", "e", "rid")
+    val got = TemporalJoin.intervalOverlapPairs(
+        l, r, Seq("k"), "s", "e", "s", "e", Seq("rid"), cellWidth = 10L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    // [0,10) vs [10,20): touch, no overlap; [20,30) vs [29,40): overlap
+    assert(got === Set((2L, 8L)))
+  }
+
+  test("intervalOverlapPairs fail-fasts when an interval spans too many cells") {
+    val l = Seq((1L, 0L, 1000000L, 1L)).toDF("k", "s", "e", "lid")
+    val r = Seq((1L, 5L, 6L, 9L)).toDF("k", "s", "e", "rid")
+    val ex = intercept[Exception] {
+      TemporalJoin.intervalOverlapPairs(
+        l, r, Seq("k"), "s", "e", "s", "e", Seq("rid"),
+        cellWidth = 10L, maxCellsPerInterval = 100).collect()
+    }
+    assert(ex.getMessage.contains("raise cellWidth"))
+  }
 }
