@@ -67,6 +67,76 @@ object Dedup {
     b.join(c, Seq("__h"), "left_anti").select(col(id))
   }
 
+  /** Incremental batch-vs-corpus NEAR-dup filter — the production shape
+    * of MinHash-LSH dedup: a new ingest batch probes the existing
+    * corpus' band index instead of re-pairing the whole corpus
+    * ([[incrementalNew]] is the exact-digest twin, q166). A batch
+    * document is dropped when it has a verified Jaccard ≥ `threshold`
+    * match (a) anywhere in the corpus, or (b) with any SMALLER-id batch
+    * document — pairwise dominance, deliberately NOT the transitive
+    * closure: a deterministic one-pass rule (conservative next to the
+    * sequential keep-greedy — a doc dominated only by an itself-dropped
+    * doc still drops), order-free and engine-re-derivable.
+    *
+    * Scale: the corpus side contributes its band table (in production,
+    * pre-materialized once and reused per batch) and its hashed shingle
+    * sets only for verify candidates — corpus text never pairs with
+    * itself, so the work is |batch-candidates|, not corpus². Band
+    * buckets over `maxBucket` drop before probing (the
+    * [[minhashLshRun]] hot-bucket guard, applied per side). Batch
+    * documents with no shingles (shorter than the gram width) are kept
+    * trivially, mirroring the pair builders. */
+  def incrementalNearDupNew(batch: DataFrame, corpus: DataFrame,
+                            id: String = "doc_id", text: String = "text",
+                            shingleN: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
+                            threshold: Double = 0.8, maxBucket: Long = 0L): DataFrame = {
+    val dp = batch.sparkSession.sparkContext.defaultParallelism
+    def shingled(df: DataFrame) = df
+      .repartition(dp)
+      .select(col(id).as("__id"),
+        array_distinct(Text.shingles(col(text), shingleN)).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__bh", transform(col("__sh"), s => xxhash64(s)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(sh: DataFrame) = {
+      val all = sh
+        .withColumn("__mh", minhashes(col("__bh"), k))
+        .select(col("__id"), explode(bandKeys(col("__mh"), k, rowsPerBand)).as("__band"))
+      if (maxBucket <= 0) all
+      else {
+        val hot = all.groupBy("__band").count()
+          .filter(col("count") > maxBucket).select("__band")
+        all.join(broadcast(hot), Seq("__band"), "left_anti")
+      }
+    }
+    val bsh = shingled(batch)
+    val csh = shingled(corpus)
+    val bb = banded(bsh)
+    val cb = banded(csh)
+
+    def verified(cands: DataFrame, rightSh: DataFrame) = cands
+      .join(bsh.select(col("__id").as("id_a"), col("__bh").as("sh_a")), "id_a")
+      .join(rightSh.select(col("__id").as("id_b"), col("__bh").as("sh_b")), "id_b")
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
+
+    // (a) batch → corpus probe
+    val corpusCands = bb.select(col("__band"), col("__id").as("id_a"))
+      .join(cb.select(col("__band"), col("__id").as("id_b")), "__band")
+      .select("id_a", "id_b").distinct()
+    val hitCorpus = verified(corpusCands, csh).select(col("id_a").as(id)).distinct()
+
+    // (b) within-batch dominance by any smaller id
+    val a = bb.select(col("__band").as("__ba"), col("__id").as("id_a"))
+    val b = bb.select(col("__band").as("__bb"), col("__id").as("id_b"))
+    val batchCands = a.join(b, col("__ba") === col("__bb") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val dominated = verified(batchCands, bsh).select(col("id_b").as(id)).distinct()
+
+    batch.select(col(id))
+      .join(hitCorpus, Seq(id), "left_anti")
+      .join(dominated, Seq(id), "left_anti")
+  }
+
   /** Exact-dedup projection: keep only the representative row per content
     * group — the distributed `DISTINCT ON (content)`. */
   def exactDedup(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {

@@ -17,7 +17,7 @@ object DataPipeline {
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
     q102, q106, q108, q116, q117, q118, q118f, q119, q120, q125, q127, q139, q140, q141, q143,
     q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170, q171, q172,
-    q173)
+    q173, q175)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -1941,6 +1941,40 @@ object DataPipeline {
     Multimodal.decodePngBatch(pngs)
       .select(col("doc_id"), col("decoded"), col("width"), col("height"),
         col("channels"), element_at(col("mean_channel"), 1).as("mean_px"))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental batch-vs-corpus NEAR-dup (`Dedup.incrementalNearDupNew`):
+    * the production LSH shape — a new ingest batch (every 10th document)
+    * probes the existing corpus' band index; kept = batch docs with no
+    * Jaccard ≥ 0.9 match in the corpus nor with a smaller-id batch doc
+    * (pairwise dominance, the deterministic one-pass rule). The oracle
+    * is the ALL-PAIRS ground truth (batch×corpus + batch² exact
+    * Jaccard), so the hash match proves the banded probe plan has exact
+    * recall on the fixture pair set — same contract as q36. Quadratic
+    * oracle ⇒ scale-rehearsal exclusion list (the Spark side runs). */
+  val q175 = QueryDef(
+    "q175_incremental_near_dup",
+    oracle = Some(s"""
+      WITH g AS (SELECT doc_id, $shingleSql sh FROM documents),
+      b AS (SELECT * FROM g WHERE doc_id % 10 = 0 AND len(sh) > 0),
+      c AS (SELECT * FROM g WHERE doc_id % 10 <> 0 AND len(sh) > 0),
+      hitc AS (SELECT DISTINCT b.doc_id FROM b JOIN c ON
+        len(list_intersect(b.sh, c.sh))::DOUBLE
+          / len(list_distinct(list_concat(b.sh, c.sh))) >= 0.9),
+      dom AS (SELECT DISTINCT y.doc_id FROM b x JOIN b y ON x.doc_id < y.doc_id AND
+        len(list_intersect(x.sh, y.sh))::DOUBLE
+          / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.9)
+      SELECT doc_id FROM documents
+      WHERE doc_id % 10 = 0
+        AND doc_id NOT IN (SELECT doc_id FROM hitc)
+        AND doc_id NOT IN (SELECT doc_id FROM dom)
+      ORDER BY doc_id""")) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    Dedup.incrementalNearDupNew(
+        batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        threshold = 0.9)
       .orderBy("doc_id")
   }
 

@@ -394,4 +394,31 @@ class DataPipelineSpec extends SparkSpec {
       Dedup.components(pairs, maxIters = 2)
     }
   }
+
+  test("incrementalNearDupNew: corpus hits and smaller-id dominance drop; short docs kept") {
+    val s = spark
+    import s.implicits._
+    // near-identical word streams: a/b/c are mutual near-dups; d distinct
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (100L, base + " lambda"), // near-dups batch 1 and 2
+      (101L, "totally different content words here all new ones")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base + " mu"),     // matches corpus 100 → dropped
+      (2L, base + " nu"),     // matches corpus + dominated by 1 → dropped
+      (3L, "unrelated fresh material nothing shared with anything else"),
+      (4L, base.split(" ").reverse.mkString(" ")), // same words, reversed order: different shingles
+      (5L, "xy")              // shorter than the shingle width: kept trivially
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalNearDupNew(batch, corpus, threshold = 0.7)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(3L, 4L, 5L))
+
+    // dominance alone (empty corpus side): 1 kept, 2 dropped by smaller id
+    val kept2 = Dedup.incrementalNearDupNew(
+        batch.filter($"doc_id" <= 2), corpus.limit(0), threshold = 0.7)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept2 === Seq(1L))
+  }
 }

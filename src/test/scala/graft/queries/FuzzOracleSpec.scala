@@ -332,6 +332,46 @@ class FuzzOracleSpec extends SparkSpec {
     checkSweep("cap", sweeps)
   }
 
+  test("intervalOverlapPairs (cellWidth, durations) draws match a re-derived theta oracle") {
+    // redraw the two duration moduli AND the grid width: widths smaller,
+    // equal to, and larger than typical spans all hit the dedup rule's
+    // edge cases (first-shared-cell selection across replication factors)
+    val gen = for {
+      vm <- Gen.choose(2, 9)
+      cm <- Gen.choose(2, 9)
+      wh <- Gen.choose(1, 12)
+    } yield (vm, cm, wh)
+    val hour = 3600000000L
+    val sweeps = draws(gen, seed = 0x10AFL).zipWithIndex.map { case ((vm, cm, wh), i) =>
+      val ev = events.withColumn("tus", expr("ts div 1000"))
+      def win(kind: String, m: Int, idAs: String) =
+        ev.filter(col("event_type") === kind)
+          .select(col("user_id"), col("event_id").as(idAs),
+            col("tus").as(s"${idAs}_s"),
+            (col("tus") + (pmod(col("event_id"), lit(m)) + 1) * hour).as(s"${idAs}_e"))
+      val df = graft.operators.TemporalJoin.intervalOverlapPairs(
+          win("view", vm, "view_id"), win("click", cm, "click_id"), Seq("user_id"),
+          "view_id_s", "view_id_e", "click_id_s", "click_id_e",
+          rightPayload = Seq("click_id"), cellWidth = wh * hour)
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          col("overlap_start"), col("overlap_end"))
+        .orderBy("user_id", "view_id", "click_id")
+      val sql = s"""
+        WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + (event_id % $vm + 1) * $hour AS e
+                   FROM events WHERE event_type = 'view'),
+        c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS s,
+                epoch_us(ts) + (event_id % $cm + 1) * $hour AS e
+              FROM events WHERE event_type = 'click')
+        SELECT v.user_id, v.view_id, c.click_id,
+          GREATEST(v.s, c.s) AS overlap_start, LEAST(v.e, c.e) AS overlap_end
+        FROM v JOIN c ON v.user_id = c.user_id AND v.s < c.e AND c.s < v.e
+        ORDER BY v.user_id, view_id, click_id"""
+      (f"iop_$i%02d", df, sql)
+    }
+    checkSweep("iop", sweeps)
+  }
+
   test("dedupLines (minDf, width) draws match a re-derived DuckDB oracle") {
     // redraw BOTH the hot threshold and the line-reshape width: minDf=2
     // (everything repeated anywhere drops) through minDf far above max df

@@ -10,12 +10,31 @@ import numpy as np
 sfdir, outdir = sys.argv[1], sys.argv[2]
 
 def fresh_con():
+    # A sweep often starts seconds after a Spark JVM exits (or churns
+    # connections right after a heavy oracle); transient RAM pressure can
+    # fail the very first allocation. Retry briefly before giving up.
+    import time
+    last = None
+    for attempt in range(6):
+        try:
+            return _fresh_con()
+        except Exception as e:
+            last = e
+            time.sleep(5)
+    raise last
+
+def _fresh_con():
     c = duckdb.connect()
-    # The payload-literal oracles (q69 family) are ~20 MB of SQL and at 32
-    # threads glibc arena churn drives the process to ~47k memory maps —
-    # brushing vm.max_map_count (65530), which surfaces as spurious
+    # The payload-literal oracles (q69 family) are ~20 MB of SQL whose
+    # execution drives the process to ~47k live memory MAPS (measured via
+    # /proc/self/maps: DuckDB's large allocations each mmap, multiplied
+    # by glibc arenas). At the kernel default vm.max_map_count = 65530
+    # that brushes the per-process map limit, which surfaces as spurious
     # "Failed to allocate N bytes (bad allocation)" at ANY later
-    # allocation. Fewer threads → fewer arenas → bounded map count.
+    # allocation — including a fresh connection's CREATE VIEW. Root fix
+    # on the build host: `sysctl -w vm.max_map_count=1048576` (three
+    # consecutive full sweeps clean after; flaky at the default).
+    # Defense-in-depth below: fewer threads → fewer arenas → fewer maps.
     c.execute(f"SET threads TO {int(os.environ.get('GRAFT_ORACLE_THREADS', '8'))}")
     c.execute("SET memory_limit = '24GB'")
     for p in glob.glob(f"{sfdir}/*.parquet"):

@@ -28,7 +28,9 @@ DATA="$WORK/data"
 # (2e9 rows at sf10), infeasible to dump or compare on either engine. The
 # operator's scale path (bucketed block grid, pairParallelism) is pinned
 # in SimilaritySpec and oracled at driver scale, where thresholds bind.
-QUADRATIC_ORACLES="q35_jaccard_blocked,q36_minhash_lsh,q37_simhash,q92_containment_pairs,q140_fuzzy_join,q145_prefix_join,q155_sparse_cosine,q168_semantic_dedup,q40_embedding_dedup"
+# q175: its oracle is the all-pairs batch×corpus + batch² exact Jaccard
+# ground truth (the q36 class); the Spark side (banded LSH probe) runs.
+QUADRATIC_ORACLES="q35_jaccard_blocked,q36_minhash_lsh,q37_simhash,q92_containment_pairs,q140_fuzzy_join,q145_prefix_join,q155_sparse_cosine,q168_semantic_dedup,q40_embedding_dedup,q175_incremental_near_dup"
 
 mkdir -p "$WORK"
 
