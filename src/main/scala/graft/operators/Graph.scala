@@ -164,6 +164,53 @@ object Graph {
       .agg(sum("__e").as("n_edges"), sum("__t").as("n_triangles"))
   }
 
+  /** Synchronous label propagation — the classic near-linear community
+    * detection (Raghavan, Albert & Kumara 2007): every node adopts the
+    * most frequent label among its neighbors each round, ties broken by
+    * the SMALLEST label. The tie-break plus the synchronous schedule
+    * (all nodes update from the previous round's labels) makes the
+    * result a pure function of (edges, iterations) — deterministic
+    * across engines, partitionings, and retries, unlike the
+    * asynchronous/randomized textbook variant. Initial label = node id;
+    * isolated endpoints keep their label.
+    *
+    * Input: undirected edges (a, b); symmetrized internally. Output:
+    * (id, community) for every endpoint.
+    *
+    * Scale shape (the [[pageRankScaled]] pattern): each round is one
+    * message join (labels ⋈ edges on the source key), one
+    * (dst, label)-grouped count with map-side partial aggregation, and
+    * one per-dst argmax via `max(struct(cnt, -label))` — a map-side
+    * combinable aggregate, never a per-node window. Hub skew is AQE's
+    * skew-join case; `localCheckpoint` per round bounds lineage. k
+    * rounds shuffle label-width rows k times, never adjacency lists. */
+  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 50)
+    val und = edges.select(col("a"), col("b"))
+    val sym = und.select(col("a").as("s"), col("b").as("d"))
+      .unionAll(und.select(col("b").as("s"), col("a").as("d")))
+      .distinct()
+      .localCheckpoint()
+    val nodes = sym.select(col("s").as("id")).distinct().localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to iterations) {
+      val picked = sym
+        .join(labels.select(col("id").as("s"), col("lbl")), "s")
+        .groupBy(col("d").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        // argmax by (count, then smallest label): max over (cnt, -lbl)
+        .groupBy("id")
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("newLbl"))
+      labels = nodes
+        .join(picked, Seq("id"), "left")
+        .join(labels, Seq("id"))
+        .select(col("id"), coalesce(col("newLbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("id"), col("lbl").as("community"))
+  }
+
   /** Multi-source BFS: minimum hop count from any seed, bounded by
     * `maxHops`. Returns (node, hops) for every reached node.
     *

@@ -14,7 +14,7 @@ import graft.operators.{Curation, Eval, Graph, Timeseries}
 object Analytics {
 
   def defs: Seq[QueryDef] = Seq(q128, q129, q130, q131, q132, q133, q134, q135, q144,
-    q157, q158, q163)
+    q157, q158, q163, q176)
 
   /** Per-fold ROC AUC of a toy scorer (first embedding coordinate) for
     * the odd-label class — the distributed model-eval primitive
@@ -158,6 +158,42 @@ object Analytics {
     val edges = a.join(b, "k").filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     Graph.triangleCount(edges)
+  }
+
+  /** Synchronous label propagation (`Graph.labelPropagation`, 3 rounds)
+    * over the q133 co-order part graph. The oracle unrolls the exact
+    * update — per-neighbor label counts, argmax with the smallest-label
+    * tie-break (`list(lbl ORDER BY cnt DESC, lbl)[1]`), isolated-node
+    * carry — for the same 3 synchronous rounds, so the hash match pins
+    * the deterministic tie-break and schedule, not just the clustering.
+    * The Spark argmax is `max(struct(cnt, -lbl))` — map-side combinable,
+    * never a per-node window. */
+  val q176 = QueryDef(
+    "q176_label_propagation",
+    oracle = Some {
+      def step(i: Int) = s""",
+      c$i AS (SELECT sym.d AS id, l${i - 1}.lbl, COUNT(*) AS cnt
+              FROM sym JOIN l${i - 1} ON l${i - 1}.id = sym.s GROUP BY 1, 2),
+      p$i AS (SELECT id, (list(lbl ORDER BY cnt DESC, lbl ASC))[1] AS lbl
+              FROM c$i GROUP BY id),
+      l$i AS (SELECT n.id, COALESCE(p$i.lbl, l${i - 1}.lbl) AS lbl
+              FROM n LEFT JOIN p$i USING (id) JOIN l${i - 1} USING (id))"""
+      s"""
+      WITH e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                  FROM lineitem a JOIN lineitem b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey),
+      sym AS (SELECT a AS s, b AS d FROM e0 UNION SELECT b, a FROM e0),
+      n AS (SELECT DISTINCT s AS id FROM sym),
+      l0 AS (SELECT id, id AS lbl FROM n)${(1 to 3).map(step).mkString}
+      SELECT id, lbl AS community FROM l3 ORDER BY id"""
+    }) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+    val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("a"))
+    val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("b"))
+    val edges = a.join(b, "k").filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    graft.operators.Graph.labelPropagation(edges, iterations = 3).orderBy("id")
   }
 
   /** Robust per-source length outliers: median + MAD on `n_chars`, count

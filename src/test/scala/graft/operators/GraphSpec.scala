@@ -197,4 +197,34 @@ class GraphSpec extends SparkSpec {
       assert(got === dist.toMap, s"trial $trial")
     }
   }
+
+  test("labelPropagation matches a reference synchronous implementation on random graphs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(0x1A6E1)
+    for (trial <- 0 until 4) {
+      val n = 8 + rnd.nextInt(8)
+      val edges = (0 until (n * 2)).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val iters = 1 + rnd.nextInt(4)
+      // reference: synchronous update, most-frequent neighbor label,
+      // smallest label on ties — the operator's documented rule
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2)).toMap
+      var lbl = adj.keys.map(v => v -> v).toMap
+      for (_ <- 1 to iters) {
+        lbl = lbl.map { case (v, old) =>
+          val counts = adj(v).map(lbl).groupBy(identity).view.mapValues(_.size)
+          v -> (if (counts.isEmpty) old
+                else counts.toSeq.maxBy { case (l, c) => (c, -l) }._1)
+        }
+      }
+      val got = Graph.labelPropagation(edges.toDF("a", "b"), iters)
+        .as[(Long, Long)].collect().toMap
+      assert(got === lbl, s"trial $trial (n=$n iters=$iters edges=$edges)")
+    }
+  }
 }

@@ -36,7 +36,11 @@ def _fresh_con():
     # consecutive full sweeps clean after; flaky at the default).
     # Defense-in-depth below: fewer threads → fewer arenas → fewer maps.
     c.execute(f"SET threads TO {int(os.environ.get('GRAFT_ORACLE_THREADS', '8'))}")
-    c.execute("SET memory_limit = '24GB'")
+    c.execute(f"SET memory_limit = '{os.environ.get('GRAFT_ORACLE_MEMLIMIT', '24GB')}'")
+    # an in-memory duckdb has no spill target by default — give blocking
+    # operators one so graph-scale rehearsal oracles degrade to disk
+    # instead of dying at the limit
+    c.execute("SET temp_directory = '/tmp/duckdb_oracle_spill'")
     for p in glob.glob(f"{sfdir}/*.parquet"):
         name = os.path.basename(p)[:-8]
         c.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
