@@ -382,6 +382,58 @@ object Curation {
       .drop("__h")
   }
 
+  /** DSIR-style importance weights for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * fit two unigram bag-of-hashed-tokens models — one on the `target`
+    * subset (the domain to up-sample), one on the whole corpus — and
+    * score every document by its log importance ratio
+    * Σ_dim tf·(ln p_target(dim) − ln p_raw(dim)) with add-one smoothing
+    * over `dims` hashed features. High scores = documents that look like
+    * the target distribution; feed the output to [[weightedSample]] /
+    * `TopK` for the actual resampling step.
+    *
+    * Plan: ONE tokenize pass → (doc, dim) tf aggregate; per-dim counts
+    * piggyback as window sums over the dim partition of the SAME pass
+    * (the [[tfIdfTopK]] trick — no second corpus scan; the totals
+    * aggregate reuses the tf exchange), corpus totals broadcast as a
+    * one-row scalar, and the final weight is one doc-keyed aggregate.
+    * Exchanges carry (doc, dim, tf) counts — document text never
+    * shuffles.
+    *
+    * Determinism: hashed dims are the engine-portable md5-16 values
+    * ([[graft.ml.Features.dimSql]] is the oracle mirror); each ln rounds
+    * to 1e-9 before exact decimal arithmetic (libm-bearing values —
+    * ties are measure-zero, the documented safe class), so the weight
+    * sum is order- and partition-free. Documents with zero tokens have
+    * no feature rows and drop out (trivially unscoreable). */
+  def dsirWeights(docs: DataFrame, target: Column, dims: Int = 4096,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(dims >= 2 && dims <= 65536, "dims must be in [2, 65536]")
+    val f = docs
+      .select(col(idCol), target.as("__is_t"),
+        explode(Text.tokens(col(textCol))).as("__t"))
+      .groupBy(col(idCol), col("__is_t"),
+        pmod(Rand.portableHexNum(0, col("__t")), lit(dims)).cast("int").as("dim"))
+      .agg(count(lit(1)).as("tf"))
+    val tgtTf = when(col("__is_t"), col("tf")).otherwise(0L)
+    val tot = f.agg(
+      sum(col("tf")).as("__tot_r"),
+      sum(tgtTf).as("__tot_t"))
+    def lnP(c: Column, tot: Column): Column =
+      round(log((c + 1).cast("double") / (tot + dims).cast("double")), 9)
+        .cast(DecimalType(18, 9))
+    f.withColumn("__c_r", sum(col("tf")).over(Window.partitionBy("dim")))
+      .withColumn("__c_t", sum(tgtTf).over(Window.partitionBy("dim")))
+      .crossJoin(broadcast(tot))
+      .withColumn("__lr",
+        lnP(col("__c_t"), col("__tot_t")) - lnP(col("__c_r"), col("__tot_r")))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf").cast(DecimalType(18, 0)) * col("__lr"))
+        .cast("double").as("w"))
+  }
+
   /** DuckDB mirror of `stratifiedSample`'s keep predicate (same md5-hex
     * uniform, same CASE rate table) for oracle queries. */
   def stratifiedSampleSql(rates: Map[String, Double],

@@ -17,7 +17,7 @@ object DataPipeline {
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
     q102, q106, q108, q116, q117, q118, q118f, q119, q120, q125, q127, q139, q140, q141, q143,
     q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170, q171, q172,
-    q173, q175)
+    q173, q175, q177, q178)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -2000,5 +2000,79 @@ object DataPipeline {
       .map(m => (m.rank, m.left, m.right, m.count))
       .toDF("rank", "left", "right", "pair_count")
     mergeDf.crossJoin(totals).orderBy("rank")
+  }
+
+  /** PCA top-component projections (`ml/Pca`): the exact d×d Gram pass,
+    * 8 driver-side power iterations on a 1e-9 decimal lattice
+    * (normalization by max-|component| — no sqrt-of-sum whose addition
+    * order could differ), then a map-side projection with the component
+    * as plan literals. The oracle unrolls the SAME iterations in SQL —
+    * exact decimal matvec, `Compat.exactDoubleSql` conversions, the
+    * `roundSql` mirror for the normalize step — so the hash match pins
+    * the whole train-then-project chain bit-for-bit, not just the
+    * projection. */
+  val q177 = QueryDef(
+    "q177_pca_power",
+    oracle = Some(pcaOracleSql(dim = 64, iters = 8))) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val comp = graft.ml.Pca.trainTopComponent(emb, col("embedding"), dim = 64, iterations = 8)
+    emb.select(col("vec_id"),
+        graft.ml.Pca.project(col("embedding"), comp).as("score"))
+      .orderBy("vec_id")
+  }
+
+  private def pcaOracleSql(dim: Int, iters: Int): String = {
+    val prod = Compat.roundSql(
+      "CAST(embedding[a.i] AS DOUBLE) * CAST(embedding[b.i] AS DOUBLE)", 9)
+    def step(k: Int) = s""",
+      w$k AS (SELECT gf.i AS dim, SUM(CAST(gf.g * v${k - 1}.v AS DECIMAL(38,18))) AS w
+              FROM gf JOIN v${k - 1} ON v${k - 1}.dim = gf.j GROUP BY 1),
+      m$k AS (SELECT MAX(ABS(w)) AS m FROM w$k),
+      v$k AS (SELECT dim, CAST(${Compat.roundSql(
+        s"${Compat.exactDoubleSql("w")} / ${Compat.exactDoubleSql("m")}", 9)}
+              AS DECIMAL(10,9)) AS v
+              FROM w$k CROSS JOIN m$k)"""
+    s"""
+      WITH idx AS (SELECT unnest(generate_series(1, $dim)) AS i),
+      gu AS (SELECT a.i AS i, b.i AS j,
+               SUM(CAST($prod AS DECIMAL(18,9))) AS g
+             FROM embeddings CROSS JOIN idx a CROSS JOIN idx b
+             WHERE b.i >= a.i GROUP BY 1, 2),
+      gf AS (SELECT i, j, g FROM gu UNION ALL SELECT j, i, g FROM gu WHERE i <> j),
+      v0 AS (SELECT i AS dim, CAST(1 AS DECIMAL(10,9)) AS v FROM idx)${(1 to iters).map(step).mkString}
+      SELECT e.vec_id, CAST(SUM(${Compat.roundToLongSql(
+        "CAST(e.embedding[vf.dim] AS DOUBLE) * CAST(vf.v AS DOUBLE) * 1e9")} ) AS DOUBLE) / 1e9 AS score
+      FROM embeddings e CROSS JOIN v$iters vf
+      GROUP BY 1 ORDER BY vec_id"""
+  }
+
+  /** DSIR importance weights (`Curation.dsirWeights`): unigram hashed
+    * bag-of-tokens log importance ratio of the English subset vs the
+    * whole corpus, add-one smoothed over 4096 md5-16 dims. One tokenize
+    * pass; per-dim counts are window sums over the dim partition of the
+    * same pass and the totals aggregate reuses the tf exchange — text
+    * never shuffles, and the plan scans `documents` once (PlanSpec). */
+  val q178 = QueryDef(
+    "q178_dsir_weights",
+    oracle = Some(s"""
+      WITH tok AS (SELECT doc_id, lang = 'en' AS is_t,
+                     unnest(${Text.tokensSql("text")}) AS t FROM documents),
+      f AS (SELECT doc_id, is_t, ${graft.ml.Features.dimSql("t", 4096)} AS dim,
+              COUNT(*) AS tf
+            FROM tok GROUP BY 1, 2, 3),
+      c AS (SELECT dim, SUM(tf) AS c_r,
+              SUM(CASE WHEN is_t THEN tf ELSE 0 END) AS c_t
+            FROM f GROUP BY 1),
+      tot AS (SELECT SUM(c_r) AS tot_r, SUM(c_t) AS tot_t FROM c),
+      lr AS (SELECT dim,
+          CAST(ROUND(ln(CAST(c_t + 1 AS DOUBLE) / CAST(tot_t + 4096 AS DOUBLE)), 9) AS DECIMAL(18,9))
+        - CAST(ROUND(ln(CAST(c_r + 1 AS DOUBLE) / CAST(tot_r + 4096 AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lr
+        FROM c CROSS JOIN tot)
+      SELECT f.doc_id, ${Compat.exactDoubleSql("SUM(CAST(f.tf AS DECIMAL(18,0)) * lr.lr)")} AS w
+      FROM f JOIN lr USING (dim)
+      GROUP BY 1 ORDER BY doc_id""")) { (s, dir) =>
+    Curation.dsirWeights(Tables.load(s, dir, "documents"),
+        target = col("lang") === "en", dims = 4096)
+      .orderBy("doc_id")
   }
 }

@@ -299,4 +299,43 @@ class CurationSpec extends SparkSpec {
     assert(a === b)
     assert(a.map(_._2) === Seq("alpha", "beta", "gamma"))
   }
+
+  test("dsirWeights up-weights documents that look like the target subset") {
+    val s = spark
+    import s.implicits._
+    // target = "sci" docs share a vocabulary; "web" docs share another;
+    // the probe doc 7 uses sci vocabulary, probe 8 uses web vocabulary
+    val d = Seq(
+      (1L, "quantum electron proton neutrino boson", "sci"),
+      (2L, "electron quantum boson photon spin", "sci"),
+      (3L, "click here buy now free offer", "web"),
+      (4L, "free offer click subscribe now deal", "web"),
+      (7L, "quantum boson electron", "web"),
+      (8L, "click free offer", "web"))
+      .toDF("doc_id", "text", "kind")
+    val w = Curation.dsirWeights(d, target = col("kind") === "sci", dims = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.size === 6)
+    // per-token average so lengths don't dominate: sci-voc probe must
+    // score above web-voc probe
+    assert(w(7L) / 3 > w(8L) / 3, s"weights: $w")
+    // absolute signs shift with the smoothing mass on a tiny corpus;
+    // the ORDER target-like > mixed > target-unlike is the contract
+    assert(w(1L) > w(3L) && w(2L) > w(4L), s"weights: $w")
+  }
+
+  test("dsirWeights is partitioning-invariant bit-for-bit and drops empty docs") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 40L).map(i =>
+      (i, if (i % 7 == 0) "" else s"tok${i % 5} tok${i % 3} common word${i % 11}", i % 4 == 0))
+    val runs = Seq(1, 3, 8).map { p =>
+      val d = s.sparkContext.parallelize(rows, p).toDF("doc_id", "text", "t")
+      Curation.dsirWeights(d, target = col("t"), dims = 64)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    assert(runs.distinct.size === 1, "weights depend on partitioning")
+    assert(!runs.head.contains(7L) && !runs.head.contains(14L), "empty docs must drop")
+    assert(runs.head.size === rows.count(_._2.nonEmpty))
+  }
 }

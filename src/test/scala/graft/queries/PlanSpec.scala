@@ -154,7 +154,10 @@ class PlanSpec extends SparkSpec {
       "q168_semantic_dedup",
       // q173 cross-joins the one-row corpus token totals into the
       // driver-sized (≤ nMerges rows) merge table — scalar shape
-      "q173_bpe_train")
+      "q173_bpe_train",
+      // q178 broadcast-crossJoins the one-row corpus token totals into
+      // the tf table — scalar shape like q89/q97/q98
+      "q178_dsir_weights")
     val offenders = Registry.all.flatMap { q =>
       val p =
         try Registry.queries(q.name)(spark, dir).queryExecution.executedPlan.toString
@@ -313,6 +316,49 @@ class PlanSpec extends SparkSpec {
     val lineCarrying = ex.filter(_.output.exists(_.name == "__line"))
     assert(lineCarrying.forall(_.outputPartitioning.toString.contains("doc_id#")),
       s"lines shuffle outside the reassembly exchange:\n${lineCarrying.mkString("\n")}")
+  }
+
+  test("q178: dsir scans documents once at runtime; text never rides an exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = Registry.queries("q178_dsir_weights")(spark, dir)
+    // the totals aggregate consumes the SAME tf exchange as the window
+    // path — AQE stage reuse dedupes the identical subtrees at runtime,
+    // so execute first and assert on the FINAL plan (the initial plan
+    // legitimately shows the totals subplan un-deduped); a second
+    // runtime parquet scan would mean the corpus tokenizes twice (the
+    // q167 lesson)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = p.split("\n").count(l => l.contains("FileScan parquet") && l.contains("documents"))
+    assert(scans == 1, s"expected exactly one runtime scan of documents, saw $scans:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"totals aggregate does not reuse the tf exchange:\n$p")
+    def exchanges(plan: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] =
+      plan.collect {
+        case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+        case s: QueryStageExec => exchanges(s.plan)
+        case e: ShuffleExchangeExec => Seq(e)
+      }.flatten
+    exchanges(df.queryExecution.executedPlan).foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"document bodies ride through an exchange:\n$e")
+    }
+  }
+
+  test("q177: projection is map-side — component literals, no join or exchange above the scan") {
+    // train on the tiny fixture, then inspect the PROJECTION plan alone:
+    // the component must enter as literals (one scan, zero exchanges
+    // besides the output sort)
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val comp = graft.ml.Pca.trainTopComponent(
+      emb, org.apache.spark.sql.functions.col("embedding"), dim = 64, iterations = 2)
+    val proj = emb.select(org.apache.spark.sql.functions.col("vec_id"),
+      graft.ml.Pca.project(org.apache.spark.sql.functions.col("embedding"), comp).as("score"))
+    val p = proj.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"projection is not pure map-side column work:\n$p")
   }
 
   test("whole-stage codegen covers the scan-filter-project pipeline") {
