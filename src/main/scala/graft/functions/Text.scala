@@ -144,6 +144,49 @@ object Text {
     regexp_replace(i, PhoneRe, "[PHONE]")
   }
 
+  // --- HTML boilerplate extraction (web-corpus curation) ---
+
+  // Patterns live in the Java-regex ∩ RE2 common subset (no backrefs, no
+  // lookarounds; (?is) inline flags work in both). NOTE: `\s` is NOT in
+  // that subset — Java's includes \x0B, RE2's does not — so whitespace
+  // uses the explicit class below (the subwordEstimate precedent).
+  val HtmlScriptRe = "(?is)<script\\b[^>]*>.*?</script>"
+  val HtmlStyleRe = "(?is)<style\\b[^>]*>.*?</style>"
+  val HtmlTitleBlockRe = "(?is)<title\\b[^>]*>.*?</title>"
+  val HtmlCommentRe = "(?s)<!--.*?-->"
+  val HtmlTagRe = "(?s)<[^>]*>"
+  val HtmlTitleRe = "(?is)<title[^>]*>(.*?)</title>"
+  val HtmlAnchorRe = "(?i)<a\\b[^>]*>"
+  private val WsRe = "[ \\t\\n\\x0B\\f\\r]+"
+
+  /** Visible text of an HTML document: drop script/style/title bodies
+    * (title is metadata — [[htmlTitle]] extracts it separately) and
+    * comments, strip remaining tags, decode the five basic entities
+    * (&lt; &gt; &quot; &#39; first, &amp; LAST — so a literal
+    * `&amp;lt;` decodes to `&lt;` text, the standard single-pass order),
+    * collapse whitespace runs, trim. Pure codegen'd column work — a
+    * 100 TB boilerplate strip is a scan with no exchange. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, HtmlScriptRe, " ")
+    val noStyle = regexp_replace(noScript, HtmlStyleRe, " ")
+    val noTitle = regexp_replace(noStyle, HtmlTitleBlockRe, " ")
+    val noComment = regexp_replace(noTitle, HtmlCommentRe, " ")
+    val noTags = regexp_replace(noComment, HtmlTagRe, " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => regexp_replace(c, from, to) }
+    trim(regexp_replace(ent, WsRe, " "))
+  }
+
+  /** `<title>` body (trimmed), empty string when absent. */
+  def htmlTitle(html: Column): Column =
+    trim(regexp_extract(html, HtmlTitleRe, 1))
+
+  /** Count of anchor open tags — the link-density signal boilerplate
+    * classifiers key on. */
+  def htmlLinkCount(html: Column): Column =
+    size(regexp_extract_all(html, lit(HtmlAnchorRe), lit(0)))
+
   // --- SQL mirrors (DuckDB) for oracle queries ---
 
   def tokensSql(e: String) = s"regexp_extract_all(lower($e), '[a-z0-9]+')"
@@ -185,4 +228,21 @@ object Text {
   def redactPiiSql(e: String): String =
     s"regexp_replace(regexp_replace(regexp_replace($e, " +
       s"'$EmailRe', '[EMAIL]', 'g'), '$Ipv4Re', '[IP]', 'g'), '$PhoneRe', '[PHONE]', 'g')"
+  def stripHtmlSql(e: String): String = {
+    val noScript = s"regexp_replace($e, '$HtmlScriptRe', ' ', 'g')"
+    val noStyle = s"regexp_replace($noScript, '$HtmlStyleRe', ' ', 'g')"
+    val noTitle = s"regexp_replace($noStyle, '$HtmlTitleBlockRe', ' ', 'g')"
+    val noComment = s"regexp_replace($noTitle, '$HtmlCommentRe', ' ', 'g')"
+    val noTags = s"regexp_replace($noComment, '$HtmlTagRe', ' ', 'g')"
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "''", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        s"regexp_replace($c, '$from', '$to', 'g')"
+      }
+    s"trim(regexp_replace($ent, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+  }
+  def htmlTitleSql(e: String): String =
+    s"trim(regexp_extract($e, '$HtmlTitleRe', 1))"
+  def htmlLinkCountSql(e: String): String =
+    s"len(regexp_extract_all($e, '$HtmlAnchorRe'))"
 }

@@ -159,6 +159,42 @@ object Curation {
     docs.filter(u < rate)
   }
 
+  /** Temperature-based mixture sampling (the mT5/XLM-R multilingual
+    * upsampling shape): target mixture share of group g is
+    * p_g ∝ n_g^α (α < 1 flattens the distribution toward low-resource
+    * groups), and each group keeps `rate_g = min(1, T·p_g / n_g)` of its
+    * documents toward a `targetTotal` of T — the standard
+    * size-temperature resampling, realized as the same deterministic
+    * md5-uniform map-side filter as [[stratifiedSample]] (retry- and
+    * repartition-stable, resumable).
+    *
+    * Plan: one group-size aggregate (group-width rows), a one-row Σw^α
+    * scalar, and a broadcast rate join back onto the corpus — the scan
+    * is the only corpus-sized work. Determinism: n^α is libm `pow`,
+    * rounded to 1e-9 before the exact decimal share sum (the q98 class);
+    * the final rate re-rounds to 1e-9 (`Compat.roundSql` mirror), so
+    * both engines filter on bit-identical rates against bit-identical
+    * uniforms. Returns the kept rows as (idCol, groupCol, rate). */
+  def temperatureSample(docs: DataFrame, alpha: Double, targetTotal: Long,
+                        groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
+    require(targetTotal >= 1)
+    val sizes = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val w = sizes.withColumn("__w",
+      round(pow(col("__n").cast("double"), lit(alpha)), 9).cast(DecimalType(28, 9)))
+    val tot = w.agg(sum("__w").as("__tw"))
+    val rates = w.crossJoin(broadcast(tot))
+      .withColumn("__p", col("__w").cast("double") / col("__tw").cast("double"))
+      .withColumn("rate",
+        round(least(lit(1.0), lit(targetTotal.toDouble) * col("__p") / col("__n")), 9))
+      .select(col(groupCol), col("rate"))
+    val u = Rand.portableUniform(0, col(idCol).cast("string"))
+    docs.join(broadcast(rates), groupCol)
+      .filter(u < col("rate"))
+      .select(col(idCol), col(groupCol), col("rate"))
+  }
+
   /** Overlapping token-window chunking — the RAG/embedding-prep shape:
     * each document yields windows of `window` tokens every `stride`
     * tokens (the final window clamps at the end; documents shorter than

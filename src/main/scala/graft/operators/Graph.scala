@@ -171,8 +171,9 @@ object Graph {
     * (all nodes update from the previous round's labels) makes the
     * result a pure function of (edges, iterations) — deterministic
     * across engines, partitionings, and retries, unlike the
-    * asynchronous/randomized textbook variant. Initial label = node id;
-    * isolated endpoints keep their label.
+    * asynchronous/randomized textbook variant. Initial label = node id
+    * (every endpoint of `edges` has ≥ 1 neighbor by construction, so
+    * the per-round argmax covers the full node set).
     *
     * Input: undirected edges (a, b); symmetrized internally. Output:
     * (id, community) for every endpoint.
@@ -182,32 +183,46 @@ object Graph {
     * (dst, label)-grouped count with map-side partial aggregation, and
     * one per-dst argmax via `max(struct(cnt, -label))` — a map-side
     * combinable aggregate, never a per-node window. Hub skew is AQE's
-    * skew-join case; `localCheckpoint` per round bounds lineage. k
-    * rounds shuffle label-width rows k times, never adjacency lists. */
+    * skew-join case. The edge invariant persists SERIALIZED with disk
+    * spill (an unevictable deserialized checkpoint of a 100×-scale edge
+    * set starves execution memory — caught by the sf10 rehearsal);
+    * node-width labels localCheckpoint each round to bound the
+    * iterative lineage. k rounds shuffle label-width rows k times,
+    * never adjacency lists. */
   def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 50)
     val und = edges.select(col("a"), col("b"))
+    // the big loop invariant: persist SERIALIZED with disk spill, not
+    // localCheckpoint — checkpointed deserialized edge blocks at sf10
+    // scale (180M sym rows of the co-order graph) pin gigabytes of
+    // unevictable storage and starve execution memory
+    // (UNABLE_TO_ACQUIRE_MEMORY, caught live by the r8 rehearsal); the
+    // serialized columnar form is ~10× smaller and spills freely. Its
+    // lineage is one join+distinct — shallow enough that truncation
+    // buys nothing.
     val sym = und.select(col("a").as("s"), col("b").as("d"))
       .unionAll(und.select(col("b").as("s"), col("a").as("d")))
       .distinct()
-      .localCheckpoint()
-    val nodes = sym.select(col("s").as("id")).distinct().localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("lbl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // every node appears as some `d` (sym holds both directions of every
+    // edge), so the per-round argmax covers the full node set — no
+    // carry join needed
+    var labels = sym.select(col("s").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
     for (_ <- 1 to iterations) {
-      val picked = sym
+      labels = sym
         .join(labels.select(col("id").as("s"), col("lbl")), "s")
         .groupBy(col("d").as("id"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
         // argmax by (count, then smallest label): max over (cnt, -lbl)
         .groupBy("id")
         .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
-        .select(col("id"), (-col("m.nl")).as("newLbl"))
-      labels = nodes
-        .join(picked, Seq("id"), "left")
-        .join(labels, Seq("id"))
-        .select(col("id"), coalesce(col("newLbl"), col("lbl")).as("lbl"))
+        .select(col("id"), (-col("m.nl")).as("lbl"))
+        // labels are node-width (tiny next to edges) — checkpointing
+        // them each round is what bounds the iterative lineage
         .localCheckpoint()
     }
+    sym.unpersist(false)
     labels.select(col("id"), col("lbl").as("community"))
   }
 

@@ -115,4 +115,67 @@ object Retrieval {
         count(lit(1)).as("n_bigram"),
         (sum("__nll").cast("double") / count(lit(1))).as("bigram_nll"))
   }
+
+  /** Reference-model perplexity filter (the CCNet shape: score EVERY
+    * document under an LM fit on a reference subset — documents far from
+    * the reference distribution filter out): Jelinek-Mercer-interpolated
+    * bigram cross-entropy, P(w₂|w₁) = λ·c_ref(w₁w₂)/c_ref(w₁·) +
+    * (1−λ)·(u_ref(w₂)+1)/(U+2²⁰), where u_ref counts w₂-continuations in
+    * the reference and the add-one smoothing runs over a FIXED 2²⁰-slot
+    * hashed-vocabulary denominator — a constant, so no corpus-wide
+    * distinct-count pass is needed and every unseen token keeps positive
+    * mass. Unlike [[bigramNll]] (self-scored MLE), this scores held-out
+    * text: unseen bigrams back off to the smoothed unigram instead of
+    * −ln 0.
+    *
+    * Plan: ONE bigram explode; all three reference-count lookups attach
+    * as window sums over (bigram / context / continuation) partitions of
+    * the SAME pass — the [[graft.operators.Curation.dsirWeights]] trick,
+    * no model-table joins, no second corpus scan (the U-total aggregate
+    * reuses the first window's exchange). Exchanges carry gram-shaped
+    * rows; document text never shuffles. Returns (idCol, n_bigram, xent)
+    * for documents with ≥ 2 tokens.
+    *
+    * Determinism: all probabilities are ratios/affine combinations of
+    * exact integers — per-op IEEE, bit-identical cross-engine; ln rounds
+    * to 1e-9 before the exact decimal mean (the q98 libm class). */
+  def interpolatedBigramNll(docs: DataFrame, ref: Column, lambda: Double = 0.7,
+                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
+    // pre-aggregate per-document bigram multiplicities FIRST: the windows
+    // see (doc, bigram)-distinct rows instead of the raw stream, and —
+    // the part that makes the plan single-scan — both downstream
+    // consumers (window chain + U-total) sit above the IDENTICAL groupBy
+    // exchange, so AQE stage reuse dedupes them. Aggregating the raw
+    // windowed stream instead leaves the total's subtree column-pruned
+    // differently and the corpus tokenizes twice.
+    val g = docs
+      .select(col(idCol), ref.as("__ref"),
+        explode(Text.shingles(col(textCol), 2)).as("__b"))
+      .withColumn("__w1", substring_index(col("__b"), " ", 1))
+      .withColumn("__w2", substring_index(col("__b"), " ", -1))
+      .groupBy(col(idCol), col("__ref"), col("__b"), col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__tf"))
+    val refTf = when(col("__ref"), col("__tf")).otherwise(0L)
+    val bis = g
+      .withColumn("__bc", sum(refTf).over(Window.partitionBy("__b")))
+      .withColumn("__cc", sum(refTf).over(Window.partitionBy("__w1")))
+      .withColumn("__uc", sum(refTf).over(Window.partitionBy("__w2")))
+    val total = g.agg(sum(refTf).as("__u"))
+    val pBig = when(col("__cc") > 0,
+      col("__bc").cast("double") / col("__cc").cast("double")).otherwise(lit(0.0))
+    val pUni = (col("__uc") + 1).cast("double") /
+      (col("__u") + (1L << 20)).cast("double")
+    val nll = round(-log(lit(lambda) * pBig + lit(1 - lambda) * pUni), 9)
+      .cast(DecimalType(18, 9))
+    bis
+      .crossJoin(broadcast(total))
+      .withColumn("__nll", nll)
+      .groupBy(col(idCol))
+      .agg(
+        sum("__tf").as("n_bigram"),
+        (sum(col("__tf").cast(DecimalType(18, 0)) * col("__nll")).cast("double") /
+          sum("__tf")).as("xent"))
+  }
 }

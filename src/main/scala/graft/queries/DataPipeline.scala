@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.{Text, TextKernels}
+import graft.functions.{Rand, Text, TextKernels}
 import graft.operators.{Curation, Dedup, Drift, Linkage, Multimodal, Quantize, Similarity, Sketches}
 
 /** LLM-training-data pipeline family over `documents` and `embeddings`:
@@ -17,7 +17,7 @@ object DataPipeline {
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
     q102, q106, q108, q116, q117, q118, q118f, q119, q120, q125, q127, q139, q140, q141, q143,
     q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170, q171, q172,
-    q173, q175, q177, q178)
+    q173, q175, q177, q178, q179, q180, q181)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -2000,6 +2000,121 @@ object DataPipeline {
       .map(m => (m.rank, m.left, m.right, m.count))
       .toDF("rank", "left", "right", "pair_count")
     mergeDf.crossJoin(totals).orderBy("rank")
+  }
+
+  /** Reference-LM perplexity filter (`Retrieval.interpolatedBigramNll`):
+    * every document scored under the Jelinek-Mercer-interpolated bigram
+    * model of the English subset — the CCNet quality-filter shape, one
+    * step past q127's self-scored MLE (unseen bigrams back off to the
+    * smoothed hashed-vocab unigram instead of −ln 0). λ and 1−λ enter
+    * the oracle as the exact shortest-repr double literals the Scala
+    * side computes (1−0.7 is NOT 0.3 in doubles — and DuckDB parses a
+    * bare 0.3 as DECIMAL, a third value). */
+  val q179 = QueryDef(
+    "q179_interpolated_nll",
+    oracle = Some {
+      val lam = s"CAST('${0.7}' AS DOUBLE)"
+      val mu = s"CAST('${1 - 0.7}' AS DOUBLE)"
+      s"""
+      WITH bis AS (SELECT doc_id, lang = 'en' AS ref,
+                     unnest(${gramsAllSql(2)}) AS b FROM documents),
+      bc AS (SELECT b, SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS bc FROM bis GROUP BY 1),
+      cc AS (SELECT split_part(b, ' ', 1) AS w1,
+               SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS cc FROM bis GROUP BY 1),
+      uc AS (SELECT split_part(b, ' ', 2) AS w2,
+               SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS uc FROM bis GROUP BY 1),
+      u AS (SELECT SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS u FROM bis)
+      SELECT bis.doc_id, COUNT(*) AS n_bigram,
+        CAST(SUM(CAST(ROUND(-ln(
+            $lam * (CASE WHEN cc.cc > 0
+                         THEN CAST(bc.bc AS DOUBLE) / CAST(cc.cc AS DOUBLE)
+                         ELSE CAST(0 AS DOUBLE) END)
+          + $mu * (CAST(uc.uc + 1 AS DOUBLE) / CAST(u.u + 1048576 AS DOUBLE))), 9)
+          AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS xent
+      FROM bis JOIN bc USING (b)
+        JOIN cc ON split_part(bis.b, ' ', 1) = cc.w1
+        JOIN uc ON split_part(bis.b, ' ', 2) = uc.w2
+        CROSS JOIN u
+      GROUP BY 1 ORDER BY doc_id"""
+    }) { (s, dir) =>
+    graft.operators.Retrieval
+      .interpolatedBigramNll(Tables.load(s, dir, "documents"),
+        ref = col("lang") === "en", lambda = 0.7)
+      .orderBy("doc_id")
+  }
+
+  /** Temperature mixture sampling (`Curation.temperatureSample`, α=0.3,
+    * T=150): n^α share flattening with the deterministic md5-uniform
+    * keep filter. The oracle re-derives pow via `Compat.roundSql` (libm
+    * ulp + Spark round semantics), α and T as exact shortest-repr double
+    * literals (a bare 0.3 in DuckDB is a DECIMAL — a different value). */
+  val q181 = QueryDef(
+    "q181_temperature_sample",
+    oracle = Some {
+      val alphaLit = s"CAST('${0.3}' AS DOUBLE)"
+      val tLit = s"CAST('${150.0}' AS DOUBLE)"
+      s"""
+      WITH n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+      w AS (SELECT source, n, CAST(${Compat.roundSql(
+        s"pow(CAST(n AS DOUBLE), $alphaLit)", 9)} AS DECIMAL(28,9)) AS w FROM n),
+      tw AS (SELECT SUM(w) AS tw FROM w),
+      r AS (SELECT source, ${Compat.roundSql(
+        s"LEAST(CAST(1 AS DOUBLE), $tLit * (CAST(w AS DOUBLE) / CAST(tw.tw AS DOUBLE)) / n)",
+        9)} AS rate
+            FROM w CROSS JOIN tw)
+      SELECT d.doc_id, d.source, CAST(r.rate AS DOUBLE) AS rate
+      FROM documents d JOIN r USING (source)
+      WHERE ${Rand.portableUniformSql(0, "CAST(d.doc_id AS STRING)")} < CAST(r.rate AS DOUBLE)
+      ORDER BY d.doc_id"""
+    }) { (s, dir) =>
+    Curation.temperatureSample(Tables.load(s, dir, "documents"),
+        alpha = 0.3, targetTotal = 150)
+      .orderBy("doc_id")
+  }
+
+  /** HTML boilerplate extraction (`Text.stripHtml/htmlTitle/
+    * htmlLinkCount`): deterministic synthetic HTML wrapped around real
+    * corpus text (the q99 injection pattern — script with entities, a
+    * multi-line comment, doc_id-dependent link counts, entity-bearing
+    * tail), then visible-text extraction, title, link density, and
+    * cleaned length/head. Patterns live in the Java-regex ∩ RE2 common
+    * subset ((?is) flags; explicit whitespace class — `\\s` differs
+    * between engines); pure map-side column work. */
+  val q180 = QueryDef(
+    "q180_html_extract",
+    oracle = Some {
+      val html = "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || " +
+        "' &amp; co</title><style>p {color: red}</style></head><body>" +
+        "<script type=\"text/js\">var i = 0; while (i &lt; 3) { i += 1; }</script>" +
+        "<!-- nav" + "\n" + "boilerplate --><p>' || text || '</p>' || " +
+        "repeat('<a href=\"http://example.com/p\">link</a>', CAST(doc_id % 4 AS INT)) || " +
+        "'<div>tail &#39;q&#39; &lt;b&gt;</div></body></html>'"
+      s"""
+      WITH h AS (SELECT doc_id, $html AS page FROM documents)
+      SELECT doc_id,
+        ${Text.htmlTitleSql("page")} AS title,
+        CAST(${Text.htmlLinkCountSql("page")} AS INT) AS n_links,
+        CAST(len(${Text.stripHtmlSql("page")}) AS INT) AS clean_len,
+        substring(${Text.stripHtmlSql("page")}, 1, 80) AS head
+      FROM h ORDER BY doc_id"""
+    }) { (s, dir) =>
+    val link = lit("<a href=\"http://example.com/p\">link</a>")
+    val page = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit(" &amp; co</title><style>p {color: red}</style></head><body>" +
+        "<script type=\"text/js\">var i = 0; while (i &lt; 3) { i += 1; }</script>" +
+        "<!-- nav\nboilerplate --><p>"),
+      col("text"), lit("</p>"),
+      concat_ws("", array_repeat(link, pmod(col("doc_id"), lit(4)).cast("int"))),
+      lit("<div>tail &#39;q&#39; &lt;b&gt;</div></body></html>"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), page.as("page"))
+      .select(col("doc_id"),
+        Text.htmlTitle(col("page")).as("title"),
+        Text.htmlLinkCount(col("page")).as("n_links"),
+        length(Text.stripHtml(col("page"))).as("clean_len"),
+        substring(Text.stripHtml(col("page")), 1, 80).as("head"))
+      .orderBy("doc_id")
   }
 
   /** PCA top-component projections (`ml/Pca`): the exact d×d Gram pass,

@@ -300,6 +300,26 @@ class CurationSpec extends SparkSpec {
     assert(a.map(_._2) === Seq("alpha", "beta", "gamma"))
   }
 
+  test("temperatureSample flattens toward low-resource groups; α=1 is proportional") {
+    val s = spark
+    import s.implicits._
+    val d = (1L to 300L).map(i => (i, if (i <= 270) "big" else "small"))
+      .toDF("doc_id", "source")
+    val out = Curation.temperatureSample(d, alpha = 0.5, targetTotal = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val rates = out.groupBy(_._2).map { case (g, rs) => g -> rs.head._3 }
+    // α=0.5: shares ∝ √n, so the small group keeps a HIGHER per-doc rate
+    assert(rates("small") > rates("big"), s"rates: $rates")
+    // deterministic and repartition-stable
+    val out2 = Curation.temperatureSample(d.repartition(7), alpha = 0.5, targetTotal = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSet === out2.toSet)
+    // α=1 degenerates to proportional sampling: one uniform rate T/N
+    val u = Curation.temperatureSample(d, alpha = 1.0, targetTotal = 100)
+      .collect().map(_.getDouble(2)).distinct
+    assert(u.length === 1, s"expected one uniform rate, got ${u.toSeq}")
+  }
+
   test("dsirWeights up-weights documents that look like the target subset") {
     val s = spark
     import s.implicits._

@@ -91,6 +91,48 @@ class RetrievalSpec extends SparkSpec {
     assert(got === want) // docs 3 ("cat") and 4 ("") have no bigrams
   }
 
+  test("interpolatedBigramNll matches hand computation; unseen bigrams back off smoothly") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat on the mat", true),
+      (2L, "the cat ran to the mat", true),
+      (3L, "the cat sat", false), // all bigrams seen in ref
+      (4L, "zebra quagga okapi", false), // nothing seen: pure smoothed unigram
+      (5L, "x", false)) // no bigrams — drops
+    val df = corpus.toDF("doc_id", "text", "ref")
+    val bigramsOf = (t: String) =>
+      t.split("\\s+").filter(_.nonEmpty).sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq
+    val refB = corpus.filter(_._3).flatMap(d => bigramsOf(d._2))
+    val bc = refB.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cc = refB.groupBy(_.split(" ")(0)).view.mapValues(_.size.toLong).toMap
+    val uc = refB.groupBy(_.split(" ")(1)).view.mapValues(_.size.toLong).toMap
+    val u = refB.size.toLong
+    val lam = 0.7
+    def round9(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def p(b: String): Double = {
+      val Array(w1, w2) = b.split(" ")
+      val pb = if (cc.getOrElse(w1, 0L) > 0)
+        bc.getOrElse(b, 0L).toDouble / cc(w1) else 0.0
+      val pu = (uc.getOrElse(w2, 0L) + 1).toDouble / (u + (1L << 20))
+      lam * pb + (1 - lam) * pu
+    }
+    val want = corpus.filter(d => bigramsOf(d._2).nonEmpty).map { case (id, t, _) =>
+      val bs = bigramsOf(t)
+      val sum = bs.map(b => round9(-math.log(p(b)))).sum
+      (id, bs.size.toLong, math.rint(sum.toDouble / bs.size * 1e9) / 1e9)
+    }.toSet
+    val got = Retrieval.interpolatedBigramNll(df, ref = col("ref"), lambda = lam)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, v) => (id, n, math.rint(v * 1e9) / 1e9) }.toSet
+    assert(got === want)
+    // ref-seen text must score far below out-of-distribution text
+    val byId = got.map(g => g._1 -> g._3).toMap
+    assert(byId(3L) < byId(4L), s"reference-like doc should have lower xent: $byId")
+  }
+
   test("pii counts and redaction") {
     val rows = Seq(
       (1L, "mail a.smith@example.com or BOB@MAIL.CO today"),

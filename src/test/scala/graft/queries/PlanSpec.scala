@@ -157,7 +157,13 @@ class PlanSpec extends SparkSpec {
       "q173_bpe_train",
       // q178 broadcast-crossJoins the one-row corpus token totals into
       // the tf table — scalar shape like q89/q97/q98
-      "q178_dsir_weights")
+      "q178_dsir_weights",
+      // q179 broadcast-crossJoins the one-row reference bigram total —
+      // scalar shape like q89/q97/q98
+      "q179_interpolated_nll",
+      // q181 broadcast-crossJoins the one-row Σn^α scalar into the
+      // group-width rate table — scalar shape like q89
+      "q181_temperature_sample")
     val offenders = Registry.all.flatMap { q =>
       val p =
         try Registry.queries(q.name)(spark, dir).queryExecution.executedPlan.toString
@@ -335,6 +341,31 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected exactly one runtime scan of documents, saw $scans:\n$p")
     assert(p.contains("ReusedExchange"),
       s"totals aggregate does not reuse the tf exchange:\n$p")
+    def exchanges(plan: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] =
+      plan.collect {
+        case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+        case s: QueryStageExec => exchanges(s.plan)
+        case e: ShuffleExchangeExec => Seq(e)
+      }.flatten
+    exchanges(df.queryExecution.executedPlan).foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"document bodies ride through an exchange:\n$e")
+    }
+  }
+
+  test("q179: interpolated LM scans documents once at runtime; text never rides an exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = Registry.queries("q179_interpolated_nll")(spark, dir)
+    // all three model lookups are window sums over the one bigram pass;
+    // the U-total aggregate reuses the first window's exchange at runtime
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = p.split("\n").count(l => l.contains("FileScan parquet") && l.contains("documents"))
+    assert(scans == 1, s"expected exactly one runtime scan of documents, saw $scans:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"U-total aggregate does not reuse the bigram exchange:\n$p")
     def exchanges(plan: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] =
       plan.collect {
         case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
