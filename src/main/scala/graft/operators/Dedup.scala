@@ -451,6 +451,61 @@ object Dedup {
         (col("inter").cast("double") / col("uni").cast("double")).as("jac"))
   }
 
+  /** Cross-document duplicated-span detection — the exact-substring dedup
+    * shape ("Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022, done at word-k-gram granularity instead of a
+    * corpus-wide suffix array, which does not distribute): a k-gram
+    * occurrence is DUPLICATED when the same k tokens appear ≥
+    * `minOccurrences` times anywhere in the corpus (other documents or
+    * elsewhere in the same one); overlapping/adjacent duplicated windows
+    * merge into maximal spans. Emits one row per maximal span —
+    * (idCol, span_start, span_end, span_tokens), token positions 0-based
+    * inclusive — the mask a rewrite/excision pass consumes.
+    *
+    * Plan: ONE tokenize pass (`posexplode` of the k-shingle list);
+    * duplicated-ness is a count over the gram partition of that same
+    * pass — no self-join (a stop-gram costs linear count work here, not
+    * the df² pair fan-out of a postings join), no second corpus scan.
+    * Exchanges carry (doc, pos, gram) rows — gram-shaped, k tokens wide;
+    * document bodies never shuffle. The span merge is a per-document
+    * lag/running-sum window over FLAGGED positions only — bounded by
+    * tokens-per-document. Since every window has the same length k, ends
+    * are ordered with starts and the merge condition is just
+    * `pos > prev + k` (gaps-and-islands with a lag, no running-max).
+    *
+    * `portable = false` swaps the gram string for its xxhash64 before the
+    * exchange — constant-width keys for a 100 TB run (a 2⁻⁶⁴/pair
+    * collision can only over-flag); the md5-free string form is what a
+    * DuckDB oracle can re-derive, so only `portable = true` is
+    * oracle-mirrored (the capPerGroupAgg rule). All outputs are integers
+    * — exact on any engine, any partitioning. */
+  def duplicateSpans(docs: DataFrame, k: Int = 6, minOccurrences: Int = 2,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     portable: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"span gram width must be >= 2: $k")
+    require(minOccurrences >= 2, s"minOccurrences must be >= 2: $minOccurrences")
+    val g = docs
+      .select(col(idCol), posexplode(Text.shingles(col(textCol), k)).as(Seq("__pos", "__g0")))
+      .select(col(idCol), col("__pos"),
+        (if (portable) col("__g0") else xxhash64(col("__g0")).cast("string")).as("__g"))
+    val flagged = g
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("__g")))
+      .filter(col("__cnt") >= minOccurrences)
+      .select(col(idCol), col("__pos"))
+    val wd = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    flagged
+      .withColumn("__prev", lag(col("__pos"), 1).over(wd))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__pos") > col("__prev") + k, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(wd))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__pos")).cast("long").as("span_start"),
+        (max(col("__pos")) + (k - 1)).cast("long").as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
   /** Blocked containment pairs — the asymmetric cousin of Jaccard:
     * `|A∩B| / |A|` flags documents whose shingle set is (mostly) contained
     * in another's, which Jaccard misses whenever the containing document

@@ -17,7 +17,7 @@ object DataPipeline {
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
     q102, q106, q108, q116, q117, q118, q118f, q119, q120, q125, q127, q139, q140, q141, q143,
     q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170, q171, q172,
-    q173, q175, q177, q178, q179, q180, q181)
+    q173, q175, q177, q178, q179, q180, q181, q182)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -2041,6 +2041,40 @@ object DataPipeline {
       .interpolatedBigramNll(Tables.load(s, dir, "documents"),
         ref = col("lang") === "en", lambda = 0.7)
       .orderBy("doc_id")
+  }
+
+  /** Cross-document duplicated spans (`Dedup.duplicateSpans`, k=6): the
+    * exact-substring dedup mask — maximal merged runs of 6-grams that
+    * occur ≥ 2 times anywhere in the corpus. The oracle re-derives the
+    * positional shingle stream with a struct-list unnest, the duplicate
+    * flag with the same gram-partition window count, and the span merge
+    * with the same lag/running-sum islands — all integers, exact on both
+    * engines. */
+  val q182 = QueryDef(
+    "q182_duplicate_spans",
+    oracle = Some {
+      val k = 6
+      s"""
+      WITH t AS (SELECT doc_id, ${Text.tokensSql("text")} AS toks FROM documents),
+      g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram
+            FROM (SELECT doc_id, unnest(list_transform(
+                    generate_series(1, len(toks)-${k - 1}),
+                    i -> {'pos': i-1, 'gram': array_to_string(toks[i:i+${k - 1}], ' ')})) AS u
+                  FROM t)),
+      f AS (SELECT doc_id, pos FROM g
+            QUALIFY COUNT(*) OVER (PARTITION BY gram) >= 2),
+      l AS (SELECT doc_id, pos,
+              LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM f),
+      i AS (SELECT doc_id, pos,
+              SUM(CASE WHEN prev IS NULL OR pos > prev + $k THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM l)
+      SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${k - 1} AS span_end,
+             MAX(pos) + $k - MIN(pos) AS span_tokens
+      FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start"""
+    }) { (s, dir) =>
+    graft.operators.Dedup
+      .duplicateSpans(Tables.load(s, dir, "documents"), k = 6)
+      .orderBy("doc_id", "span_start")
   }
 
   /** Temperature mixture sampling (`Curation.temperatureSample`, α=0.3,

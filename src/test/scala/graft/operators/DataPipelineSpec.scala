@@ -421,4 +421,41 @@ class DataPipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(kept2 === Seq(1L))
   }
+
+  private def spansOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("duplicateSpans: cross-document shared runs merge into maximal spans") {
+    // doc 1 and 2 share tokens 0..7 ("...the lazy"); doc 4 is an exact
+    // dup of 1, so 1's tail gram "the lazy dog" is duplicated too — 1 and
+    // 4 flag every 3-gram (one whole-doc span), 2's last gram is unique
+    val out = Dedup.duplicateSpans(docs, k = 3)
+    assert(spansOf(out) === Set((1L, 0L, 8L, 9L), (2L, 0L, 7L, 8L), (4L, 0L, 8L, 9L)))
+    // repartition-stable
+    assert(spansOf(Dedup.duplicateSpans(docs.repartition(7), k = 3)) === spansOf(out))
+    // the xxhash64 production twin flags identical spans on this fixture
+    assert(spansOf(Dedup.duplicateSpans(docs, k = 3, portable = false)) === spansOf(out))
+  }
+
+  test("duplicateSpans: intra-document repetition counts toward minOccurrences") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "a b c x y z a b c")).toDF("doc_id", "text")
+    // "a b c" occurs twice IN THE SAME document: both occurrences flag,
+    // and the gap (6 > 0 + 3) keeps them separate islands
+    assert(spansOf(Dedup.duplicateSpans(d, k = 3)) ===
+      Set((1L, 0L, 2L, 3L), (1L, 6L, 8L, 9L - 6L)))
+  }
+
+  test("duplicateSpans: adjacent windows merge; a one-token gap splits") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "p q r s t u"),        // grams at pos 0 and 3 shared with doc 2
+      (2L, "p q r x s t u")).toDF("doc_id", "text")
+    // doc 1: flagged pos {0, 3}; 3 == 0 + k → one merged span [0, 5].
+    // doc 2: flagged pos {0, 4}; 4 > 0 + 3 → two spans [0,2] and [4,6].
+    assert(spansOf(Dedup.duplicateSpans(d, k = 3)) ===
+      Set((1L, 0L, 5L, 6L), (2L, 0L, 2L, 3L), (2L, 4L, 6L, 3L)))
+  }
 }

@@ -378,6 +378,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q182: duplicate spans scan documents once; no self-join; text never rides an exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = Registry.queries("q182_duplicate_spans")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = p.split("\n").count(l => l.contains("FileScan parquet") && l.contains("documents"))
+    assert(scans == 1, s"expected exactly one runtime scan of documents, saw $scans:\n$p")
+    // duplicated-ness is a window count over the gram partition of the
+    // same pass — a postings SELF-JOIN here would be the df² fan-out
+    assert(!p.contains("Join"), s"duplicate flag must not be a join:\n$p")
+    def exchanges(plan: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] =
+      plan.collect {
+        case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+        case s: QueryStageExec => exchanges(s.plan)
+        case e: ShuffleExchangeExec => Seq(e)
+      }.flatten
+    exchanges(df.queryExecution.executedPlan).foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"document bodies ride through an exchange:\n$e")
+    }
+  }
+
   test("q177: projection is map-side — component literals, no join or exchange above the scan") {
     // train on the tiny fixture, then inspect the PROJECTION plan alone:
     // the component must enter as literals (one scan, zero exchanges
