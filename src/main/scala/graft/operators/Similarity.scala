@@ -257,4 +257,44 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** Prototypicality-based data pruning (the SSL-prototypes shape,
+    * "Beyond neural scaling laws" Sorscher et al. 2022): rank every
+    * vector by cosine to its own cell's centroid and keep a per-cell
+    * fraction — `hardest = true` keeps the LEAST prototypical (lowest
+    * cosine, the hard examples that matter when data is abundant),
+    * `false` keeps the most prototypical (the easy-example regime for
+    * scarce data). Returns (idCol, cellCol, keep_rank, cos6): rank 1 =
+    * kept first; cos6 is the score rounded to 1e-6 for presentation —
+    * RANKING uses the raw double (the q38 contract: per-row folds of
+    * exact per-op IEEE values are bit-identical cross-engine).
+    *
+    * Plan: centroids are the q58 integer-grid means ([[graft.functions
+    * .GridVectorMean]] — exact, order- and partition-free) computed with
+    * the cell sizes in ONE cell-width aggregate that then BROADCASTS back
+    * onto the corpus (cells ≪ corpus; never a shuffle of vectors); the
+    * scoring pass is map-side on top of the scan, and the only
+    * vector-bearing exchange is the per-cell rank window's hash partition
+    * on the cell key. Per-cell `row_number` sorts whole cells — the exact
+    * general path (same class as `Curation.uniformSamplePerGroup`); when
+    * keepFrac·|cell| is small and known, the bounded-TopK aggregate
+    * (`Curation.capPerGroupAgg`) is the exchange-light twin. */
+  def prototypicalityPrune(emb: DataFrame, keepFrac: Double, hardest: Boolean = true,
+                           cellCol: String = "label", idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keepFrac > 0 && keepFrac <= 1, s"keepFrac must be in (0,1]: $keepFrac")
+    val cents = emb.groupBy(col(cellCol))
+      .agg(graft.functions.GridVectorMean.gridMeanVec(col(vecCol)).as("__c"),
+        count(lit(1)).as("__n"))
+    val cos = cosine(col(vecCol), col("__c"))
+    val w = Window.partitionBy(col(cellCol))
+      .orderBy(if (hardest) col("__cos").asc else col("__cos").desc, col(idCol))
+    emb.join(broadcast(cents), cellCol)
+      .withColumn("__cos", cos)
+      .withColumn("keep_rank", row_number().over(w).cast("long"))
+      .filter(col("keep_rank") <= ceil(lit(keepFrac) * col("__n")))
+      .select(col(idCol), col(cellCol), col("keep_rank"),
+        round(col("__cos"), 6).as("cos6"))
+  }
 }

@@ -17,7 +17,7 @@ object DataPipeline {
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
     q102, q106, q108, q116, q117, q118, q118f, q119, q120, q125, q127, q139, q140, q141, q143,
     q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170, q171, q172,
-    q173, q175, q177, q178, q179, q180, q181, q182)
+    q173, q175, q177, q178, q179, q180, q181, q182, q183)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -2075,6 +2075,46 @@ object DataPipeline {
     graft.operators.Dedup
       .duplicateSpans(Tables.load(s, dir, "documents"), k = 6)
       .orderBy("doc_id", "span_start")
+  }
+
+  /** Prototypicality pruning (`Similarity.prototypicalityPrune`,
+    * keepFrac=0.5, hardest): per-label integer-grid centroids (the q58
+    * contract), cosine-to-own-centroid rank, keep the hard half of every
+    * cell. Ranking uses raw doubles (the q38 per-row-fold parity class);
+    * the oracle rebuilds the centroid list with the identical grid mean
+    * and the same ASC/vec_id tie order. */
+  val q183 = QueryDef(
+    "q183_prototypicality_prune",
+    oracle = Some {
+      val keep = s"CAST('${0.5}' AS DOUBLE)"
+      val dotC =
+        "list_sum(list_transform(list_zip(e.embedding, c.cent), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
+      val normE = "sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))"
+      val normC = "sqrt(list_sum(list_transform(c.cent, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))"
+      s"""
+      WITH cs AS (
+        SELECT label, pos,
+          CAST(SUM(${Compat.roundToLongSql("CAST(v AS DOUBLE) * 10000000.0")}) AS DOUBLE) / 10000000.0 / COUNT(*) AS cm
+        FROM (SELECT label, unnest(embedding) AS v,
+                generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        GROUP BY 1, 2),
+      c AS (SELECT label, list(cm ORDER BY pos) AS cent FROM cs GROUP BY 1),
+      n AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
+      s AS (SELECT e.vec_id, e.label,
+              $dotC / ($normE * $normC) AS cos
+            FROM embeddings e JOIN c USING (label)),
+      r AS (SELECT vec_id, label, cos,
+              ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos ASC, vec_id) AS rk
+            FROM s)
+      SELECT r.vec_id, r.label, CAST(rk AS BIGINT) AS keep_rank,
+             ROUND(cos, 6) AS cos6
+      FROM r JOIN n USING (label)
+      WHERE rk <= CEIL($keep * n.n)
+      ORDER BY label, keep_rank"""
+    }) { (s, dir) =>
+    Similarity.prototypicalityPrune(Tables.load(s, dir, "embeddings"),
+        keepFrac = 0.5, hardest = true)
+      .orderBy("label", "keep_rank")
   }
 
   /** Temperature mixture sampling (`Curation.temperatureSample`, α=0.3,

@@ -133,4 +133,43 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept2 === Seq(1L, 2L, 3L, 4L, 6L))
   }
+
+  test("prototypicalityPrune keeps the least prototypical fraction per cell") {
+    // cell 0: three near-identical vectors and one orthogonal outlier —
+    // the outlier is the hard example and must rank first at keepFrac=0.5
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.01f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(1.0f, -0.01f), 0), (4L, Seq(0.0f, 1.0f), 0),
+      (5L, Seq(0.5f, 0.5f), 1), (6L, Seq(0.5f, 0.52f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.prototypicalityPrune(emb, keepFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // ceil(0.5·4)=2 from cell 0 (outlier 4 first), ceil(0.5·2)=1 from cell 1
+    assert(out.map(t => (t._1, t._2)).contains((4L, 0)))
+    assert(out.count(_._2 == 0) === 2 && out.count(_._2 == 1) === 1)
+    assert(out.filter(_._2 == 0).map(_._3).toSeq.sorted === Seq(1L, 2L))
+    // hardest=false inverts: the outlier is pruned, prototypes kept
+    val easy = Similarity.prototypicalityPrune(emb, keepFrac = 0.5, hardest = false)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(!easy.contains((4L, 0L.toInt)) && easy.count(_._2 == 0) === 2)
+    // keepFrac=1 keeps everything, ranks are a permutation of 1..n
+    val all = Similarity.prototypicalityPrune(emb, keepFrac = 1.0)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(all.count(_._1 == 0) === 4 && all.filter(_._1 == 0).map(_._2).sorted.toSeq === (1L to 4L))
+    // repartition-stable
+    val out2 = Similarity.prototypicalityPrune(emb.repartition(5), keepFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(out2 === out)
+  }
+
+  test("prototypicalityPrune broadcasts the centroid side; vectors shuffle only for the cell window") {
+    val emb = (1L to 40L).map(i =>
+      (i, Seq((i % 7).toFloat, (i % 3).toFloat), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val df = Similarity.prototypicalityPrune(emb, keepFrac = 0.5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), s"centroid join is not a broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"vectors shuffled for the centroid join:\n$p")
+  }
 }
