@@ -178,4 +178,57 @@ object Retrieval {
         (sum(col("__tf").cast(DecimalType(18, 0)) * col("__nll")).cast("double") /
           sum("__tf")).as("xent"))
   }
+
+  /** Naive-Bayes quality-classifier log-likelihood ratio — the GPT-3/
+    * CCNet quality-filter shape (a cheap linear classifier separating a
+    * curated `target` reference from the raw rest, then scoring EVERY
+    * document): multinomial NB over unigrams with add-one smoothing on a
+    * fixed 2²⁰-slot hashed vocabulary,
+    * `llr(d) = Σ_t tf_t · ln[ P(t|target) / P(t|other) ]` over the model
+    * fit on the `train` split. Positive ⇒ target-like. The class prior is
+    * deliberately absorbed into the caller's decision threshold (a
+    * uniform-prior NB) — keeping it out of the plan keeps the corpus
+    * single-scan.
+    *
+    * Plan: ONE tokenize pass, pre-aggregated to (doc, token)
+    * multiplicities; both class counts attach as conditional window sums
+    * over the token partition of that SAME pass (no model-table join) and
+    * the two class totals reuse the groupBy exchange (the
+    * [[interpolatedBigramNll]] layout). Exchanges carry token-shaped
+    * rows; text never shuffles. Returns (idCol, n_tok, llr) — documents
+    * with ≥ 1 token.
+    *
+    * Determinism: the per-token ratio is one division chain of exact
+    * integers (same ops, same order on any engine), then ONE libm `ln`
+    * rounded to 1e-9 before the exact decimal weighted sum (the q98
+    * class). Totals fit 2^53 comfortably through petabyte-scale token
+    * counts (2^53 ≈ 9·10¹⁵ tokens). */
+  def naiveBayesLlr(docs: DataFrame, target: Column, train: Column,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs
+      .select(col(idCol), target.as("__y"), train.as("__tr"),
+        explode(Text.tokens(col(textCol))).as("__t"))
+      .groupBy(col(idCol), col("__y"), col("__tr"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    val posTf = when(col("__tr") && col("__y"), col("__tf")).otherwise(0L)
+    val negTf = when(col("__tr") && !col("__y"), col("__tf")).otherwise(0L)
+    val wt = Window.partitionBy("__t")
+    val withCounts = g
+      .withColumn("__np", sum(posTf).over(wt))
+      .withColumn("__nn", sum(negTf).over(wt))
+    val totals = g.agg(sum(posTf).as("__tp"), sum(negTf).as("__tn"))
+    val v = 1L << 20
+    val pPos = (col("__np") + 1).cast("double") / (col("__tp") + v).cast("double")
+    val pNeg = (col("__nn") + 1).cast("double") / (col("__tn") + v).cast("double")
+    val term = round(log(pPos / pNeg), 9).cast(DecimalType(18, 9))
+    withCounts
+      .crossJoin(broadcast(totals))
+      .withColumn("__llr", term)
+      .groupBy(col(idCol))
+      .agg(
+        sum("__tf").as("n_tok"),
+        sum(col("__tf").cast(DecimalType(18, 0)) * col("__llr"))
+          .cast("double").as("llr"))
+  }
 }

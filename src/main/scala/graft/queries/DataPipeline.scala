@@ -17,7 +17,7 @@ object DataPipeline {
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
     q102, q106, q108, q116, q117, q118, q118f, q119, q120, q125, q127, q139, q140, q141, q143,
     q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170, q171, q172,
-    q173, q175, q177, q178, q179, q180, q181, q182, q183)
+    q173, q175, q177, q178, q179, q180, q181, q182, q183, q184)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -2075,6 +2075,42 @@ object DataPipeline {
     graft.operators.Dedup
       .duplicateSpans(Tables.load(s, dir, "documents"), k = 6)
       .orderBy("doc_id", "span_start")
+  }
+
+  /** Naive-Bayes quality LLR (`Retrieval.naiveBayesLlr`): the GPT-3-style
+    * quality classifier — NB trained on the doc_id%5≠0 split to separate
+    * src0 from the rest, scoring every document. The per-token ratio is
+    * an exact-integer division chain, one `ln`, rounded to 1e-9 before
+    * the decimal weighted sum (q98 class). */
+  val q184 = QueryDef(
+    "q184_nb_quality_llr",
+    oracle = Some(s"""
+      WITH a AS (
+        SELECT doc_id, source = 'src0' AS y, doc_id % 5 <> 0 AS tr,
+               t, COUNT(*) AS tf
+        FROM (SELECT doc_id, source, unnest(${Text.tokensSql("text")}) AS t
+              FROM documents)
+        GROUP BY 1, 2, 3, 4),
+      w AS (SELECT doc_id, tf,
+              SUM(CASE WHEN tr AND y THEN tf ELSE 0 END) OVER (PARTITION BY t) AS np,
+              SUM(CASE WHEN tr AND NOT y THEN tf ELSE 0 END) OVER (PARTITION BY t) AS nn
+            FROM a),
+      tot AS (SELECT SUM(CASE WHEN tr AND y THEN tf ELSE 0 END) AS tp,
+                     SUM(CASE WHEN tr AND NOT y THEN tf ELSE 0 END) AS tn
+              FROM a)
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+        CAST(SUM(CAST(tf AS DECIMAL(18,0)) *
+          CAST(ROUND(ln(
+            (CAST(np + 1 AS DOUBLE) / CAST(tp + 1048576 AS DOUBLE)) /
+            (CAST(nn + 1 AS DOUBLE) / CAST(tn + 1048576 AS DOUBLE))), 9)
+          AS DECIMAL(18,9))) AS DOUBLE) AS llr
+      FROM w CROSS JOIN tot
+      GROUP BY 1 ORDER BY doc_id""")) { (s, dir) =>
+    graft.operators.Retrieval
+      .naiveBayesLlr(Tables.load(s, dir, "documents"),
+        target = col("source") === "src0",
+        train = pmod(col("doc_id"), lit(5)) =!= 0)
+      .orderBy("doc_id")
   }
 
   /** Prototypicality pruning (`Similarity.prototypicalityPrune`,

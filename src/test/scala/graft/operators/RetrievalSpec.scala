@@ -133,6 +133,42 @@ class RetrievalSpec extends SparkSpec {
     assert(byId(3L) < byId(4L), s"reference-like doc should have lower xent: $byId")
   }
 
+  test("naiveBayesLlr matches hand computation; target-like docs score positive") {
+    val s = spark
+    import s.implicits._
+    // train: docs 1-4 (two per class); score: all (5 and 6 are held out)
+    val corpus = Seq(
+      (1L, "good clean prose text", true, true),
+      (2L, "good clean words here", true, true),
+      (3L, "spam junk noise blob", false, true),
+      (4L, "junk noise spam mess", false, true),
+      (5L, "clean good prose", true, false), // target-like held-out
+      (6L, "noise spam junk", false, false)) // other-like held-out
+    val df = corpus.toDF("doc_id", "text", "y", "tr")
+    val toks = (t: String) => t.split(" ").toSeq
+    val trainDocs = corpus.filter(_._4)
+    val np = trainDocs.filter(_._3).flatMap(d => toks(d._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nn = trainDocs.filterNot(_._3).flatMap(d => toks(d._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (tp, tn) = (np.values.sum, nn.values.sum)
+    val v = 1L << 20
+    def round9(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def term(t: String): BigDecimal = round9(math.log(
+      ((np.getOrElse(t, 0L) + 1).toDouble / (tp + v)) /
+        ((nn.getOrElse(t, 0L) + 1).toDouble / (tn + v))))
+    val want = corpus.map { case (id, t, _, _) =>
+      (id, toks(t).size.toLong, toks(t).map(term).sum.toDouble)
+    }.toSet
+    val got = Retrieval.naiveBayesLlr(df, target = col("y"), train = col("tr"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want)
+    val byId = got.map(g => g._1 -> g._3).toMap
+    assert(byId(5L) > 0 && byId(6L) < 0,
+      s"held-out docs must separate by class: $byId")
+  }
+
   test("pii counts and redaction") {
     val rows = Seq(
       (1L, "mail a.smith@example.com or BOB@MAIL.CO today"),

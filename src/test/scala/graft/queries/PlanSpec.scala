@@ -161,6 +161,8 @@ class PlanSpec extends SparkSpec {
       // q179 broadcast-crossJoins the one-row reference bigram total —
       // scalar shape like q89/q97/q98
       "q179_interpolated_nll",
+      // q184 broadcast-crossJoins the one-row class totals — same shape
+      "q184_nb_quality_llr",
       // q181 broadcast-crossJoins the one-row Σn^α scalar into the
       // group-width rate table — scalar shape like q89
       "q181_temperature_sample")
@@ -366,6 +368,31 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected exactly one runtime scan of documents, saw $scans:\n$p")
     assert(p.contains("ReusedExchange"),
       s"U-total aggregate does not reuse the bigram exchange:\n$p")
+    def exchanges(plan: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] =
+      plan.collect {
+        case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+        case s: QueryStageExec => exchanges(s.plan)
+        case e: ShuffleExchangeExec => Seq(e)
+      }.flatten
+    exchanges(df.queryExecution.executedPlan).foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"document bodies ride through an exchange:\n$e")
+    }
+  }
+
+  test("q184: NB classifier scans documents once at runtime; text never rides an exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = Registry.queries("q184_nb_quality_llr")(spark, dir)
+    // both class counts are window sums over the one token pass; the
+    // class-totals aggregate reuses the groupBy exchange at runtime
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = p.split("\n").count(l => l.contains("FileScan parquet") && l.contains("documents"))
+    assert(scans == 1, s"expected exactly one runtime scan of documents, saw $scans:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"class-totals aggregate does not reuse the token exchange:\n$p")
     def exchanges(plan: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] =
       plan.collect {
         case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
