@@ -57,6 +57,39 @@ object Text {
     if (n == 1) t else filter(joined, s => s.isNotNull)
   }
 
+  /** Shannon entropy (nats) of the ALPHANUMERIC character distribution —
+    * the compressibility proxy quality filters use against keyboard-mash
+    * and template spam (natural English sits near 2.9; repeated-char
+    * junk collapses toward 0). Scoped to `[a-z0-9]` singles so both
+    * engines extract the identical character stream (the `tokens` regex
+    * precedent — full-unicode `split` semantics differ).
+    *
+    * Entirely row-local: distinct chars (≤ 36) × occurrences counted with
+    * higher-order functions inside codegen — a 100 TB quality pass is a
+    * scan with no exchange. Each term −p·ln p rounds onto the 1e-9 long
+    * grid before the (order-free) integer sum, the q58 grid idiom, so the
+    * value is bit-identical on any engine and partitioning. */
+  def charEntropy(text: Column): Column = {
+    val chars = regexp_extract_all(lower(text), lit("[a-z0-9]"), lit(0))
+    val n = size(chars)
+    val terms = transform(array_distinct(chars), ch => {
+      val p = size(filter(chars, x => x === ch)).cast("double") / n.cast("double")
+      round(-p * log(p) * lit(1e9)).cast("long")
+    })
+    when(n > 0,
+      aggregate(terms, lit(0L), (acc, x) => acc + x).cast("double") / lit(1e9))
+      .otherwise(lit(0.0))
+  }
+
+  /** Digit share of the alphanumeric stream (list-price/spam signal). */
+  def digitFraction(text: Column): Column = {
+    val chars = regexp_extract_all(lower(text), lit("[a-z0-9]"), lit(0))
+    when(size(chars) > 0,
+      size(filter(chars, c => c.between("0", "9"))).cast("double") /
+        size(chars).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Type-token ratio: distinct/total tokens (lexical diversity). */
   def typeTokenRatio(text: Column): Column =
     distinctTokenCount(text).cast("double") / tokenCount(text)

@@ -506,6 +506,39 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** Apply a [[duplicateSpans]] mask: excise every duplicated span of at
+    * least `minSpanTokens` tokens from every document, rebuilding the
+    * text from the surviving tokens (the remove-everywhere policy —
+    * SlimPajama-style; the Lee-et-al keep-one-occurrence variant needs a
+    * global canonical pick per duplicate class, a different operator).
+    * Returns every input document: (idCol, kept_text, n_tok, n_removed)
+    * — unspanned documents pass through with their token stream intact.
+    *
+    * Plan: spans collapse to one doc-width row of (start, end) structs
+    * (spans per document are few — they are MERGED maximal intervals),
+    * joined back on the document key; the rebuild is row-local
+    * higher-order-function work (index-aware `transform` + `filter`,
+    * O(tokens · spans) per row) inside codegen — no exchange beyond the
+    * doc-keyed span join, document text never shuffles. */
+  def exciseSpans(docs: DataFrame, spans: DataFrame, minSpanTokens: Long = 0L,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sp = spans.filter(col("span_tokens") >= minSpanTokens)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__sp"))
+    val toks = Text.tokens(col(textCol))
+    val spOrEmpty = coalesce(col("__sp"),
+      array().cast("array<struct<span_start:bigint,span_end:bigint>>"))
+    val indexed = transform(toks, (t, i) => struct(t.as("t"), i.cast("long").as("i")))
+    val kept = filter(indexed, p =>
+      !exists(spOrEmpty, s =>
+        p("i") >= s("span_start") && p("i") <= s("span_end")))
+    docs.join(sp, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(transform(kept, p => p("t")), " ").as("kept_text"),
+        size(toks).cast("long").as("n_tok"),
+        (size(toks) - size(kept)).cast("long").as("n_removed"))
+  }
+
   /** Blocked containment pairs — the asymmetric cousin of Jaccard:
     * `|A∩B| / |A|` flags documents whose shingle set is (mostly) contained
     * in another's, which Jaccard misses whenever the containing document

@@ -17,7 +17,7 @@ object DataPipeline {
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
     q102, q106, q108, q116, q117, q118, q118f, q119, q120, q125, q127, q139, q140, q141, q143,
     q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170, q171, q172,
-    q173, q175, q177, q178, q179, q180, q181, q182, q183, q184)
+    q173, q175, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -2075,6 +2075,97 @@ object DataPipeline {
     graft.operators.Dedup
       .duplicateSpans(Tables.load(s, dir, "documents"), k = 6)
       .orderBy("doc_id", "span_start")
+  }
+
+  /** Character-distribution quality signals (`Text.charEntropy` /
+    * `digitFraction`): Shannon entropy of the alphanumeric char stream
+    * (keyboard-mash / template-spam detector) and digit share — fully
+    * row-local HOF work, no exchange. Entropy terms round onto the 1e-9
+    * long grid before the order-free integer sum (q58 idiom). */
+  val q186 = QueryDef(
+    "q186_char_stats",
+    oracle = Some {
+      val p = "(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))"
+      s"""
+      WITH b AS (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]') AS cs
+                 FROM documents),
+      c AS (SELECT doc_id, cs, len(cs) AS n FROM b),
+      d AS (SELECT doc_id, n, cs, unnest(list_distinct(cs)) AS ch FROM c),
+      t AS (SELECT doc_id, n,
+              ${Compat.roundToLongSql(s"((-($p)) * ln($p)) * 1000000000.0")} AS term
+            FROM (SELECT doc_id, n, len(list_filter(cs, x -> x = ch)) AS cnt FROM d)),
+      e AS (SELECT doc_id, CAST(SUM(term) AS DOUBLE) / 1000000000.0 AS ent
+            FROM t GROUP BY 1)
+      SELECT c.doc_id, CAST(c.n AS BIGINT) AS n_alnum,
+        CASE WHEN c.n > 0
+             THEN CAST(len(list_filter(cs, ch -> ch BETWEEN '0' AND '9')) AS DOUBLE)
+                  / CAST(c.n AS DOUBLE)
+             ELSE CAST(0 AS DOUBLE) END AS digit_frac,
+        COALESCE(e.ent, CAST(0 AS DOUBLE)) AS char_entropy
+      FROM c LEFT JOIN e USING (doc_id)
+      ORDER BY c.doc_id"""
+    }) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]"), lit(0)))
+          .cast("long").as("n_alnum"),
+        Text.digitFraction(col("text")).as("digit_frac"),
+        Text.charEntropy(col("text")).as("char_entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** Duplicated-span excision (`Dedup.exciseSpans` over
+    * `Dedup.duplicateSpans`, k=6, minSpanTokens=8): the rewrite action
+    * behind q182's mask — remove every merged duplicated span of ≥ 8
+    * tokens, rebuild the text from surviving tokens. The oracle
+    * re-derives the q182 spans, range-joins token positions against
+    * them, and string_aggs the survivors — strings and integers only. */
+  val q185 = QueryDef(
+    "q185_span_excision",
+    oracle = Some {
+      val k = 6
+      s"""
+      WITH t AS (SELECT doc_id, ${Text.tokensSql("text")} AS toks FROM documents),
+      g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram
+            FROM (SELECT doc_id, unnest(list_transform(
+                    generate_series(1, len(toks)-${k - 1}),
+                    i -> {'pos': i-1, 'gram': array_to_string(toks[i:i+${k - 1}], ' ')})) AS u
+                  FROM t)),
+      f AS (SELECT doc_id, pos FROM g
+            QUALIFY COUNT(*) OVER (PARTITION BY gram) >= 2),
+      l AS (SELECT doc_id, pos,
+              LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM f),
+      i AS (SELECT doc_id, pos,
+              SUM(CASE WHEN prev IS NULL OR pos > prev + $k THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM l),
+      sp AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + ${k - 1} AS e
+             FROM i GROUP BY doc_id, isl
+             HAVING MAX(pos) + $k - MIN(pos) >= 8),
+      tok AS (SELECT doc_id, u.t AS tok, u.i - 1 AS p
+              FROM (SELECT doc_id,
+                      unnest(list_transform(toks, (x, ix) -> {'t': x, 'i': ix})) AS u
+                    FROM t)),
+      cov AS (SELECT tok.doc_id, tok.tok, tok.p,
+                COUNT(sp.s) > 0 AS hit
+              FROM tok LEFT JOIN sp
+                ON sp.doc_id = tok.doc_id AND tok.p BETWEEN sp.s AND sp.e
+              GROUP BY 1, 2, 3),
+      agg AS (SELECT doc_id,
+                COALESCE(string_agg(tok, ' ' ORDER BY p) FILTER (WHERE NOT hit), '') AS kept_text,
+                COUNT(*) AS n_tok,
+                CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+              FROM cov GROUP BY 1)
+      SELECT d.doc_id,
+        COALESCE(agg.kept_text, '') AS kept_text,
+        COALESCE(agg.n_tok, 0) AS n_tok,
+        COALESCE(agg.n_removed, 0) AS n_removed
+      FROM documents d LEFT JOIN agg USING (doc_id)
+      ORDER BY d.doc_id"""
+    }) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    Dedup.exciseSpans(docs, Dedup.duplicateSpans(docs, k = 6), minSpanTokens = 8)
+      .orderBy("doc_id")
   }
 
   /** Naive-Bayes quality LLR (`Retrieval.naiveBayesLlr`): the GPT-3-style

@@ -447,6 +447,22 @@ class DataPipelineSpec extends SparkSpec {
       Set((1L, 0L, 2L, 3L), (1L, 6L, 8L, 9L - 6L)))
   }
 
+  test("exciseSpans removes qualifying spans everywhere, passes the rest through") {
+    val spans = Dedup.duplicateSpans(docs, k = 3)
+    val out = Dedup.exciseSpans(docs, spans)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1/4: whole-doc span excised; doc 2 keeps only its unique tail
+    assert(out(1L) === (("", 9L, 9L)) && out(4L) === (("", 9L, 9L)))
+    assert(out(2L) === (("cat", 9L, 8L)))
+    // untouched docs rebuild their token stream; empty doc stays empty
+    assert(out(3L) === (("completely different content here now", 5L, 0L)))
+    assert(out(5L) === (("", 0L, 0L)))
+    // a min-span threshold above doc 2's 8-token span leaves it intact
+    val thresh = Dedup.exciseSpans(docs, spans, minSpanTokens = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(thresh(2L) === 0L && thresh(1L) === 9L)
+  }
+
   test("duplicateSpans: adjacent windows merge; a one-token gap splits") {
     val s = spark
     import s.implicits._
