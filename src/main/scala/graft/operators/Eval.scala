@@ -325,4 +325,46 @@ object Eval {
       .agg(min(col("__v")).as("weighted_median"),
         max(col("__tot")).cast("double").as("total_weight"))
   }
+
+  /** kNN label-accuracy probe — the standard embedding-quality eval for
+    * curation (does the embedding space separate the labels a downstream
+    * selector relies on?): for a deterministic query sample
+    * (id ≡ 0 mod `sampleMod`), predict each query's label as the
+    * majority label of its k nearest neighbours (cosine, self excluded,
+    * vote ties to the smallest label) and report per-label
+    * (n_queries, n_correct).
+    *
+    * Plan: the scoring pass is [[Similarity.bruteForceTopK]] — queries
+    * broadcast, the bounded TopK aggregate keeps ≤ k pairs per
+    * (partition, query) on the exchange. Brute force is exact and right
+    * while the sample is small; at corpus scale swap the scorer for
+    * [[Similarity.multiProbeTopK]] (same output contract) and this
+    * operator's vote/report tail is unchanged. Votes are integer counts;
+    * the argmax is the map-side `max(struct(cnt, -label))` idiom — no
+    * per-query window. */
+  def knnLabelAccuracy(emb: DataFrame, k: Int, sampleMod: Long = 10,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       labelCol: String = "label"): DataFrame = {
+    require(k >= 1 && sampleMod >= 1)
+    val queries = emb.filter(pmod(col(idCol), lit(sampleMod)) === 0)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        col(labelCol).as("__qlabel"))
+    val top = Similarity.bruteForceTopK(emb, queries.select("qid", "qvec"), k,
+      id = idCol, vec = vecCol)
+    // the corpus-sized label table STREAMS; the sample×k top table is the
+    // broadcast side (broadcasting labels would be corpus-width)
+    val pred = emb
+      .select(col(idCol).as("neighbor"), col(labelCol).cast("long").as("__nl"))
+      .join(broadcast(top), "neighbor")
+      .groupBy(col("qid"), col("__nl"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy("qid")
+      .agg(max(struct(col("__cnt"), (-col("__nl")).as("__neg"))).as("__m"))
+      .select(col("qid"), (-col("__m.__neg")).as("__pred"))
+    queries.join(pred, "qid")
+      .groupBy(col("__qlabel").as(labelCol))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("__pred") === col("__qlabel").cast("long"), 1L)
+          .otherwise(0L)).as("n_correct"))
+  }
 }

@@ -17,7 +17,7 @@ object DataPipeline {
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
     q102, q106, q108, q116, q117, q118, q118f, q119, q120, q125, q127, q139, q140, q141, q143,
     q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170, q171, q172,
-    q173, q175, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186)
+    q173, q175, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -2075,6 +2075,39 @@ object DataPipeline {
     graft.operators.Dedup
       .duplicateSpans(Tables.load(s, dir, "documents"), k = 6)
       .orderBy("doc_id", "span_start")
+  }
+
+  /** kNN label-accuracy probe (`Eval.knnLabelAccuracy`, k=5, every 10th
+    * vector as a query): per-label majority-vote accuracy of the
+    * embedding space — the curation-time embedding-quality eval. Ranking
+    * and vote tie-breaks mirror q38's raw-cosine contract; counts are
+    * integers. */
+  val q187 = QueryDef(
+    "q187_knn_accuracy",
+    oracle = Some(s"""
+      WITH scored AS (
+        SELECT q.vec_id AS qid, q.label AS qlabel,
+          a.vec_id AS neighbor, a.label AS nlabel,
+          $dotSql / (${normSql("a")} * ${normSql("q")}) AS c
+        FROM embeddings a JOIN embeddings q
+          ON q.vec_id % 10 = 0 AND a.vec_id <> q.vec_id),
+      ranked AS (
+        SELECT qid, qlabel, nlabel,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, neighbor) AS rnk
+        FROM scored),
+      votes AS (
+        SELECT qid, qlabel, nlabel, COUNT(*) AS cnt
+        FROM ranked WHERE rnk <= 5 GROUP BY 1, 2, 3),
+      pred AS (
+        SELECT qid, qlabel, nlabel AS p
+        FROM votes
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cnt DESC, nlabel) = 1)
+      SELECT qlabel AS label, COUNT(*) AS n_queries,
+        CAST(SUM(CASE WHEN p = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      FROM pred GROUP BY 1 ORDER BY label""")) { (s, dir) =>
+    graft.operators.Eval
+      .knnLabelAccuracy(Tables.load(s, dir, "embeddings"), k = 5, sampleMod = 10)
+      .orderBy("label")
   }
 
   /** Character-distribution quality signals (`Text.charEntropy` /

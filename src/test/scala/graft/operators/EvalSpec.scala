@@ -270,4 +270,30 @@ class EvalSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(out2 === out)
   }
+
+  test("knnLabelAccuracy: separable clusters score perfectly; vote ties go to the smallest label") {
+    val s = spark
+    import s.implicits._
+    // two tight clusters on orthogonal axes; ids ≡ 0 mod 2 are queries
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.00f), 0), (1L, Seq(1.0f, 0.01f), 0),
+      (3L, Seq(1.0f, 0.02f), 0),
+      (2L, Seq(0.0f, 1.00f), 1), (5L, Seq(0.01f, 1.0f), 1),
+      (7L, Seq(0.02f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Eval.knnLabelAccuracy(emb, k = 2, sampleMod = 2)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // queries: 0 (label 0) and 2 (label 1); 2-NN stays inside each cluster
+    assert(out === Map(0 -> ((1L, 1L)), 1 -> ((1L, 1L))))
+    // tie case: k=2 forces one neighbor of each label for the lone query —
+    // the vote breaks to the SMALLEST label
+    val tie = Seq(
+      (0L, Seq(1.0f, 1.0f), 9),            // query, true label 9
+      (1L, Seq(1.0f, 0.99f), 4),           // one vote for 4
+      (3L, Seq(0.99f, 1.0f), 2))           // one vote for 2
+      .toDF("vec_id", "embedding", "label")
+    val tieOut = Eval.knnLabelAccuracy(tie, k = 2, sampleMod = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(tieOut === Seq((9, 1L, 0L))) // predicted 2 (smallest), wrong
+  }
 }
