@@ -372,6 +372,74 @@ class FuzzOracleSpec extends SparkSpec {
     checkSweep("iop", sweeps)
   }
 
+  test("duplicateSpans (k, minOccurrences) draws match a re-derived DuckDB oracle") {
+    // k spanning sub- and super-repeat widths exercises the island merge
+    // at adjacency (pos == prev + k), overlap, and isolated-window edges
+    val gen = for {
+      k <- Gen.choose(2, 10)
+      mo <- Gen.choose(2, 4)
+    } yield (k, mo)
+    val sweeps = draws(gen, seed = 0x59A45L).zipWithIndex.map { case ((k, mo), i) =>
+      val df = graft.operators.Dedup.duplicateSpans(documents, k = k, minOccurrences = mo)
+        .orderBy("doc_id", "span_start")
+      val sql = s"""
+        WITH t AS (SELECT doc_id, ${Text.tokensSql("text")} AS toks FROM documents),
+        g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram
+              FROM (SELECT doc_id, unnest(list_transform(
+                      generate_series(1, len(toks)-${k - 1}),
+                      q -> {'pos': q-1, 'gram': array_to_string(toks[q:q+${k - 1}], ' ')})) AS u
+                    FROM t)),
+        f AS (SELECT doc_id, pos FROM g
+              QUALIFY COUNT(*) OVER (PARTITION BY gram) >= $mo),
+        l AS (SELECT doc_id, pos,
+                LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM f),
+        i AS (SELECT doc_id, pos,
+                SUM(CASE WHEN prev IS NULL OR pos > prev + $k THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM l)
+        SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${k - 1} AS span_end,
+               MAX(pos) + $k - MIN(pos) AS span_tokens
+        FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start"""
+      (f"spans_$i%02d", df, sql)
+    }
+    checkSweep("spans", sweeps)
+  }
+
+  test("knnLabelAccuracy (k, sampleMod) draws match a re-derived DuckDB oracle") {
+    val gen = for {
+      k <- Gen.choose(1, 8)
+      m <- Gen.choose(3, 20)
+    } yield (k, m)
+    val embeddings = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val dotSql =
+      "list_sum(list_transform(list_zip(a.embedding, q.embedding), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
+    def normSql(t: String) =
+      s"sqrt(list_sum(list_transform($t.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))"
+    val sweeps = draws(gen, seed = 0x4EE4L).zipWithIndex.map { case ((k, m), i) =>
+      val df = Eval.knnLabelAccuracy(embeddings, k = k, sampleMod = m)
+        .orderBy("label")
+      val sql = s"""
+        WITH scored AS (
+          SELECT q.vec_id AS qid, q.label AS qlabel,
+            a.vec_id AS neighbor, a.label AS nlabel,
+            $dotSql / (${normSql("a")} * ${normSql("q")}) AS c
+          FROM embeddings a JOIN embeddings q
+            ON q.vec_id % $m = 0 AND a.vec_id <> q.vec_id),
+        ranked AS (
+          SELECT qid, qlabel, nlabel,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, neighbor) AS rnk
+          FROM scored),
+        votes AS (SELECT qid, qlabel, nlabel, COUNT(*) AS cnt
+                  FROM ranked WHERE rnk <= $k GROUP BY 1, 2, 3),
+        pred AS (SELECT qid, qlabel, nlabel AS p FROM votes
+                 QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cnt DESC, nlabel) = 1)
+        SELECT qlabel AS label, COUNT(*) AS n_queries,
+          CAST(SUM(CASE WHEN p = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        FROM pred GROUP BY 1 ORDER BY label"""
+      (f"knn_$i%02d", df, sql)
+    }
+    checkSweep("knn", sweeps)
+  }
+
   test("dedupLines (minDf, width) draws match a re-derived DuckDB oracle") {
     // redraw BOTH the hot threshold and the line-reshape width: minDf=2
     // (everything repeated anywhere drops) through minDf far above max df
