@@ -195,6 +195,57 @@ object Curation {
       .select(col(idCol), col(groupCol), col("rate"))
   }
 
+  /** Token-budget mixture materialization — the "take exactly B training
+    * tokens from each source" cut that turns mixture WEIGHTS into an
+    * actual dataset: rank each group's documents by a deterministic
+    * portable hash (a fixed random permutation — retry-, engine- and
+    * repartition-stable), run a cumulative token count down that order,
+    * and keep documents while the running total stays within
+    * `budgetTokens`. Returns (idCol, groupCol, n_tok, cum_tok).
+    *
+    * Scale: one hash partition on the group key; the cumulative-sum
+    * window orders each group once (the `uniformSamplePerGroup` class).
+    * Token counts come from the allocation-free native kernel. The
+    * md5-hex rank is the oracle-mirrorable form; production can swap
+    * xxhash64 exactly as [[capPerGroupAgg]] documents. */
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long,
+                        groupCol: String = "source", idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens >= 0)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat(lit("budget|"), col(idCol).cast("string"))), col(idCol))
+    docs
+      .withColumn("__n", graft.functions.Text.tokenCount(col(textCol)).cast("long"))
+      .withColumn("cum_tok", sum(col("__n")).over(w))
+      .filter(col("cum_tok") <= budgetTokens)
+      .select(col(idCol), col(groupCol), col("__n").as("n_tok"), col("cum_tok"))
+  }
+
+  /** Deterministic fractional repeat-upsampling — the multi-epoch mixture
+    * schedule (repeat low-resource source s for `factor(s)` epochs,
+    * e.g. 2.7 ⇒ every document twice, and a deterministic 70% of
+    * documents a third time): emits (row ✕ copy_idx 1..n) where
+    * n = ⌊f⌋ + [u < f−⌊f⌋], u the portable md5-uniform of the id — so
+    * the expected token mass is exactly f× and the realized copy set is
+    * a pure function of (id, factors): retries, engines, partitionings
+    * all materialize the same epochs. Rows with n = 0 (f < 1 and the
+    * draw fails) drop — f < 1 doubles as a downsampling rate.
+    *
+    * Scale: map-side only — a filter and a bounded `sequence` explode on
+    * top of the scan; no exchange anywhere. */
+  def repeatUpsample(docs: DataFrame, factor: Column,
+                     idCol: String = "doc_id"): DataFrame = {
+    val base = floor(factor).cast("long")
+    val frac = factor - floor(factor)
+    val u = Rand.portableUniform(0, concat(lit("rep|"), col(idCol).cast("string")))
+    val n = base + when(u < frac, 1L).otherwise(0L)
+    docs.withColumn("__nrep", n)
+      .filter(col("__nrep") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(1L), col("__nrep"))))
+      .drop("__nrep")
+  }
+
   /** Overlapping token-window chunking — the RAG/embedding-prep shape:
     * each document yields windows of `window` tokens every `stride`
     * tokens (the final window clamps at the end; documents shorter than

@@ -17,7 +17,8 @@ object DataPipeline {
     q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q97, q98, q99,
     q102, q106, q108, q116, q117, q118, q118f, q119, q120, q125, q127, q139, q140, q141, q143,
     q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170, q171, q172,
-    q173, q175, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187)
+    q173, q175, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
+    q188, q189)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -2075,6 +2076,56 @@ object DataPipeline {
     graft.operators.Dedup
       .duplicateSpans(Tables.load(s, dir, "documents"), k = 6)
       .orderBy("doc_id", "span_start")
+  }
+
+  /** Token-budget mixture cut (`Curation.tokenBudgetSample`, 700 tokens
+    * per source): hash-permuted cumulative token count per group, keep
+    * while within budget — the operator that turns mixture weights into
+    * an actual dataset. All integers + md5 ordering: exact. */
+  val q188 = QueryDef(
+    "q188_token_budget",
+    oracle = Some(s"""
+      WITH c AS (SELECT doc_id, source, ${Text.tokenCountSql("text")} AS n
+                 FROM documents),
+      w AS (SELECT doc_id, source, n,
+              SUM(n) OVER (PARTITION BY source
+                ORDER BY md5('budget|' || CAST(doc_id AS VARCHAR)), doc_id) AS cum
+            FROM c)
+      SELECT doc_id, source, CAST(n AS BIGINT) AS n_tok, CAST(cum AS BIGINT) AS cum_tok
+      FROM w WHERE cum <= 700 ORDER BY doc_id""")) { (s, dir) =>
+    Curation.tokenBudgetSample(Tables.load(s, dir, "documents"), budgetTokens = 700)
+      .orderBy("doc_id")
+  }
+
+  /** Fractional repeat-upsampling (`Curation.repeatUpsample`: src0 ×2.5,
+    * src1 ×1.0, rest ×0.25): ⌊f⌋ copies plus a portable-uniform draw for
+    * the fractional epoch; f < 1 downsamples. The factors are exact
+    * binary doubles, so the fractional thresholds are exact on both
+    * engines. */
+  val q189 = QueryDef(
+    "q189_repeat_upsample",
+    oracle = Some {
+      val u = graft.functions.Rand.portableUniformSql(0, "'rep|' || CAST(doc_id AS VARCHAR)")
+      s"""
+      WITH f AS (SELECT doc_id, source,
+                   CASE WHEN source = 'src0' THEN CAST('2.5' AS DOUBLE)
+                        WHEN source = 'src1' THEN CAST('1.0' AS DOUBLE)
+                        ELSE CAST('0.25' AS DOUBLE) END AS fac
+                 FROM documents),
+      n AS (SELECT doc_id, source,
+              CAST(floor(fac) AS BIGINT) +
+                (CASE WHEN $u < fac - floor(fac) THEN 1 ELSE 0 END) AS nrep
+            FROM f)
+      SELECT doc_id, source, CAST(t.u AS BIGINT) AS copy_idx
+      FROM n, unnest(generate_series(1, nrep)) AS t(u)
+      WHERE nrep > 0 ORDER BY doc_id, copy_idx"""
+    }) { (s, dir) =>
+    val fac = when(col("source") === "src0", lit(2.5))
+      .when(col("source") === "src1", lit(1.0))
+      .otherwise(lit(0.25))
+    Curation.repeatUpsample(Tables.load(s, dir, "documents"), factor = fac)
+      .select(col("doc_id"), col("source"), col("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
   }
 
   /** kNN label-accuracy probe (`Eval.knnLabelAccuracy`, k=5, every 10th

@@ -320,6 +320,50 @@ class CurationSpec extends SparkSpec {
     assert(u.length === 1, s"expected one uniform rate, got ${u.toSeq}")
   }
 
+  test("tokenBudgetSample cuts each group at the budget along the hash permutation") {
+    val s = spark
+    import s.implicits._
+    val d = (1L to 40L).map(i =>
+      (i, if (i <= 20) "a" else "b", Seq.fill(5)("tok").mkString(" "))) // 5 tokens each
+      .toDF("doc_id", "source", "text")
+    val out = Curation.tokenBudgetSample(d, budgetTokens = 23)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // 5-token docs against a 23-token budget: exactly 4 kept per group
+    assert(out.count(_._2 == "a") === 4 && out.count(_._2 == "b") === 4)
+    assert(out.forall(_._4 <= 23) && out.forall(_._3 === 5L))
+    // deterministic and repartition-stable
+    val out2 = Curation.tokenBudgetSample(d.repartition(7), budgetTokens = 23)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet === out2.toSet)
+    // zero budget keeps nothing
+    assert(Curation.tokenBudgetSample(d, budgetTokens = 0).count() === 0)
+  }
+
+  test("repeatUpsample: integer factors repeat exactly; fractional factors split deterministically") {
+    val s = spark
+    import s.implicits._
+    val d = (1L to 100L).map(i => (i, "x")).toDF("doc_id", "source")
+    // f = 3.0: exactly 3 copies of every row, copy_idx 1..3
+    val exact = Curation.repeatUpsample(d, factor = lit(3.0))
+      .groupBy("doc_id").count().collect().map(_.getLong(1)).distinct.toSeq
+    assert(exact === Seq(3L))
+    // f = 2.5: every row 2 or 3 copies; deterministic across partitionings
+    val frac = Curation.repeatUpsample(d, factor = lit(2.5))
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(frac.values.forall(n => n == 2L || n == 3L))
+    val n3 = frac.values.count(_ == 3L)
+    assert(n3 > 25 && n3 < 75, s"~half should draw the extra epoch, got $n3/100")
+    val frac2 = Curation.repeatUpsample(d.repartition(9), factor = lit(2.5))
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(frac2 === frac)
+    // f < 1 downsamples; f = 0 drops everything
+    val down = Curation.repeatUpsample(d, factor = lit(0.25)).count()
+    assert(down > 10 && down < 40, s"got $down")
+    assert(Curation.repeatUpsample(d, factor = lit(0.0)).count() === 0)
+  }
+
   test("dsirWeights up-weights documents that look like the target subset") {
     val s = spark
     import s.implicits._
