@@ -52,7 +52,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // dump only the filtered subset's oracles: check.py fails oracles
+    // with no dump dir (the silent-skip fix), so a name-filtered run must
+    // not advertise oracles it never dumped
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => filter(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

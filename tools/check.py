@@ -137,5 +137,15 @@ for name in sorted(os.listdir(outdir)):
         fails.append(name)
     else:
         print(f"{name:32s} OK ({len(a)} rows)")
+# A registered oracle whose Verify dump is MISSING must fail, not skip:
+# a mid-sweep write error (e.g. transient disk-full) would otherwise read
+# as a green sweep. (Caught live in round 8: a concurrent DuckDB spill
+# filled the disk, q69/q75's dumps failed, and the sweep still said
+# "0 failures".) Name-filtered runs stay usable because Verify dumps
+# only the filtered subset's oracle SQL.
+present = {n for n in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, n))}
+for name in sorted(set(oracles) - present):
+    print(f"{name:32s} FAIL: registered oracle has no Verify dump (write failed?)")
+    fails.append(name)
 print(f"\n{len(fails)} failures" + (f": {fails}" if fails else ""))
 sys.exit(1 if fails else 0)

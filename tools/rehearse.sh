@@ -30,7 +30,14 @@ DATA="$WORK/data"
 # in SimilaritySpec and oracled at driver scale, where thresholds bind.
 # q175: its oracle is the all-pairs batch×corpus + batch² exact Jaccard
 # ground truth (the q36 class); the Spark side (banded LSH probe) runs.
-QUADRATIC_ORACLES="q35_jaccard_blocked,q36_minhash_lsh,q37_simhash,q92_containment_pairs,q140_fuzzy_join,q145_prefix_join,q155_sparse_cosine,q168_semantic_dedup,q40_embedding_dedup,q175_incremental_near_dup"
+# q176: the oracle UNROLLS 3 label-propagation rounds as one SQL query —
+# three chained (180M-edge ⋈ labels) joins that DuckDB must materialize
+# together. Measured infeasible at sf10: 48 GiB then 84 GiB memory limits
+# both exhausted, the retry spilling >150 GiB of temp before filling the
+# disk. The Spark side runs green at sf10 (MEMORY_AND_DISK_SER edges);
+# sf0.01 pins the schedule bit-for-bit and GraphSpec fuzzes the operator
+# against an independent reference — oracle infeasibility, not a defect.
+QUADRATIC_ORACLES="q35_jaccard_blocked,q36_minhash_lsh,q37_simhash,q92_containment_pairs,q140_fuzzy_join,q145_prefix_join,q155_sparse_cosine,q168_semantic_dedup,q40_embedding_dedup,q175_incremental_near_dup,q176_label_propagation"
 
 mkdir -p "$WORK"
 
