@@ -195,6 +195,43 @@ object Curation {
       .select(col(idCol), col(groupCol), col("rate"))
   }
 
+  /** Zipf-law fit over the corpus token-frequency distribution — the
+    * classic corpus-health diagnostic (natural language sits near
+    * α ≈ 1; template/boilerplate-heavy corpora flatten, generator
+    * artifacts steepen): least-squares slope of ln f against ln rank,
+    * reported as one row (n_vocab, alpha = −slope, intercept).
+    *
+    * Scale: the frequency table is VOCABULARY-width (map-side combined),
+    * and the only total order is the rank window over that vocabulary —
+    * V rows, not corpus rows. Regression sums are exact: each ln rounds
+    * onto a 1e-9 decimal lattice first (the q98 libm class), the five
+    * moments accumulate in DECIMAL (order-free), and the closed-form
+    * slope runs in doubles on those exact sums — bit-identical on any
+    * engine and partitioning. */
+  def zipfFit(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val tf = docs
+      .select(explode(graft.functions.Text.tokens(col(textCol))).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__f"))
+    val ranked = tf.withColumn("__r",
+      row_number().over(Window.orderBy(col("__f").desc, col("__t"))))
+    val x = round(log(col("__r").cast("double")), 9).cast(DecimalType(18, 9))
+    val y = round(log(col("__f").cast("double")), 9).cast(DecimalType(18, 9))
+    val m = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+    val nD = col("n").cast("double")
+    val (sx, sy, sxy, sxx) = (col("sx").cast("double"), col("sy").cast("double"),
+      col("sxy").cast("double"), col("sxx").cast("double"))
+    val slope = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
+    m.select(col("n").as("n_vocab"),
+      (-slope).as("alpha"),
+      ((sy - slope * sx) / nD).as("intercept"))
+  }
+
   /** Token-budget mixture materialization — the "take exactly B training
     * tokens from each source" cut that turns mixture WEIGHTS into an
     * actual dataset: rank each group's documents by a deterministic

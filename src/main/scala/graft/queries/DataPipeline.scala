@@ -18,7 +18,7 @@ object DataPipeline {
     q102, q106, q108, q116, q117, q118, q118f, q119, q120, q125, q127, q139, q140, q141, q143,
     q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170, q171, q172,
     q173, q175, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
-    q188, q189)
+    q188, q189, q190)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -2076,6 +2076,38 @@ object DataPipeline {
     graft.operators.Dedup
       .duplicateSpans(Tables.load(s, dir, "documents"), k = 6)
       .orderBy("doc_id", "span_start")
+  }
+
+  /** Zipf-law fit (`Curation.zipfFit`): one-row corpus diagnostic —
+    * least-squares ln f vs ln rank. Each ln rounds to the 1e-9 lattice
+    * before exact decimal moment sums; the closed-form slope runs in
+    * doubles on those exact sums, identical ops both engines. */
+  val q190 = QueryDef(
+    "q190_zipf_fit",
+    oracle = Some {
+      def l9(e: String) =
+        s"CAST(${Compat.roundSql(s"ln(CAST($e AS DOUBLE))", 9)} AS DECIMAL(18,9))"
+      s"""
+      WITH tf AS (SELECT t, COUNT(*) AS f
+                  FROM (SELECT unnest(${Text.tokensSql("text")}) AS t FROM documents)
+                  GROUP BY 1),
+      r AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, t) AS rk FROM tf),
+      m AS (SELECT COUNT(*) AS n,
+              SUM(${l9("rk")}) AS sx, SUM(${l9("f")}) AS sy,
+              SUM(${l9("rk")} * ${l9("f")}) AS sxy,
+              SUM(${l9("rk")} * ${l9("rk")}) AS sxx
+            FROM r)
+      SELECT CAST(n AS BIGINT) AS n_vocab,
+        -((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+          AS alpha,
+        (CAST(sy AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+      FROM m"""
+    }) { (s, dir) =>
+    Curation.zipfFit(Tables.load(s, dir, "documents"))
   }
 
   /** Token-budget mixture cut (`Curation.tokenBudgetSample`, 700 tokens

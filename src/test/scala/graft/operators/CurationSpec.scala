@@ -320,6 +320,29 @@ class CurationSpec extends SparkSpec {
     assert(u.length === 1, s"expected one uniform rate, got ${u.toSeq}")
   }
 
+  test("zipfFit recovers the exponent of a synthetic Zipf corpus; uniform is flat") {
+    val s = spark
+    import s.implicits._
+    // exact Zipf: token w_r appears floor(1000/r) times, r = 1..50
+    val zipf = (1 to 50).flatMap(r => Seq.fill(1000 / r)(f"w$r%03d"))
+    val d1 = Seq((1L, zipf.mkString(" "))).toDF("doc_id", "text")
+    val fit = Curation.zipfFit(d1).collect()(0)
+    assert(fit.getLong(0) === 50L)
+    val alpha = fit.getDouble(1)
+    assert(alpha > 0.9 && alpha < 1.1, s"expected α≈1, got $alpha")
+    // uniform frequencies: slope 0
+    val uni = (1 to 50).flatMap(r => Seq.fill(20)(f"u$r%03d"))
+    val d2 = Seq((1L, uni.mkString(" "))).toDF("doc_id", "text")
+    val a2 = Curation.zipfFit(d2).collect()(0).getDouble(1)
+    assert(math.abs(a2) < 1e-9, s"uniform corpus must fit α=0, got $a2")
+    // partitioning-invariant (decimal moments are order-free)
+    val d3 = zipf.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val whole = Curation.zipfFit(d3).collect()(0)
+    val parts = Curation.zipfFit(d3.repartition(13)).collect()(0)
+    assert(whole.getDouble(1) === parts.getDouble(1) &&
+      whole.getDouble(2) === parts.getDouble(2))
+  }
+
   test("tokenBudgetSample cuts each group at the budget along the hash permutation") {
     val s = spark
     import s.implicits._
