@@ -64,12 +64,24 @@ object Text {
     * engines extract the identical character stream (the `tokens` regex
     * precedent — full-unicode `split` semantics differ).
     *
-    * Entirely row-local: distinct chars (≤ 36) × occurrences counted with
-    * higher-order functions inside codegen — a 100 TB quality pass is a
-    * scan with no exchange. Each term −p·ln p rounds onto the 1e-9 long
-    * grid before the (order-free) integer sum, the q58 grid idiom, so the
-    * value is bit-identical on any engine and partitioning. */
-  def charEntropy(text: Column): Column = {
+    * Entirely row-local — a 100 TB quality pass is a scan with no
+    * exchange. Each term −p·ln p rounds onto the 1e-9 long grid before
+    * the (order-free) integer sum, the q58 grid idiom, so the value is
+    * bit-identical on any engine and partitioning.
+    *
+    * Runs as the one-pass native kernel (`TextKernels.CharEntropy`):
+    * the HOF formulation ([[charEntropyHof]], kept as the spec'd
+    * cross-check) references the extracted char array inside its
+    * lambdas, which re-evaluates the regex once per DISTINCT character —
+    * the Text.shingles O(n²)-class trap, ~37× the scan cost, caught by
+    * the round-8 sf10 rehearsal. */
+  def charEntropy(text: Column): Column = TextKernels.charEntropyCol(text)
+
+  /** Pure-column twin of [[charEntropy]] — value-identical (same grid,
+    * same rounding); kept because two independent formulations agreeing
+    * is the spec's cross-check of the kernel. NOT for hot paths: the
+    * `chars` reference inside the lambdas re-evaluates per element. */
+  private[graft] def charEntropyHof(text: Column): Column = {
     val chars = regexp_extract_all(lower(text), lit("[a-z0-9]"), lit(0))
     val n = size(chars)
     val terms = transform(array_distinct(chars), ch => {

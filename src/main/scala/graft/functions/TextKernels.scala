@@ -49,6 +49,47 @@ object TextKernels {
   def tokenCountCol(text: Column): Column =
     ColumnBridge.column(TokenCount(ColumnBridge.expression(text)))
 
+  /** Shannon entropy (nats) of the `[a-z0-9]` character distribution of
+    * lower(s): 36 count buckets in one byte pass, each term −p·ln p
+    * rounded onto the 1e-9 long grid (BigDecimal HALF_UP — Spark round()
+    * semantics, the GridVectorMean idiom) before the order-free integer
+    * sum. Value-identical to the column/HOF formulation
+    * `aggregate(transform(array_distinct(chars), ...))` — which
+    * re-evaluates the char extraction once per DISTINCT char because the
+    * array reference sits inside the lambda (the Text.shingles trap) —
+    * and to the DuckDB list mirror; this kernel is one pass. */
+  def charEntropy(s: UTF8String): Double = {
+    val lower = s.toLowerCase
+    val n = lower.numBytes()
+    val base = lower.getBaseObject
+    val off = lower.getBaseOffset
+    val counts = new Array[Long](36)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      if (b >= 'a' && b <= 'z') { counts(b - 'a') += 1; total += 1 }
+      else if (b >= '0' && b <= '9') { counts(26 + (b - '0')) += 1; total += 1 }
+      i += 1
+    }
+    if (total == 0L) return 0.0
+    var acc = 0L
+    var j = 0
+    while (j < 36) {
+      val c = counts(j)
+      if (c > 0L) {
+        val p = c.toDouble / total.toDouble
+        acc += java.math.BigDecimal.valueOf(-p * math.log(p) * 1e9)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      }
+      j += 1
+    }
+    acc.toDouble / 1e9
+  }
+
+  def charEntropyCol(text: Column): Column =
+    ColumnBridge.column(CharEntropy(ColumnBridge.expression(text)))
+
   /** NFC-normalize (java.text.Normalizer, Unicode standard composition).
     * ASCII fast path: one byte scan, returns the INPUT UTF8String object
     * untouched — on a mostly-ASCII corpus the normalizer allocates
@@ -181,6 +222,28 @@ case class TokenCount(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.tokenCount($c)")
 
   override protected def withNewChildInternal(newChild: Expression): TokenCount =
+    copy(child = newChild)
+}
+
+/** One-pass alnum-char Shannon entropy on the 1e-9 long grid — see
+  * `TextKernels.charEntropy`. */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_char_entropy"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.charEntropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.charEntropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
     copy(child = newChild)
 }
 

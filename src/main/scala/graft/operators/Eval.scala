@@ -349,8 +349,12 @@ object Eval {
     val queries = emb.filter(pmod(col(idCol), lit(sampleMod)) === 0)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
         col(labelCol).as("__qlabel"))
+    // the scoring stage does |corpus|·|sample| cosines — spread it over
+    // the full parallelism, not the corpus scan's split count (the q140
+    // collapse class, measured live at sf10: 4e9 cosines on ~3 tasks)
     val top = Similarity.bruteForceTopK(emb, queries.select("qid", "qvec"), k,
-      id = idCol, vec = vecCol)
+      id = idCol, vec = vecCol,
+      scanParallelism = emb.sparkSession.sparkContext.defaultParallelism)
     // the corpus-sized label table STREAMS; the sample×k top table is the
     // broadcast side (broadcasting labels would be corpus-width)
     val pred = emb

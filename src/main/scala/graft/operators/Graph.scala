@@ -137,6 +137,19 @@ object Graph {
     * hub key dominates a task. Counts are exact longs — order-free,
     * engine-portable. */
   def triangleCount(edges: DataFrame): DataFrame = {
+    val (_, tri) = triangles(edges)
+    // tag-and-union instead of crossJoining the two one-row aggregates:
+    // one aggregation, no join operator between scalar results
+    edges.select(lit(1L).as("__e"), lit(0L).as("__t"))
+      .unionAll(tri.select(lit(0L).as("__e"), lit(1L).as("__t")))
+      .agg(sum("__e").as("n_edges"), sum("__t").as("n_triangles"))
+  }
+
+  /** Degree table + degree-ordered triangle enumeration shared by
+    * [[triangleCount]] and [[clusteringCoefficient]]: returns
+    * (deg(v, d), triangles(x, u, w)) — one row per triangle, all three
+    * vertices named. Same O(m^1.5) wedge bound as documented above. */
+  private def triangles(edges: DataFrame): (DataFrame, DataFrame) = {
     val und = edges.select(col("a"), col("b"))
     val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
@@ -155,13 +168,30 @@ object Graph {
         col("e1.s") === col("e2.s") &&
           (col("e1.dt") < col("e2.dt") ||
             (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
-      .select(col("e1.t").as("u"), col("e2.t").as("w"))
+      .select(col("e1.s").as("x"), col("e1.t").as("u"), col("e2.t").as("w"))
     val tri = w.join(oriented.select(col("s").as("u"), col("t").as("w")), Seq("u", "w"))
-    // tag-and-union instead of crossJoining the two one-row aggregates:
-    // one aggregation, no join operator between scalar results
-    edges.select(lit(1L).as("__e"), lit(0L).as("__t"))
-      .unionAll(tri.select(lit(0L).as("__e"), lit(1L).as("__t")))
-      .agg(sum("__e").as("n_edges"), sum("__t").as("n_triangles"))
+      .select(col("x"), col("u"), col("w"))
+    (deg, tri)
+  }
+
+  /** Per-vertex triangle counts and local clustering coefficient —
+    * `2·T_v / (d_v·(d_v−1))`, the neighborhood-density signal (spam/link
+    * farms cluster; organic co-occurrence graphs sit in between). Every
+    * triangle credits its three vertices via one explode of the
+    * [[triangles]] enumeration (same O(m^1.5) wedge bound); degrees and
+    * coefficients are exact-integer ratios in doubles — engine-portable
+    * with no rounding step. Isolated/degree-1 vertices report 0.0. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val (deg, tri) = triangles(edges)
+    val perV = tri.select(explode(array(col("x"), col("u"), col("w"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("__nt"))
+    deg.join(perV, Seq("v"), "left")
+      .select(col("v").as("id"), col("d").cast("long").as("degree"),
+        coalesce(col("__nt"), lit(0L)).as("n_triangles"),
+        when(col("d") >= 2,
+          (coalesce(col("__nt"), lit(0L)) * 2).cast("double") /
+            (col("d") * (col("d") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("coefficient"))
   }
 
   /** Synchronous label propagation — the classic near-linear community

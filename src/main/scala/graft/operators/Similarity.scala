@@ -44,13 +44,26 @@ object Similarity {
     * query). This intentionally diverges from a `row_number` window over
     * `cos DESC`, which would rank NaN first; pinned in `SimilaritySpec`.
     *
+    * `scanParallelism > 0` repartitions the corpus before the broadcast
+    * probe: the scoring stage's task count is otherwise the SCAN's input
+    * split count, while its work is |corpus|·|queries| cosines — a
+    * compact parquet corpus probed by a large query sample collapses to
+    * a handful of tasks whose per-partition TopK state (|queries|·k
+    * slots) spill-thrashes (the q140 verify-collapse class; caught live
+    * by the round-8 sf10 rehearsal, 4·10⁹ cosines on ~3 tasks). The
+    * shuffle moves only corpus vectors — bytes, not pair work. Default 0
+    * keeps the scan partitioning (right when queries are few; pinned
+    * shuffle-free in `PlanSpec` for q38).
+    *
     * @param queries  (qid, qvec) — must be small enough to broadcast
     * @param corpus   (id, vec)
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      id: String = "vec_id", vec: String = "embedding",
-                     qid: String = "qid", qvec: String = "qvec"): DataFrame = {
-    val scored = corpus.withColumn("__nv", norm(col(vec)))
+                     qid: String = "qid", qvec: String = "qvec",
+                     scanParallelism: Int = 0): DataFrame = {
+    val c0 = if (scanParallelism > 0) corpus.repartition(scanParallelism) else corpus
+    val scored = c0.withColumn("__nv", norm(col(vec)))
       .join(broadcast(queries.withColumn("__nq", norm(col(qvec)))), col(id) =!= col(qid))
       .select(col(qid), col(id).as("neighbor"), pairCos(qvec, vec).as("cos"))
     topKPerQuery(scored, qid, k)

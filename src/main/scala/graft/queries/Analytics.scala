@@ -14,7 +14,7 @@ import graft.operators.{Curation, Eval, Graph, Timeseries}
 object Analytics {
 
   def defs: Seq[QueryDef] = Seq(q128, q129, q130, q131, q132, q133, q134, q135, q144,
-    q157, q158, q163, q176)
+    q157, q158, q163, q176, q191)
 
   /** Per-fold ROC AUC of a toy scorer (first embedding coordinate) for
     * the odd-label class — the distributed model-eval primitive
@@ -158,6 +158,44 @@ object Analytics {
     val edges = a.join(b, "k").filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     Graph.triangleCount(edges)
+  }
+
+  /** Local clustering coefficients (`Graph.clusteringCoefficient`) of the
+    * q133 co-order part graph: per-vertex triangles via the same
+    * degree-ordered enumeration, coefficient = 2T/(d(d−1)) — exact
+    * integer ratios in doubles. The oracle enumerates triangles with the
+    * a<b<c 3-join and credits all three roles. */
+  val q191 = QueryDef(
+    "q191_clustering_coeff",
+    oracle = Some("""
+      WITH e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                 FROM lineitem a JOIN lineitem b
+                   ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey),
+      t AS (SELECT ab.a AS x, ab.b AS y, bc.b AS z
+            FROM e ab JOIN e bc ON ab.b = bc.a
+              JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
+      tv AS (SELECT v, COUNT(*) AS nt
+             FROM (SELECT x AS v FROM t UNION ALL
+                   SELECT y FROM t UNION ALL
+                   SELECT z FROM t)
+             GROUP BY 1),
+      deg AS (SELECT v, COUNT(*) AS d
+              FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+              GROUP BY 1)
+      SELECT deg.v AS id, CAST(d AS BIGINT) AS degree,
+        CAST(COALESCE(nt, 0) AS BIGINT) AS n_triangles,
+        CASE WHEN d >= 2
+             THEN CAST(COALESCE(nt, 0) * 2 AS DOUBLE) / CAST(d * (d - 1) AS DOUBLE)
+             ELSE CAST(0 AS DOUBLE) END AS coefficient
+      FROM deg LEFT JOIN tv USING (v)
+      ORDER BY id""")) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+    val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("a"))
+    val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("b"))
+    val edges = a.join(b, "k").filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    Graph.clusteringCoefficient(edges).orderBy("id")
   }
 
   /** Synchronous label propagation (`Graph.labelPropagation`, 3 rounds)

@@ -40,6 +40,13 @@ class CharStatsSpec extends SparkSpec {
     assert(one("")._1 === 0.0)
   }
 
+  test("kernel equals the independent HOF formulation on the corpus") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(Text.charEntropy(col("text")).as("k"),
+        Text.charEntropyHof(col("text")).as("h"))
+    assert(df.filter(col("k") =!= col("h")).count() === 0L)
+  }
+
   test("natural text scores higher entropy than repeated-char junk") {
     val (nat, _) = one("the quick brown fox jumps over the lazy dog")
     val (junk, _) = one("zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz")

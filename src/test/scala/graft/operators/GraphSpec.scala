@@ -149,6 +149,35 @@ class GraphSpec extends SparkSpec {
     assert((r2.getLong(0), r2.getLong(1)) === (4L, 0L))
   }
 
+  test("clusteringCoefficient: hand values on triangle+pendant; random graphs match brute force") {
+    val s = spark
+    import s.implicits._
+    // triangle {1,2,3} with pendant 4–1
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val out = Graph.clusteringCoefficient(g)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((3L, 1L, 1.0 / 3)))
+    assert(out(2L) === ((2L, 1L, 1.0)) && out(3L) === ((2L, 1L, 1.0)))
+    assert(out(4L) === ((1L, 0L, 0.0)))
+    // random graphs vs an independent O(n³) reference
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 12
+      val edges = (for { a <- 1L to n; b <- 1L to n
+                         if a < b && rnd.nextDouble() < 0.35 } yield (a, b)).toSeq
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val want = adj.map { case (v, nb) =>
+        val d = nb.size.toLong
+        val t = nb.toSeq.combinations(2).count { case Seq(x, y) => adj(x)(y) }.toLong
+        v -> ((d, t, if (d >= 2) 2.0 * t / (d * (d - 1)) else 0.0))
+      }
+      val got = Graph.clusteringCoefficient(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(got === want)
+    }
+  }
+
   test("bfs: min hops on a chain, unreachable components absent") {
     // directed chain 1→2→3→4→5 plus island 9→10
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 10L))

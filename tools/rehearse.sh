@@ -37,7 +37,10 @@ DATA="$WORK/data"
 # disk. The Spark side runs green at sf10 (MEMORY_AND_DISK_SER edges);
 # sf0.01 pins the schedule bit-for-bit and GraphSpec fuzzes the operator
 # against an independent reference — oracle infeasibility, not a defect.
-QUADRATIC_ORACLES="q35_jaccard_blocked,q36_minhash_lsh,q37_simhash,q92_containment_pairs,q140_fuzzy_join,q145_prefix_join,q155_sparse_cosine,q168_semantic_dedup,q40_embedding_dedup,q175_incremental_near_dup,q176_label_propagation"
+# q187: the oracle scores every (query, corpus) pair — sampleMod=10 makes
+# that 0.1·n² cosines (4e9 at sf10), the q36 all-pairs class. The Spark
+# side (bounded-TopK brute scorer) still runs and is row-checked.
+QUADRATIC_ORACLES="q35_jaccard_blocked,q36_minhash_lsh,q37_simhash,q92_containment_pairs,q140_fuzzy_join,q145_prefix_join,q155_sparse_cosine,q168_semantic_dedup,q40_embedding_dedup,q175_incremental_near_dup,q176_label_propagation,q187_knn_accuracy"
 
 mkdir -p "$WORK"
 
