@@ -2081,7 +2081,11 @@ object DataPipeline {
   /** Zipf-law fit (`Curation.zipfFit`): one-row corpus diagnostic —
     * least-squares ln f vs ln rank. Each ln rounds to the 1e-9 lattice
     * before exact decimal moment sums; the closed-form slope runs in
-    * doubles on those exact sums, identical ops both engines. */
+    * doubles on those exact sums, identical ops both engines. The
+    * moment→double casts route through `Compat.exactDoubleSql`: the
+    * scale-18 product sums pass 2^53 unscaled at vocabulary scale
+    * (caught by the sf10 sweep at 9.4e-15 — DuckDB's direct decimal
+    * cast double-rounds there, Spark's BigDecimal path doesn't). */
   val q190 = QueryDef(
     "q190_zipf_fit",
     oracle = Some {
@@ -2098,13 +2102,13 @@ object DataPipeline {
               SUM(${l9("rk")} * ${l9("rk")}) AS sxx
             FROM r)
       SELECT CAST(n AS BIGINT) AS n_vocab,
-        -((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        -((CAST(n AS DOUBLE) * ${Compat.exactDoubleSql("sxy")} - ${Compat.exactDoubleSql("sx")} * ${Compat.exactDoubleSql("sy")})
+          / (CAST(n AS DOUBLE) * ${Compat.exactDoubleSql("sxx")} - ${Compat.exactDoubleSql("sx")} * ${Compat.exactDoubleSql("sx")}))
           AS alpha,
-        (CAST(sy AS DOUBLE)
-          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+        (${Compat.exactDoubleSql("sy")}
+          - ((CAST(n AS DOUBLE) * ${Compat.exactDoubleSql("sxy")} - ${Compat.exactDoubleSql("sx")} * ${Compat.exactDoubleSql("sy")})
+             / (CAST(n AS DOUBLE) * ${Compat.exactDoubleSql("sxx")} - ${Compat.exactDoubleSql("sx")} * ${Compat.exactDoubleSql("sx")}))
+            * ${Compat.exactDoubleSql("sx")}) / CAST(n AS DOUBLE) AS intercept
       FROM m"""
     }) { (s, dir) =>
     Curation.zipfFit(Tables.load(s, dir, "documents"))
