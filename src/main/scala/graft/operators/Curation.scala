@@ -195,6 +195,54 @@ object Curation {
       .select(col(idCol), col(groupCol), col("rate"))
   }
 
+  /** Gopher-style rule-based quality gate (Rae et al. 2021 §A1, the
+    * shape FineWeb/RefinedWeb reuse): five named pass/fail rules over
+    * cheap per-document statistics, reporting WHICH rules failed — the
+    * explainable pre-filter that runs before any model-based scorer.
+    * Thresholds are parameters (defaults = the published Gopher values);
+    * every statistic is an exact integer ratio compared against an exact
+    * literal, so the gate is bit-portable with no rounding step. Pure
+    * map-side column work — a 100 TB gate is a scan with no exchange.
+    *
+    * Rules (fail conditions): `word_count` outside [minWords, maxWords];
+    * `mean_word_length` outside [minMeanLen, maxMeanLen];
+    * `symbol_ratio` (non-alnum, non-whitespace chars per word) above
+    * maxSymbolRatio; `stopword_hits` below minStopwordHits;
+    * `dup_gram_frac` (1 − distinct/total word n-grams) above
+    * maxDupGramFrac. Length-derived rules pass vacuously on empty docs —
+    * `word_count` is the rule that fails there. Returns
+    * (idCol, n_tok, failed_rules comma-joined in the fixed order above,
+    * passes). */
+  def gopherRules(docs: DataFrame,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, minStopwordHits: Int = 2,
+                  maxDupGramFrac: Double = 0.2, dupGramN: Int = 2,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.Text
+    val toks = Text.tokens(col(textCol))
+    val n = size(toks)
+    val meanLen = Text.meanTokenLength(col(textCol))
+    val symbols = length(regexp_replace(lower(col(textCol)),
+      "[a-z0-9 \\t\\n\\x0B\\f\\r]", ""))
+    val stops = size(filter(toks, w => w.isInCollection(Text.EnglishStopwords)))
+    val sh = Text.shingles(col(textCol), dupGramN)
+    val (gt, gd) = (size(sh), size(array_distinct(sh)))
+    val failed = Seq(
+      when(n < minWords || n > maxWords, lit("word_count")),
+      when(n > 0 && (meanLen < minMeanLen || meanLen > maxMeanLen),
+        lit("mean_word_length")),
+      when(n > 0 && symbols.cast("double") / n.cast("double") > maxSymbolRatio,
+        lit("symbol_ratio")),
+      when(stops < minStopwordHits, lit("stopword_hits")),
+      when(gt > 0 &&
+        (gt - gd).cast("double") / gt.cast("double") > maxDupGramFrac,
+        lit("dup_gram_frac")))
+    docs.select(col(idCol), n.cast("long").as("n_tok"),
+      concat_ws(",", failed: _*).as("failed_rules"))
+      .withColumn("passes", col("failed_rules") === "")
+  }
+
   /** Zipf-law fit over the corpus token-frequency distribution — the
     * classic corpus-health diagnostic (natural language sits near
     * α ≈ 1; template/boilerplate-heavy corpora flatten, generator

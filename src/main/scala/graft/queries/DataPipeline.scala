@@ -18,7 +18,7 @@ object DataPipeline {
     q102, q106, q108, q116, q117, q118, q118f, q119, q120, q125, q127, q139, q140, q141, q143,
     q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170, q171, q172,
     q173, q175, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
-    q188, q189, q190)
+    q188, q189, q190, q192)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -2076,6 +2076,49 @@ object DataPipeline {
     graft.operators.Dedup
       .duplicateSpans(Tables.load(s, dir, "documents"), k = 6)
       .orderBy("doc_id", "span_start")
+  }
+
+  /** Gopher-rules quality gate (`Curation.gopherRules`, thresholds tuned
+    * to split the fixture corpus): named failed rules per document, all
+    * exact-integer ratios vs exact-double literals — no rounding. */
+  val q192 = QueryDef(
+    "q192_gopher_rules",
+    oracle = Some {
+      val toks = Text.tokensSql("text")
+      val stop = Text.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH s AS (
+        SELECT doc_id, len($toks) AS n,
+          ${Text.meanTokenLengthSql("text")} AS ml,
+          len(regexp_replace(lower(text), '[a-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) AS sym,
+          len(list_filter($toks, w -> w IN ($stop))) AS st,
+          len(${gramsAllSql(2)}) AS gt,
+          len(list_distinct(${gramsAllSql(2)})) AS gd
+        FROM documents)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+        concat_ws(',',
+          CASE WHEN n < 25 OR n > 90 THEN 'word_count' END,
+          CASE WHEN n > 0 AND (ml < CAST('4.0' AS DOUBLE) OR ml > CAST('5.0' AS DOUBLE))
+               THEN 'mean_word_length' END,
+          CASE WHEN n > 0 AND CAST(sym AS DOUBLE) / CAST(n AS DOUBLE) > CAST('0.1' AS DOUBLE)
+               THEN 'symbol_ratio' END,
+          CASE WHEN st < 2 THEN 'stopword_hits' END,
+          CASE WHEN gt > 0 AND CAST(gt - gd AS DOUBLE) / CAST(gt AS DOUBLE) > CAST('0.2' AS DOUBLE)
+               THEN 'dup_gram_frac' END) AS failed_rules,
+        concat_ws(',',
+          CASE WHEN n < 25 OR n > 90 THEN 'word_count' END,
+          CASE WHEN n > 0 AND (ml < CAST('4.0' AS DOUBLE) OR ml > CAST('5.0' AS DOUBLE))
+               THEN 'mean_word_length' END,
+          CASE WHEN n > 0 AND CAST(sym AS DOUBLE) / CAST(n AS DOUBLE) > CAST('0.1' AS DOUBLE)
+               THEN 'symbol_ratio' END,
+          CASE WHEN st < 2 THEN 'stopword_hits' END,
+          CASE WHEN gt > 0 AND CAST(gt - gd AS DOUBLE) / CAST(gt AS DOUBLE) > CAST('0.2' AS DOUBLE)
+               THEN 'dup_gram_frac' END) = '' AS passes
+      FROM s ORDER BY doc_id"""
+    }) { (s, dir) =>
+    Curation.gopherRules(Tables.load(s, dir, "documents"),
+        minWords = 25, maxWords = 90, minMeanLen = 4.0, maxMeanLen = 5.0)
+      .orderBy("doc_id")
   }
 
   /** Zipf-law fit (`Curation.zipfFit`): one-row corpus diagnostic —

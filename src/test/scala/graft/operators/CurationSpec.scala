@@ -320,6 +320,32 @@ class CurationSpec extends SparkSpec {
     assert(u.length === 1, s"expected one uniform rate, got ${u.toSeq}")
   }
 
+  test("gopherRules: each rule fires on its own pathology; clean prose passes") {
+    val s = spark
+    import s.implicits._
+    val clean = "the cat and the dog ran over to the big house " +
+      "and it was good for all of them in every way today" // 24 words, stopword-rich
+    val d = Seq(
+      (1L, clean),
+      (2L, "word"),                                        // too short + no stopwords
+      (3L, clean + " " + Seq.fill(40)("supercalifragilistic").mkString(" ")), // long words + rep
+      (4L, "the of " + Seq.fill(11)("!!! ???").mkString(" ") + " it is a to in on and for"), // symbols
+      (5L, "the cat " + Seq.fill(30)("is a is a").mkString(" ")), // duplicate grams
+      (6L, ""))
+      .toDF("doc_id", "text")
+    val out = Curation.gopherRules(d, minWords = 5, maxWords = 60,
+        minMeanLen = 2.0, maxMeanLen = 8.0)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    assert(out(1L) === (("", true)))
+    assert(out(2L)._1.contains("word_count") && out(2L)._1.contains("stopword_hits"))
+    assert(out(3L)._1.contains("word_count") && out(3L)._1.contains("mean_word_length")
+      && out(3L)._1.contains("dup_gram_frac"))
+    assert(out(4L)._1 === "symbol_ratio")
+    assert(out(5L)._1.contains("dup_gram_frac") && out(5L)._1.contains("word_count"))
+    assert(out(6L) === (("word_count,stopword_hits", false))) // length rules pass vacuously
+    assert(out.values.count(_._2) === 1)
+  }
+
   test("zipfFit recovers the exponent of a synthetic Zipf corpus; uniform is flat") {
     val s = spark
     import s.implicits._
