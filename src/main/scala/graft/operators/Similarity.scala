@@ -271,6 +271,22 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Mutual-kNN edges from ANY top-k table `(qid, neighbor)`: an edge
+    * survives iff each endpoint ranks the other — the standard sparse
+    * graph for density-based semantic clustering (mutual-kNN kills the
+    * hub edges a plain kNN graph grows around dense regions). Returns
+    * canonical `(a, b)` with a < b, one row per mutual pair.
+    *
+    * Scorer-agnostic by design: feed [[bruteForceTopK]] while the corpus
+    * is small, [[cellTopK]]/[[multiProbeTopK]] at corpus scale — the
+    * mutual step is one self-join on the reversed pair (top-k-sized
+    * inputs, k·n rows, never vectors). */
+  def mutualKnnEdges(top: DataFrame): DataFrame = {
+    val d = top.select(col("qid").as("a"), col("neighbor").as("b"))
+    d.join(d.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
+      .filter(col("a") < col("b"))
+  }
+
   /** Prototypicality-based data pruning (the SSL-prototypes shape,
     * "Beyond neural scaling laws" Sorscher et al. 2022): rank every
     * vector by cosine to its own cell's centroid and keep a per-cell

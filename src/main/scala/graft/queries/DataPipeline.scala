@@ -18,7 +18,7 @@ object DataPipeline {
     q102, q106, q108, q116, q117, q118, q118f, q119, q120, q125, q127, q139, q140, q141, q143,
     q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170, q171, q172,
     q173, q175, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
-    q188, q189, q190, q192)
+    q188, q189, q190, q192, q193)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -2076,6 +2076,52 @@ object DataPipeline {
     graft.operators.Dedup
       .duplicateSpans(Tables.load(s, dir, "documents"), k = 6)
       .orderBy("doc_id", "span_start")
+  }
+
+  /** Semantic communities end-to-end (`Similarity.mutualKnnEdges` over
+    * the brute top-3 + `Graph.labelPropagation`, 3 rounds): the
+    * embedding-clustering composite — kNN graph, hub-killing mutual
+    * filter, deterministic community labels. The oracle re-derives the
+    * top-3 (q38's raw-cosine ranking), the mutual join, and the same 3
+    * unrolled label-propagation rounds (the q176 step pattern), pinning
+    * the whole composition bit-for-bit. All-pairs scoring in BOTH
+    * engines — rehearsal-excluded (the q36 class); the scale path swaps
+    * the scorer for cellTopK/multiProbeTopK, mutual+labelprop unchanged. */
+  val q193 = QueryDef(
+    "q193_semantic_communities",
+    oracle = Some {
+      def step(i: Int) = s""",
+      c$i AS (SELECT sym.d AS id, l${i - 1}.lbl, COUNT(*) AS cnt
+              FROM sym JOIN l${i - 1} ON l${i - 1}.id = sym.s GROUP BY 1, 2),
+      p$i AS (SELECT id, (list(lbl ORDER BY cnt DESC, lbl ASC))[1] AS lbl
+              FROM c$i GROUP BY id),
+      l$i AS (SELECT n.id, COALESCE(p$i.lbl, l${i - 1}.lbl) AS lbl
+              FROM n LEFT JOIN p$i USING (id) JOIN l${i - 1} USING (id))"""
+      s"""
+      WITH scored AS (
+        SELECT q.vec_id AS qid, a.vec_id AS nb,
+          $dotSql / (${normSql("a")} * ${normSql("q")}) AS c
+        FROM embeddings a JOIN embeddings q ON a.vec_id <> q.vec_id),
+      ranked AS (
+        SELECT qid, nb,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nb) AS rnk
+        FROM scored),
+      top AS (SELECT qid, nb FROM ranked WHERE rnk <= 3),
+      mut AS (SELECT t1.qid AS a, t1.nb AS b
+              FROM top t1 JOIN top t2 ON t1.qid = t2.nb AND t1.nb = t2.qid
+              WHERE t1.qid < t1.nb),
+      sym AS (SELECT a AS s, b AS d FROM mut UNION SELECT b, a FROM mut),
+      n AS (SELECT DISTINCT s AS id FROM sym),
+      l0 AS (SELECT id, id AS lbl FROM n)${(1 to 3).map(step).mkString}
+      SELECT id, lbl AS community FROM l3 ORDER BY id"""
+    }) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val sc = emb.sparkSession.sparkContext.defaultParallelism
+    val top = Similarity.bruteForceTopK(emb,
+      emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      k = 3, scanParallelism = sc)
+    val edges = Similarity.mutualKnnEdges(top)
+    graft.operators.Graph.labelPropagation(edges, iterations = 3).orderBy("id")
   }
 
   /** Gopher-rules quality gate (`Curation.gopherRules`, thresholds tuned

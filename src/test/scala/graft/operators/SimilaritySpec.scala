@@ -134,6 +134,18 @@ class SimilaritySpec extends SparkSpec {
     assert(kept2 === Seq(1L, 2L, 3L, 4L, 6L))
   }
 
+  test("mutualKnnEdges keeps exactly the pairs where both endpoints rank each other") {
+    val top = Seq(
+      (1L, 2L), (2L, 1L),  // mutual → edge (1,2)
+      (1L, 3L),            // one-way only
+      (3L, 4L), (4L, 3L),  // mutual → edge (3,4)
+      (4L, 1L)             // one-way only
+    ).toDF("qid", "neighbor")
+    val got = Similarity.mutualKnnEdges(top)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (3L, 4L)))
+  }
+
   test("prototypicalityPrune keeps the least prototypical fraction per cell") {
     // cell 0: three near-identical vectors and one orthogonal outlier —
     // the outlier is the hard example and must rank first at keepFrac=0.5

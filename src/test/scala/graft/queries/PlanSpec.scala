@@ -145,6 +145,7 @@ class PlanSpec extends SparkSpec {
       "q79_ann_multiprobe", "q88_pq_adc", "q89_tfidf_topk",
       "q93_ann_recall", // composes q38's broadcast-NLJ exact ranking
       "q187_knn_accuracy", // composes q38's broadcast-NLJ brute scorer
+      "q193_semantic_communities", // composes the same brute scorer
       "q97_bm25", "q98_unigram_nll", "q143_psi_drift",
       // q164 cross-joins the tiny row-total × col-total tables to build
       // the full contingency grid (ka×kb cells, fail-fast bounded by

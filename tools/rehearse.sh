@@ -40,7 +40,10 @@ DATA="$WORK/data"
 # q187: the oracle scores every (query, corpus) pair — sampleMod=10 makes
 # that 0.1·n² cosines (4e9 at sf10), the q36 all-pairs class. The Spark
 # side (bounded-TopK brute scorer) still runs and is row-checked.
-QUADRATIC_ORACLES="q35_jaccard_blocked,q36_minhash_lsh,q37_simhash,q92_containment_pairs,q140_fuzzy_join,q145_prefix_join,q155_sparse_cosine,q168_semantic_dedup,q40_embedding_dedup,q175_incremental_near_dup,q176_label_propagation,q187_knn_accuracy"
+# q193: every vector is a query (n² cosines in both engines by design —
+# the composite's scale path swaps the brute scorer for cellTopK with
+# mutual+labelprop unchanged). Spark side runs and is row-checked.
+QUADRATIC_ORACLES="q35_jaccard_blocked,q36_minhash_lsh,q37_simhash,q92_containment_pairs,q140_fuzzy_join,q145_prefix_join,q155_sparse_cosine,q168_semantic_dedup,q40_embedding_dedup,q175_incremental_near_dup,q176_label_propagation,q187_knn_accuracy,q193_semantic_communities"
 
 mkdir -p "$WORK"
 
