@@ -539,6 +539,50 @@ object Dedup {
         (size(toks) - size(kept)).cast("long").as("n_removed"))
   }
 
+  /** Winnowing fingerprints — the MOSS algorithm (Schleimer, Wilkerson &
+    * Aiken 2003): hash every k-gram, slide a window of `window`
+    * consecutive gram hashes, select each window's MINIMUM (ties to the
+    * RIGHTMOST — the original paper's rule), and emit the distinct
+    * selected (position, hash) pairs. Guarantees every shared substring
+    * of ≥ window+k−1 tokens yields at least one matching fingerprint,
+    * with ~2/(window+1) selection density — the positional, size-bounded
+    * alternative to full k-gram sets for overlap detection.
+    *
+    * Determinism trick shared with the oracle: the comparison key packs
+    * (40-bit gram hash, bit-inverted position) into one long
+    * (`h40·2²⁰ + (2²⁰−1−pos)`), so a single windowed MIN realizes
+    * min-by-hash-then-rightmost exactly — no argmin window, identical in
+    * any engine. Positions are taken mod 2²⁰ (1M grams/document); a
+    * 40-bit hash collision inside one window can only swap which equal
+    * copy is selected — both sides of an oracle agree regardless.
+    *
+    * Plan: one positional shingle pass; the selection is a per-document
+    * ROWS window (bounded by grams/doc); exchanges carry (doc, pos, key)
+    * longs — text never shuffles. Documents shorter than one window
+    * yield the single clipped window at position 0. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, window: Int = 5,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && window >= 1)
+    val two40 = 1099511627776L
+    val two20 = 1048576L
+    val g = docs
+      .select(col(idCol), posexplode(Text.shingles(col(textCol), k)).as(Seq("__pos", "__g")))
+    val h40 = pmod(Seeds.portableHash64(col("__g")), lit(two40))
+    val key = h40 * two20 + (lit(two20 - 1) - pmod(col("__pos").cast("long"), lit(two20)))
+    val wd = Window.partitionBy(col(idCol))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.currentRow, window - 1)
+    g.select(col(idCol), col("__pos"), key.as("__k"))
+      .withColumn("__n", count(lit(1)).over(wd))
+      .withColumn("__sel", min(col("__k")).over(win))
+      .filter(col("__pos") <= greatest(col("__n") - window, lit(0L)))
+      .select(col(idCol),
+        (lit(two20 - 1) - col("__sel").bitwiseAND(lit(two20 - 1))).as("fp_pos"),
+        shiftright(col("__sel"), 20).as("fp_hash"))
+      .distinct()
+  }
+
   /** Blocked containment pairs — the asymmetric cousin of Jaccard:
     * `|A∩B| / |A|` flags documents whose shingle set is (mostly) contained
     * in another's, which Jaccard misses whenever the containing document

@@ -18,7 +18,7 @@ object DataPipeline {
     q102, q106, q108, q116, q117, q118, q118f, q119, q120, q125, q127, q139, q140, q141, q143,
     q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170, q171, q172,
     q173, q175, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
-    q188, q189, q190, q192, q193)
+    q188, q189, q190, q192, q193, q194)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -2076,6 +2076,43 @@ object DataPipeline {
     graft.operators.Dedup
       .duplicateSpans(Tables.load(s, dir, "documents"), k = 6)
       .orderBy("doc_id", "span_start")
+  }
+
+  /** Winnowing fingerprints (`Dedup.winnowFingerprints`, k=4, window=5):
+    * the MOSS selection — windowed MIN over the packed
+    * (h40, inverted-pos) key realizes min-by-hash-rightmost-tie in one
+    * window; the oracle packs the identical key from the same md5-low64
+    * hash. All integers. */
+  val q194 = QueryDef(
+    "q194_winnow_fingerprints",
+    oracle = Some {
+      val k = 4
+      val sig = graft.operators.Sketches.signed64FromHexSql("md5(gram)")
+      s"""
+      WITH t AS (SELECT doc_id, ${Text.tokensSql("text")} AS toks FROM documents),
+      g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram
+            FROM (SELECT doc_id, unnest(list_transform(
+                    generate_series(1, len(toks)-${k - 1}),
+                    i -> {'pos': i-1, 'gram': array_to_string(toks[i:i+${k - 1}], ' ')})) AS u
+                  FROM t)),
+      h AS (SELECT doc_id, pos,
+              ((($sig) % 1099511627776 + 1099511627776) % 1099511627776) * 1048576
+                + (1048575 - pos % 1048576) AS key
+            FROM g),
+      w AS (SELECT doc_id, pos,
+              COUNT(*) OVER (PARTITION BY doc_id) AS n,
+              MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel
+            FROM h)
+      SELECT DISTINCT doc_id,
+        1048575 - (sel & 1048575) AS fp_pos,
+        sel >> 20 AS fp_hash
+      FROM w WHERE pos <= GREATEST(n - 5, 0)
+      ORDER BY doc_id, fp_pos"""
+    }) { (s, dir) =>
+    graft.operators.Dedup
+      .winnowFingerprints(Tables.load(s, dir, "documents"), k = 4, window = 5)
+      .orderBy("doc_id", "fp_pos")
   }
 
   /** Semantic communities end-to-end (`Similarity.mutualKnnEdges` over

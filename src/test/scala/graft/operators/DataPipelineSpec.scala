@@ -463,6 +463,38 @@ class DataPipelineSpec extends SparkSpec {
     assert(thresh(2L) === 0L && thresh(1L) === 9L)
   }
 
+  test("winnowFingerprints: shared runs guarantee a match; ties select rightmost") {
+    val s = spark
+    import s.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens = window+k-1
+    val d = Seq(
+      (1L, "one two " + shared + " three four"),
+      (2L, "five six seven " + shared),
+      (3L, "completely unrelated words everywhere nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(d, k = 4, window = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // the MOSS guarantee: a shared substring of >= window+k-1 tokens
+    // yields at least one common fingerprint hash
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty)
+    // repartition-stable
+    val again = Dedup.winnowFingerprints(d.repartition(5), k = 4, window = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === fp.toSet)
+    // all-equal hashes: the rightmost gram of the single clipped window
+    val uni = Seq((9L, "x x x x x x")).toDF("doc_id", "text") // 5 identical 2-grams
+    val u = Dedup.winnowFingerprints(uni, k = 2, window = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(u.length === 1 && u.head._1 === 4L)
+    // selection density ~ 2/(w+1): far fewer fingerprints than grams
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val nGrams = real.select(explode(graft.functions.Text.shingles(col("text"), 4))).count()
+    val nFp = Dedup.winnowFingerprints(real, k = 4, window = 5).count()
+    assert(nFp < nGrams / 2, s"$nFp fingerprints from $nGrams grams")
+  }
+
   test("duplicateSpans: adjacent windows merge; a one-token gap splits") {
     val s = spark
     import s.implicits._
