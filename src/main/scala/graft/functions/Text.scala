@@ -236,6 +236,11 @@ object Text {
 
   def tokensSql(e: String) = s"regexp_extract_all(lower($e), '[a-z0-9]+')"
   def tokenCountSql(e: String) = s"len(${tokensSql(e)})"
+  /** Non-distinct word n-gram list (DuckDB mirror of [[shingles]]):
+    * slice `[i:i+n-1]` is inclusive, so it spans n tokens. */
+  def ngramsSql(e: String, n: Int): String =
+    s"list_transform(generate_series(1, len(${tokensSql(e)})-${n - 1}), " +
+      s"i -> array_to_string(${tokensSql(e)}[i:i+${n - 1}], ' '))"
   def subwordEstimateSql(e: String): String =
     s"(COALESCE(list_sum(list_transform(${tokensSql(e)}, w -> CAST(FLOOR((len(w) + 3) / 4) AS BIGINT))), 0) " +
       s"+ len(regexp_replace(lower($e), '[a-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')))"

@@ -440,6 +440,110 @@ class FuzzOracleSpec extends SparkSpec {
     checkSweep("knn", sweeps)
   }
 
+  test("winnowFingerprints (k, window) draws match a re-derived DuckDB oracle") {
+    val gen = for {
+      k <- Gen.choose(2, 8)
+      w <- Gen.choose(1, 12)
+    } yield (k, w)
+    val sweeps = draws(gen, seed = 0x3055L).zipWithIndex.map { case ((k, w), i) =>
+      val df = graft.operators.Dedup.winnowFingerprints(documents, k = k, window = w)
+        .orderBy("doc_id", "fp_pos", "fp_hash")
+      val sig = graft.operators.Sketches.signed64FromHexSql("md5(gram)")
+      val sql = s"""
+        WITH t AS (SELECT doc_id, ${Text.tokensSql("text")} AS toks FROM documents),
+        g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram
+              FROM (SELECT doc_id, unnest(list_transform(
+                      generate_series(1, len(toks)-${k - 1}),
+                      q -> {'pos': q-1, 'gram': array_to_string(toks[q:q+${k - 1}], ' ')})) AS u
+                    FROM t)),
+        h AS (SELECT doc_id, pos,
+                ((($sig) % 1099511627776 + 1099511627776) % 1099511627776) * 1048576
+                  + (1048575 - pos % 1048576) AS key
+              FROM g),
+        w AS (SELECT doc_id, pos,
+                COUNT(*) OVER (PARTITION BY doc_id) AS n,
+                MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel
+              FROM h)
+        SELECT DISTINCT doc_id,
+          1048575 - (sel & 1048575) AS fp_pos, sel >> 20 AS fp_hash
+        FROM w WHERE pos <= GREATEST(n - $w, 0)
+        ORDER BY doc_id, fp_pos, fp_hash"""
+      (f"winnow_$i%02d", df, sql)
+    }
+    checkSweep("winnow", sweeps)
+  }
+
+  test("temperatureSample (alpha, targetTotal) draws match a re-derived DuckDB oracle") {
+    val gen = for {
+      a <- Gen.choose(5, 100) // alpha ·100, in (0, 1]
+      t <- Gen.choose(20L, 400L)
+    } yield (a / 100.0, t)
+    val sweeps = draws(gen, seed = 0x7E39L).zipWithIndex.map { case ((alpha, t), i) =>
+      val df = Curation.temperatureSample(documents, alpha = alpha, targetTotal = t)
+        .orderBy("doc_id")
+      val alphaLit = s"CAST('$alpha' AS DOUBLE)"
+      val tLit = s"CAST('${t.toDouble}' AS DOUBLE)"
+      val sql = s"""
+        WITH n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+        w AS (SELECT source, n, CAST(${Compat.roundSql(
+          s"pow(CAST(n AS DOUBLE), $alphaLit)", 9)} AS DECIMAL(28,9)) AS w FROM n),
+        tw AS (SELECT SUM(w) AS tw FROM w),
+        r AS (SELECT source, ${Compat.roundSql(
+          s"LEAST(CAST(1 AS DOUBLE), $tLit * (CAST(w AS DOUBLE) / CAST(tw.tw AS DOUBLE)) / n)",
+          9)} AS rate
+              FROM w CROSS JOIN tw)
+        SELECT d.doc_id, d.source, CAST(r.rate AS DOUBLE) AS rate
+        FROM documents d JOIN r USING (source)
+        WHERE ${graft.functions.Rand.portableUniformSql(0, "CAST(d.doc_id AS STRING)")} < CAST(r.rate AS DOUBLE)
+        ORDER BY d.doc_id"""
+      (f"temp_$i%02d", df, sql)
+    }
+    checkSweep("temp", sweeps)
+  }
+
+  test("gopherRules threshold draws match a re-derived DuckDB oracle") {
+    val gen = for {
+      minW <- Gen.choose(5, 60)
+      maxW <- Gen.choose(60, 120)
+      minL <- Gen.choose(30, 45)   // ·0.1
+      maxL <- Gen.choose(45, 60)   // ·0.1
+      stop <- Gen.choose(0, 6)
+    } yield (minW, maxW, minL / 10.0, maxL / 10.0, stop)
+    val sweeps = draws(gen, seed = 0x60FE6L).zipWithIndex.map {
+      case ((minW, maxW, minL, maxL, stop), i) =>
+        val df = Curation.gopherRules(documents, minWords = minW, maxWords = maxW,
+            minMeanLen = minL, maxMeanLen = maxL, minStopwordHits = stop)
+          .orderBy("doc_id")
+        val toks = Text.tokensSql("text")
+        val stopList = Text.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+        def cases = s"""
+            CASE WHEN n < $minW OR n > $maxW THEN 'word_count' END,
+            CASE WHEN n > 0 AND (ml < CAST('$minL' AS DOUBLE) OR ml > CAST('$maxL' AS DOUBLE))
+                 THEN 'mean_word_length' END,
+            CASE WHEN n > 0 AND CAST(sym AS DOUBLE) / CAST(n AS DOUBLE) > CAST('0.1' AS DOUBLE)
+                 THEN 'symbol_ratio' END,
+            CASE WHEN st < $stop THEN 'stopword_hits' END,
+            CASE WHEN gt > 0 AND CAST(gt - gd AS DOUBLE) / CAST(gt AS DOUBLE) > CAST('0.2' AS DOUBLE)
+                 THEN 'dup_gram_frac' END"""
+        val sql = s"""
+          WITH s AS (
+            SELECT doc_id, len($toks) AS n,
+              ${Text.meanTokenLengthSql("text")} AS ml,
+              len(regexp_replace(lower(text), '[a-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) AS sym,
+              len(list_filter($toks, w -> w IN ($stopList))) AS st,
+              len(${Text.ngramsSql("text", 2)}) AS gt,
+              len(list_distinct(${Text.ngramsSql("text", 2)})) AS gd
+            FROM documents)
+          SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+            concat_ws(',', $cases) AS failed_rules,
+            concat_ws(',', $cases) = '' AS passes
+          FROM s ORDER BY doc_id"""
+        (f"gopher_$i%02d", df, sql)
+    }
+    checkSweep("gopher", sweeps)
+  }
+
   test("dedupLines (minDf, width) draws match a re-derived DuckDB oracle") {
     // redraw BOTH the hot threshold and the line-reshape width: minDf=2
     // (everything repeated anywhere drops) through minDf far above max df
