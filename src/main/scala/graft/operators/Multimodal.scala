@@ -134,6 +134,75 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual average-hash (aHash) over REAL decoded pixels — the
+    * standard near-duplicate-IMAGE signature (resize-robust where a byte
+    * digest is not): an 8×8 block grid over the first channel, bit = the
+    * block's mean exceeds the image mean, packed MSB-first row-major
+    * into one signed long. Near-dup images then reduce to small Hamming
+    * distance — the [[Dedup.simhashPairs]] banding applies unchanged, so
+    * image dedup rides the existing text-dedup machinery.
+    *
+    * Exactness contract (what the oracle mirrors): block boundaries are
+    * integer floors (`bx·W/8`), and the bit compares
+    * `blockSum · totalPixels > totalSum · blockPixels` — an exact
+    * integer cross-multiplication, no division, no doubles — so the hash
+    * is bit-identical on any engine for images ≤ 2²⁶ pixels (the
+    * products stay under 2⁶³). Bit 63 (block 0,0) lands in the sign bit;
+    * both engines wrap identically (two's complement).
+    *
+    * Map-side only: decode + 64 integer sums per image above the scan.
+    * PNG arm (pure JVM); non-PNG/undecodable rows return
+    * `decoded = false`. */
+  def imageAHashBatch(df: DataFrame, id: String = "doc_id",
+                      payload: String = "payload",
+                      maxPixels: Long = 64L * 1024 * 1024): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(id, LongType),
+      StructField("decoded", BooleanType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("ahash", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(id)
+    val pIdx = df.schema.fieldIndex(payload)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        PngDecode.decode(r.getAs[Array[Byte]](pIdx), maxPixels) match {
+          case Some(img) =>
+            val (w, h, c) = (img.width, img.height, img.channels)
+            var totalSum = 0L
+            var p = 0
+            val nPix = w.toLong * h
+            while (p < nPix) { totalSum += img.pixels(p.toInt * c) & 0xff; p += 1 }
+            var hash = 0L
+            var by = 0
+            while (by < 8) {
+              var bx = 0
+              while (bx < 8) {
+                val (x0, x1) = (bx * w / 8, (bx + 1) * w / 8)
+                val (y0, y1) = (by * h / 8, (by + 1) * h / 8)
+                var (bs, bp) = (0L, 0L)
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    bs += img.pixels((y * w + x) * c) & 0xff; bp += 1; x += 1
+                  }
+                  y += 1
+                }
+                if (bp > 0 && bs * nPix > totalSum * bp)
+                  hash |= 1L << (63 - (by * 8 + bx))
+                bx += 1
+              }
+              by += 1
+            }
+            Row(r.getLong(idIdx), true, w, h, hash)
+          case None => Row(r.getLong(idIdx), false, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** REAL pixel decode across formats through the same partition
     * contract: PNG routes to the pure-JVM [[PngDecode]] arm (native
     * channel view — 1-channel gray stays 1-channel); JPEG/GIF/BMP route

@@ -463,6 +463,39 @@ class DataPipelineSpec extends SparkSpec {
     assert(thresh(2L) === 0L && thresh(1L) === 9L)
   }
 
+  test("imageAHashBatch: hamming tracks visual similarity; flat image hashes to 0") {
+    val s = spark
+    import s.implicits._
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 16; x <- 0 until 16) img.getRaster.setSample(x, y, 0, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val halfBright = png((x, _) => if (x < 8) 200 else 40)
+    val halfTweaked = png((x, y) => (if (x < 8) 200 else 40) + (if (x == 0 && y == 0) 5 else 0))
+    val inverted = png((x, _) => if (x < 8) 40 else 200)
+    val flat = png((_, _) => 99)
+    val df = Seq(
+      (1L, halfBright), (2L, halfTweaked), (3L, inverted), (4L, flat),
+      (5L, "not a png".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.imageAHashBatch(df)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val h = (i: Long) => out(i).getAs[Long]("ahash")
+    // left half bright: left 4 block-columns set -> 32 bits; tweak is invisible
+    assert(java.lang.Long.bitCount(h(1L)) === 32)
+    assert(h(1L) === h(2L))
+    // inverted image: every bit flips
+    assert(ham(h(1L), h(3L)) === 64)
+    // flat image: no block exceeds the mean
+    assert(h(4L) === 0L)
+    assert(!out(5L).getAs[Boolean]("decoded"))
+  }
+
   test("winnowFingerprints: shared runs guarantee a match; ties select rightmost") {
     val s = spark
     import s.implicits._
