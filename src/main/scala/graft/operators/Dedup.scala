@@ -341,6 +341,31 @@ object Dedup {
     new DedupRun(pairs, Seq(sigs))
   }
 
+  /** Hamming near-dup pairs for ANY precomputed 64-bit signature table —
+    * the [[simhashPairs]] chunk banding exposed for signatures that do
+    * not come from text (perceptual image hashes from
+    * `Multimodal.imageAHashBatch`, audio fingerprints, …): 4×16-bit
+    * chunks, bucket-join, full-Hamming verify. Recall is pigeonhole-EXACT
+    * for `maxHamming ≤ 3` (a pair within Hamming 3 shares ≥ 1 exact
+    * chunk). Same unblocked scale ceiling as simhashPairs (~n²/2¹⁸
+    * candidates); block upstream when the corpus demands it. */
+  def signaturePairs(sigs: DataFrame, maxHamming: Int = 3,
+                     id: String = "doc_id", sig: String = "sig"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-chunk banding is pigeonhole-exact only for maxHamming <= 3: $maxHamming")
+    val base = sigs.select(col(id).as("__id"), col(sig).as("__sig"))
+    val chunked = base.select(col("__id"), col("__sig"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("i"),
+          shiftright(col("__sig"), i * 16).bitwiseAND(0xFFFFL).as("c"))): _*)).as("__chunk"))
+    val a = chunked.select(col("__chunk").as("chunk_a"), col("__id").as("id_a"), col("__sig").as("sig_a"))
+    val b = chunked.select(col("__chunk").as("chunk_b"), col("__id").as("id_b"), col("__sig").as("sig_b"))
+    a.join(b, col("chunk_a") === col("chunk_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("dist"))
+      .filter(col("dist") <= maxHamming)
+      .distinct()
+  }
+
   /** Connected components over near-dup pairs: dedup at corpus scale ends
     * with CLUSTERS (keep one representative per component), not pairs —
     * a pair list where A~B and B~C must collapse {A,B,C} together.

@@ -18,7 +18,7 @@ object DataPipeline {
     q102, q106, q108, q116, q117, q118, q118f, q119, q120, q125, q127, q139, q140, q141, q143,
     q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170, q171, q172,
     q173, q175, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
-    q188, q189, q190, q192, q193, q194, q195)
+    q188, q189, q190, q192, q193, q194, q195, q196)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -2133,6 +2133,63 @@ object DataPipeline {
     Multimodal.imageAHashBatch(pngs)
       .withColumn("n_same", count(lit(1)).over(Window.partitionBy("ahash")))
       .orderBy("doc_id")
+  }
+
+  /** Near-duplicate IMAGE pairs end-to-end (`Multimodal.imageAHashBatch`
+    * → `Dedup.signaturePairs`): perceptual hashes through the exact
+    * 4-chunk pigeonhole banding — image dedup on the text-dedup
+    * machinery. The oracle recomputes the hashes from ascii(char) pixels
+    * (the q195 derivation) and takes the ALL-PAIRS Hamming filter, so
+    * the hash match proves the banded plan has exact recall — the q37
+    * contract, on images. All-pairs oracle ⇒ rehearsal exclusion. */
+  val q196 = QueryDef(
+    "q196_image_near_dup",
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, text, len(text) AS n
+                 FROM documents WHERE len(text) > 0),
+      px AS (SELECT doc_id, (i % 16) AS x, (i // 16) AS y,
+               ascii(substring(text, CAST(i % n AS INT) + 1, 1)) AS v
+             FROM d, unnest(generate_series(0, 127)) AS t(i)),
+      blk AS (SELECT doc_id, y AS by, x // 2 AS bx,
+                SUM(v) AS bs, COUNT(*) AS bp
+              FROM px GROUP BY 1, 2, 3),
+      tot AS (SELECT doc_id, SUM(v) AS ts FROM px GROUP BY 1),
+      bits AS (SELECT blk.doc_id,
+                 SUM(CASE WHEN bs * 128 > ts * bp
+                          THEN CAST(1 AS HUGEINT) << CAST(63 - (by * 8 + bx) AS INT)
+                          ELSE CAST(0 AS HUGEINT) END) AS s
+               FROM blk JOIN tot USING (doc_id) GROUP BY 1),
+      hs AS (SELECT doc_id,
+               CAST(CASE WHEN s >= CAST('9223372036854775808' AS HUGEINT)
+                         THEN s - CAST('18446744073709551616' AS HUGEINT)
+                         ELSE s END AS BIGINT) AS ahash
+             FROM bits)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS dist
+      FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+    import s.implicits._
+    val pngs = Tables.load(s, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val img = new java.awt.image.BufferedImage(
+          16, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var i = 0
+        while (i < 128) {
+          img.getRaster.setSample(i % 16, i / 16, 0, t.charAt(i % t.length).toInt)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }.toDF("doc_id", "payload")
+    val sigs = Multimodal.imageAHashBatch(pngs)
+      .filter(col("decoded")).select(col("doc_id"), col("ahash"))
+    Dedup.signaturePairs(sigs, maxHamming = 2, sig = "ahash")
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+      .orderBy("id_a", "id_b")
   }
 
   /** Winnowing fingerprints (`Dedup.winnowFingerprints`, k=4, window=5):

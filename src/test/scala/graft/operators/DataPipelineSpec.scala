@@ -463,6 +463,29 @@ class DataPipelineSpec extends SparkSpec {
     assert(thresh(2L) === 0L && thresh(1L) === 9L)
   }
 
+  test("signaturePairs equals the all-pairs Hamming filter on random signatures") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // base signatures plus engineered near-dups at Hamming 1..3
+    val base = (1L to 40L).map(i => (i, rnd.nextLong()))
+    val tweaked = base.take(10).zipWithIndex.map { case ((i, sig), j) =>
+      (100L + i, sig ^ ((1 to (j % 3 + 1)).map(b => 1L << (b * 7 + j)).reduce(_ | _)))
+    }
+    val sigs = (base ++ tweaked).toDF("doc_id", "sig")
+    for (h <- 0 to 3) {
+      val banded = Dedup.signaturePairs(sigs, maxHamming = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val all = (base ++ tweaked)
+      val brute = (for {
+        (a, sa) <- all; (b, sb) <- all if a < b
+        d = java.lang.Long.bitCount(sa ^ sb) if d <= h
+      } yield (a, b, d)).toSet
+      assert(banded === brute, s"maxHamming=$h")
+    }
+    intercept[IllegalArgumentException] { Dedup.signaturePairs(sigs, maxHamming = 4) }
+  }
+
   test("imageAHashBatch: hamming tracks visual similarity; flat image hashes to 0") {
     val s = spark
     import s.implicits._

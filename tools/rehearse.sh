@@ -43,7 +43,9 @@ DATA="$WORK/data"
 # q193: every vector is a query (n² cosines in both engines by design —
 # the composite's scale path swaps the brute scorer for cellTopK with
 # mutual+labelprop unchanged). Spark side runs and is row-checked.
-QUADRATIC_ORACLES="q35_jaccard_blocked,q36_minhash_lsh,q37_simhash,q92_containment_pairs,q140_fuzzy_join,q145_prefix_join,q155_sparse_cosine,q168_semantic_dedup,q40_embedding_dedup,q175_incremental_near_dup,q176_label_propagation,q187_knn_accuracy,q193_semantic_communities"
+# q196: its oracle is the all-pairs Hamming ground truth over image
+# hashes (the q37 contract on images); the banded Spark side is linear.
+QUADRATIC_ORACLES="q35_jaccard_blocked,q36_minhash_lsh,q37_simhash,q92_containment_pairs,q140_fuzzy_join,q145_prefix_join,q155_sparse_cosine,q168_semantic_dedup,q40_embedding_dedup,q175_incremental_near_dup,q176_label_propagation,q187_knn_accuracy,q193_semantic_communities,q196_image_near_dup"
 
 mkdir -p "$WORK"
 
