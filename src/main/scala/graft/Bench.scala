@@ -39,7 +39,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val names = Registry.benchSet.map(_.name)
+    // SPARK_GRAFT_BENCH_NAMES (comma-separated) overrides the set for
+    // ad-hoc scale measurements; the driver's headline set is unchanged
+    // when unset, keeping round-over-round numbers comparable.
+    val names = sys.env.get("SPARK_GRAFT_BENCH_NAMES")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Registry.benchSet.map(_.name))
     // Untimed warmup of every query: codegen compile + JIT of the large
     // generated methods (minhash, simhash) cost seconds on first run and
     // are one-time costs irrelevant to steady-state throughput at scale.
