@@ -579,7 +579,8 @@ object Curation {
     * sum is order- and partition-free. Documents with zero tokens have
     * no feature rows and drop out (trivially unscoreable). */
   def dsirWeights(docs: DataFrame, target: Column, dims: Int = 4096,
-                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                  idCol: String = "doc_id", textCol: String = "text",
+                  skewSafe: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     require(dims >= 2 && dims <= 65536, "dims must be in [2, 65536]")
@@ -590,15 +591,38 @@ object Curation {
         pmod(Rand.portableHexNum(0, col("__t")), lit(dims)).cast("int").as("dim"))
       .agg(count(lit(1)).as("tf"))
     val tgtTf = when(col("__is_t"), col("tf")).otherwise(0L)
-    val tot = f.agg(
-      sum(col("tf")).as("__tot_r"),
-      sum(tgtTf).as("__tot_t"))
     def lnP(c: Column, tot: Column): Column =
       round(log((c + 1).cast("double") / (tot + dims).cast("double")), 9)
         .cast(DecimalType(18, 9))
-    f.withColumn("__c_r", sum(col("tf")).over(Window.partitionBy("dim")))
-      .withColumn("__c_t", sum(tgtTf).over(Window.partitionBy("dim")))
-      .crossJoin(broadcast(tot))
+    // skewSafe: at 10⁹⁺ documents the hashed dim the hottest token lands
+    // in forms one ~|corpus|-row WINDOW group that a single task must
+    // buffer (WindowExec cannot split a group). The twin aggregates the
+    // per-dim model with groupBy — map-side combine collapses the hot
+    // dim — and, because the model is ≤ `dims` ≤ 65536 rows of three
+    // longs, broadcasts it back: the probe side keeps its partitioning,
+    // so the hot dim costs NOTHING downstream. Value-identical (exact
+    // long counts; spec-pinned, q199 vs q178's oracle).
+    val scored =
+      if (skewSafe) {
+        // explicit isNotNull (vacuously true): the join infers it on both
+        // children; without it the totals path sits above a structurally
+        // different subtree and exchange reuse breaks (second corpus scan)
+        val ff = f.filter(col("dim").isNotNull)
+        val model = ff.groupBy(col("dim"))
+          .agg(sum(col("tf")).as("__c_r"), sum(tgtTf).as("__c_t"))
+        val tot = model.agg(
+          sum("__c_r").as("__tot_r"), sum("__c_t").as("__tot_t"))
+        ff.join(broadcast(model), Seq("dim"))
+          .crossJoin(broadcast(tot))
+      } else {
+        val tot = f.agg(
+          sum(col("tf")).as("__tot_r"),
+          sum(tgtTf).as("__tot_t"))
+        f.withColumn("__c_r", sum(col("tf")).over(Window.partitionBy("dim")))
+          .withColumn("__c_t", sum(tgtTf).over(Window.partitionBy("dim")))
+          .crossJoin(broadcast(tot))
+      }
+    scored
       .withColumn("__lr",
         lnP(col("__c_t"), col("__tot_t")) - lnP(col("__c_r"), col("__tot_r")))
       .groupBy(col(idCol))

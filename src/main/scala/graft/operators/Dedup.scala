@@ -89,7 +89,20 @@ object Dedup {
   def incrementalNearDupNew(batch: DataFrame, corpus: DataFrame,
                             id: String = "doc_id", text: String = "text",
                             shingleN: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
-                            threshold: Double = 0.8, maxBucket: Long = 0L): DataFrame = {
+                            threshold: Double = 0.8, maxBucket: Long = 0L): DataFrame =
+    incrementalNearDupNewRun(batch, corpus, id, text, shingleN, k, rowsPerBand,
+      threshold, maxBucket).pairs
+
+  /** Handle-returning variant of [[incrementalNearDupNew]] — see
+    * [[DedupRun]] (`pairs` here is the kept-ids frame). The batch and
+    * corpus shingle caches are consumed by the band build AND the verify
+    * joins; without the handle a long-lived session leaks both cached
+    * tables per call (`unpersistCaches` / `materialize` releases them,
+    * as does the harnesses' per-query `catalog.clearCache()`). */
+  def incrementalNearDupNewRun(batch: DataFrame, corpus: DataFrame,
+                               id: String = "doc_id", text: String = "text",
+                               shingleN: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
+                               threshold: Double = 0.8, maxBucket: Long = 0L): DedupRun = {
     val dp = batch.sparkSession.sparkContext.defaultParallelism
     def shingled(df: DataFrame) = df
       .repartition(dp)
@@ -132,9 +145,10 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     val dominated = verified(batchCands, bsh).select(col("id_b").as(id)).distinct()
 
-    batch.select(col(id))
+    val kept = batch.select(col(id))
       .join(hitCorpus, Seq(id), "left_anti")
       .join(dominated, Seq(id), "left_anti")
+    new DedupRun(kept, Seq(bsh, csh))
   }
 
   /** Exact-dedup projection: keep only the representative row per content
@@ -344,20 +358,43 @@ object Dedup {
   /** Hamming near-dup pairs for ANY precomputed 64-bit signature table —
     * the [[simhashPairs]] chunk banding exposed for signatures that do
     * not come from text (perceptual image hashes from
-    * `Multimodal.imageAHashBatch`, audio fingerprints, …): 4×16-bit
-    * chunks, bucket-join, full-Hamming verify. Recall is pigeonhole-EXACT
-    * for `maxHamming ≤ 3` (a pair within Hamming 3 shares ≥ 1 exact
-    * chunk). Same unblocked scale ceiling as simhashPairs (~n²/2¹⁸
-    * candidates); block upstream when the corpus demands it. */
+    * `Multimodal.imageAHashBatch`, audio fingerprints, …), generalized to
+    * ANY radius: the 64 bits split into `maxHamming + 1` chunks of
+    * ⌈64/(h+1)⌉ bits (the last chunk narrower when they don't divide
+    * evenly), bucket-join on equal chunks, full-Hamming verify. Recall is
+    * pigeonhole-EXACT for every h — h differing bits can dirty at most h
+    * of the h+1 chunks, so every true pair shares ≥ 1 chunk verbatim.
+    *
+    * Scale math (the parameter's REAL cost): with chunk width
+    * w = ⌈64/(h+1)⌉ an unblocked corpus forms ~(h+1)·n²/2ʷ⁺¹ candidate
+    * pairs — h=3 ⇒ 16-bit keys (the simhash regime), h=8 ⇒ 8-bit keys
+    * (the perceptual-image operating point, 256 buckets per chunk slot),
+    * h=15 ⇒ 4-bit keys. Past h≈8 the chunk keys alone no longer prune at
+    * corpus scale; compose a blocking key upstream (near-dup images are
+    * same-dimensions/same-format in practice) exactly as
+    * `simhashPairs(blockCols)` does — the cap below fails fast where even
+    * blocked banding stops making sense. */
   def signaturePairs(sigs: DataFrame, maxHamming: Int = 3,
                      id: String = "doc_id", sig: String = "sig"): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"4-chunk banding is pigeonhole-exact only for maxHamming <= 3: $maxHamming")
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming > 15 means chunk keys under 4 bits - banding cannot prune: $maxHamming")
+    val nChunks = maxHamming + 1
+    // partition the 64 bits into nChunks NON-EMPTY spans (the first
+    // 64 mod n chunks one bit wider) — a naive ⌈64/n⌉ stride leaves a
+    // zero-width tail chunk whenever n ∤ 64 crosses the boundary (n = 9:
+    // offsets 0,8,…,64), and an always-equal empty key silently
+    // degenerates the band join to ALL-PAIRS
+    val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val base = sigs.select(col(id).as("__id"), col(sig).as("__sig"))
     val chunked = base.select(col("__id"), col("__sig"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("i"),
-          shiftright(col("__sig"), i * 16).bitwiseAND(0xFFFFL).as("c"))): _*)).as("__chunk"))
+      explode(array((0 until nChunks).map { i =>
+        // width == 64 only for h = 0 (one chunk = the whole signature);
+        // (1L << 64) - 1 would be 0 under JVM shift-mod-64, so skip the mask
+        val c = if (widths(i) == 64) col("__sig")
+          else shiftright(col("__sig"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+        struct(lit(i).as("i"), c.as("c"))
+      }: _*)).as("__chunk"))
     val a = chunked.select(col("__chunk").as("chunk_a"), col("__id").as("id_a"), col("__sig").as("sig_a"))
     val b = chunked.select(col("__chunk").as("chunk_b"), col("__id").as("id_b"), col("__sig").as("sig_b"))
     a.join(b, col("chunk_a") === col("chunk_b") && col("id_a") < col("id_b"))

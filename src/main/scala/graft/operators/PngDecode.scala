@@ -85,7 +85,13 @@ object PngDecode {
     var got = 0
     while (got < raw.length && !inf.finished()) {
       val n = inf.inflate(raw, got, raw.length - got)
-      if (n == 0 && inf.needsInput()) { inf.end(); return None } // truncated
+      // n == 0 with output space available (the loop guard guarantees it)
+      // is never progress: needsInput() = truncated stream, and a crafted
+      // zlib header with FDICT set yields needsDictionary() with NEITHER
+      // flag ever turning true — looping on it would hang the executor
+      // task forever, which decode()'s catch(Throwable) cannot save.
+      // Treat every stalled inflate as corrupt.
+      if (n == 0) { inf.end(); return None }
       got += n
     }
     inf.end()

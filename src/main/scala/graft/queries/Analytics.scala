@@ -14,7 +14,7 @@ import graft.operators.{Curation, Eval, Graph, Timeseries}
 object Analytics {
 
   def defs: Seq[QueryDef] = Seq(q128, q129, q130, q131, q132, q133, q134, q135, q144,
-    q157, q158, q163, q176, q191)
+    q157, q158, q163, q176, q191, q200)
 
   /** Per-fold ROC AUC of a toy scorer (first embedding coordinate) for
     * the odd-label class — the distributed model-eval primitive
@@ -196,6 +196,57 @@ object Analytics {
     val edges = a.join(b, "k").filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     Graph.clusteringCoefficient(edges).orderBy("id")
+  }
+
+  /** Wedge-sampling clustering-coefficient estimate
+    * (`Graph.clusteringCoefficientSampled`, k=16, portable md5 draws) of
+    * the q133/q191 co-order part graph — the corpus-scale dial where the
+    * exact wedge shuffle outgrows disk (q191's sf10 note). The oracle
+    * re-derives the SAME deterministic samples (md5-lower-64 slot
+    * hashes, min/max draw = a uniform wedge) and their closure — the
+    * hash match pins sampling, draw order, tie-breaks, and the estimate
+    * arithmetic bit-for-bit. `GraphSpec` pins the statistics (unbiased
+    * vs exact on random graphs, exact 1.0/0.0 on cliques/stars). */
+  val q200 = QueryDef(
+    "q200_clustering_sampled",
+    oracle = Some {
+      val h = graft.operators.Sketches.signed64FromHexSql(
+        "md5('ws|' || CAST(v AS VARCHAR) || '|' || CAST(s AS VARCHAR) || '|' || CAST(u AS VARCHAR))")
+      s"""
+      WITH e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                 FROM lineitem a JOIN lineitem b
+                   ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey),
+      sym AS (SELECT a AS v, b AS u FROM e UNION SELECT b, a FROM e),
+      deg AS (SELECT v, COUNT(*) AS d FROM sym GROUP BY 1),
+      h AS (SELECT v, u, s, $h AS hv
+            FROM sym, unnest(generate_series(1, 16)) AS t(s)),
+      draws AS (SELECT v, s, COUNT(*) AS d,
+                  (list(u ORDER BY hv ASC, u ASC))[1] AS u1,
+                  (list(u ORDER BY hv DESC, u DESC))[1] AS u2
+                FROM h GROUP BY 1, 2),
+      cl AS (SELECT v, LEAST(u1, u2) AS x, GREATEST(u1, u2) AS y
+             FROM draws WHERE d >= 2),
+      agg AS (SELECT cl.v, CAST(COUNT(*) AS BIGINT) AS sampled,
+                CAST(SUM(CASE WHEN e.a IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS closed
+              FROM cl LEFT JOIN e ON e.a = cl.x AND e.b = cl.y
+              GROUP BY 1)
+      SELECT deg.v AS id, CAST(d AS BIGINT) AS degree,
+        COALESCE(sampled, 0) AS sampled, COALESCE(closed, 0) AS closed,
+        CASE WHEN d >= 2
+             THEN CAST(COALESCE(closed, 0) AS DOUBLE) / CAST(COALESCE(sampled, 1) AS DOUBLE)
+             ELSE CAST(0 AS DOUBLE) END AS coefficient_est
+      FROM deg LEFT JOIN agg ON agg.v = deg.v
+      ORDER BY id"""
+    }) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+    val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("a"))
+    val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("b"))
+    val edges = a.join(b, "k").filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    Graph.clusteringCoefficientSampled(edges, samplesPerVertex = 16,
+        portable = true)
+      .orderBy("id")
   }
 
   /** Synchronous label propagation (`Graph.labelPropagation`, 3 rounds)

@@ -18,7 +18,7 @@ object DataPipeline {
     q102, q106, q108, q116, q117, q118, q118f, q119, q120, q125, q127, q139, q140, q141, q143,
     q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170, q171, q172,
     q173, q175, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
-    q188, q189, q190, q192, q193, q194, q195, q196)
+    q188, q189, q190, q192, q193, q194, q195, q196, q197, q198, q199)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -1981,15 +1981,53 @@ object DataPipeline {
 
   /** BPE vocabulary training over the corpus (`operators/Bpe`): 16 merge
     * rounds on the word-frequency table, plus the corpus token counts
-    * before/after encoding with the learned rules. No SQL oracle by
-    * design — the trainer is iterative with a driver-scalar argmax per
-    * round (like k-means/PageRank training, not expressible as one
-    * DuckDB query); the driver records a rows-only check and `BpeSpec`
-    * pins the textbook merge sequence, losslessness, and
-    * partitioning-stability. */
+    * after encoding with the learned rules.
+    *
+    * The oracle UNROLLS the 16 merge rounds as CTE triples (the
+    * q177/q176 pattern): each round re-counts weighted adjacent pairs
+    * from the chr(1)-delimited symbol string, picks the argmax with the
+    * (n DESC, a, b) lexicographic tie-break, and rewrites via
+    * `list_reduce` with an `ends_with(acc, sep || a)` boundary test —
+    * the exact greedy left-to-right fold the Spark side runs (a plain
+    * string `replace` would false-match mid-symbol: ["xa","b"] contains
+    * the substring "a⊕b"). `total_tokens` re-derives from the final
+    * symbol table as Σ cnt·len(syms) — equal to `encodeBatch`'s
+    * per-document sum because rank-order replay ≡ lowest-rank-first
+    * greedy encode (pinned in BpeSpec). The oracle runs all 16 rounds
+    * unconditionally; the trainer's early-exhaustion stop (best pair
+    * count < 2) never triggers on the test corpora (every sweep SF has
+    * deep pair mass), and BpeSpec covers the exhaustion path. */
   val q173 = QueryDef(
     "q173_bpe_train",
-    oracle = None) { (s, dir) =>
+    oracle = Some {
+      val sep = "chr(1)"
+      val rounds = (1 to 16).map { i =>
+        s"""
+      p$i AS (SELECT l[j] AS a, l[j+1] AS b, CAST(SUM(cnt) AS BIGINT) AS n
+             FROM (SELECT cnt, string_split(s, $sep) AS l FROM s${i - 1}),
+                  unnest(generate_series(1, len(l) - 1)) AS t(j)
+             GROUP BY 1, 2),
+      m$i AS MATERIALIZED (SELECT a, b, n FROM p$i ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+      s$i AS MATERIALIZED (SELECT cnt, list_reduce(string_split(s, $sep),
+              (acc, x) -> CASE WHEN (acc = m$i.a OR ends_with(acc, $sep || m$i.a)) AND x = m$i.b
+                          THEN acc || x ELSE acc || $sep || x END) AS s
+             FROM s${i - 1}, m$i)"""
+      }.mkString(",")
+      val union = (1 to 16)
+        .map(i => s"""SELECT ${i - 1} AS rank, a AS "left", b AS "right", n AS pair_count FROM m$i""")
+        .mkString("\n      UNION ALL ")
+      s"""
+      WITH w AS MATERIALIZED (
+        SELECT w AS word, COUNT(*) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) > 0 GROUP BY 1),
+      s0 AS MATERIALIZED (SELECT cnt, array_to_string(string_split(word, ''), $sep) || $sep || '</w>' AS s FROM w),$rounds,
+      merges AS ($union),
+      tot AS (SELECT CAST(SUM(cnt * len(string_split(s, $sep))) AS BIGINT) AS total_tokens FROM s16),
+      nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+      SELECT rank, "left", "right", pair_count, total_tokens, n_docs
+      FROM merges CROSS JOIN tot CROSS JOIN nd ORDER BY rank"""
+    }) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
     val merges = graft.operators.Bpe.train(docs, nMerges = 16)
     val enc = graft.operators.Bpe.encodeBatch(docs, merges)
@@ -2011,9 +2049,7 @@ object DataPipeline {
     * the oracle as the exact shortest-repr double literals the Scala
     * side computes (1−0.7 is NOT 0.3 in doubles — and DuckDB parses a
     * bare 0.3 as DECIMAL, a third value). */
-  val q179 = QueryDef(
-    "q179_interpolated_nll",
-    oracle = Some {
+  private val interpNllOracle = {
       val lam = s"CAST('${0.7}' AS DOUBLE)"
       val mu = s"CAST('${1 - 0.7}' AS DOUBLE)"
       s"""
@@ -2037,10 +2073,27 @@ object DataPipeline {
         JOIN uc ON split_part(bis.b, ' ', 2) = uc.w2
         CROSS JOIN u
       GROUP BY 1 ORDER BY doc_id"""
-    }) { (s, dir) =>
+  }
+
+  val q179 = QueryDef(
+    "q179_interpolated_nll",
+    oracle = Some(interpNllOracle)) { (s, dir) =>
     graft.operators.Retrieval
       .interpolatedBigramNll(Tables.load(s, dir, "documents"),
         ref = col("lang") === "en", lambda = 0.7)
+      .orderBy("doc_id")
+  }
+
+  /** Skew-safe twin of q179 (`interpolatedBigramNll(skewSafe = true)`):
+    * all three reference-count attachments become groupBy model joins
+    * instead of window sums — see q197's rationale. Same oracle: exact
+    * long counts make the layouts value-identical. */
+  val q198 = QueryDef(
+    "q198_interp_nll_skew_safe",
+    oracle = Some(interpNllOracle)) { (s, dir) =>
+    graft.operators.Retrieval
+      .interpolatedBigramNll(Tables.load(s, dir, "documents"),
+        ref = col("lang") === "en", lambda = 0.7, skewSafe = true)
       .orderBy("doc_id")
   }
 
@@ -2137,11 +2190,15 @@ object DataPipeline {
 
   /** Near-duplicate IMAGE pairs end-to-end (`Multimodal.imageAHashBatch`
     * → `Dedup.signaturePairs`): perceptual hashes through the exact
-    * 4-chunk pigeonhole banding — image dedup on the text-dedup
+    * (h+1)-chunk pigeonhole banding at Hamming 8 — the real perceptual
+    * operating point (aHash near-dups of resized/re-encoded images land
+    * at Hamming 5–10, not ≤ 3) — image dedup on the text-dedup
     * machinery. The oracle recomputes the hashes from ascii(char) pixels
     * (the q195 derivation) and takes the ALL-PAIRS Hamming filter, so
-    * the hash match proves the banded plan has exact recall — the q37
-    * contract, on images. All-pairs oracle ⇒ rehearsal exclusion. */
+    * the hash match proves the banded plan has exact recall at a radius
+    * where the banding runs 9 uneven chunks (8×7 bits + 1×8) — the q37
+    * contract, on images, past the old 4-chunk ceiling. All-pairs
+    * oracle ⇒ rehearsal exclusion. */
   val q196 = QueryDef(
     "q196_image_near_dup",
     oracle = Some("""
@@ -2167,7 +2224,7 @@ object DataPipeline {
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS dist
       FROM hs a JOIN hs b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+      WHERE bit_count(xor(a.ahash, b.ahash)) <= 8
       ORDER BY id_a, id_b""")) { (s, dir) =>
     import s.implicits._
     val pngs = Tables.load(s, dir, "documents")
@@ -2187,7 +2244,7 @@ object DataPipeline {
       }.toDF("doc_id", "payload")
     val sigs = Multimodal.imageAHashBatch(pngs)
       .filter(col("decoded")).select(col("doc_id"), col("ahash"))
-    Dedup.signaturePairs(sigs, maxHamming = 2, sig = "ahash")
+    Dedup.signaturePairs(sigs, maxHamming = 8, sig = "ahash")
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
       .orderBy("id_a", "id_b")
   }
@@ -2533,9 +2590,7 @@ object DataPipeline {
     * src0 from the rest, scoring every document. The per-token ratio is
     * an exact-integer division chain, one `ln`, rounded to 1e-9 before
     * the decimal weighted sum (q98 class). */
-  val q184 = QueryDef(
-    "q184_nb_quality_llr",
-    oracle = Some(s"""
+  private val nbLlrOracle = s"""
       WITH a AS (
         SELECT doc_id, source = 'src0' AS y, doc_id % 5 <> 0 AS tr,
                t, COUNT(*) AS tf
@@ -2556,11 +2611,34 @@ object DataPipeline {
             (CAST(nn + 1 AS DOUBLE) / CAST(tn + 1048576 AS DOUBLE))), 9)
           AS DECIMAL(18,9))) AS DOUBLE) AS llr
       FROM w CROSS JOIN tot
-      GROUP BY 1 ORDER BY doc_id""")) { (s, dir) =>
+      GROUP BY 1 ORDER BY doc_id"""
+
+  val q184 = QueryDef(
+    "q184_nb_quality_llr",
+    oracle = Some(nbLlrOracle)) { (s, dir) =>
     graft.operators.Retrieval
       .naiveBayesLlr(Tables.load(s, dir, "documents"),
         target = col("source") === "src0",
         train = pmod(col("doc_id"), lit(5)) =!= 0)
+      .orderBy("doc_id")
+  }
+
+  /** Skew-safe twin of q184 (`naiveBayesLlr(skewSafe = true)`): the
+    * corpus-scale layout — class counts as a groupBy model table joined
+    * back on a SALTED (token, salt) key instead of window sums (the
+    * hottest token's window group serializes one task at 10⁹⁺ docs; the
+    * salt spreads it saltFactor ways by construction). Value-identical
+    * to the window form (exact long counts; the salt never reaches an
+    * aggregate), so it runs against the SAME oracle — the hash match
+    * proves the twin, not just the spec. */
+  val q197 = QueryDef(
+    "q197_nb_llr_skew_safe",
+    oracle = Some(nbLlrOracle)) { (s, dir) =>
+    graft.operators.Retrieval
+      .naiveBayesLlr(Tables.load(s, dir, "documents"),
+        target = col("source") === "src0",
+        train = pmod(col("doc_id"), lit(5)) =!= 0,
+        skewSafe = true)
       .orderBy("doc_id")
   }
 
@@ -2728,9 +2806,7 @@ object DataPipeline {
     * pass; per-dim counts are window sums over the dim partition of the
     * same pass and the totals aggregate reuses the tf exchange — text
     * never shuffles, and the plan scans `documents` once (PlanSpec). */
-  val q178 = QueryDef(
-    "q178_dsir_weights",
-    oracle = Some(s"""
+  private val dsirOracle = s"""
       WITH tok AS (SELECT doc_id, lang = 'en' AS is_t,
                      unnest(${Text.tokensSql("text")}) AS t FROM documents),
       f AS (SELECT doc_id, is_t, ${graft.ml.Features.dimSql("t", 4096)} AS dim,
@@ -2746,9 +2822,25 @@ object DataPipeline {
         FROM c CROSS JOIN tot)
       SELECT f.doc_id, ${Compat.exactDoubleSql("SUM(CAST(f.tf AS DECIMAL(18,0)) * lr.lr)")} AS w
       FROM f JOIN lr USING (dim)
-      GROUP BY 1 ORDER BY doc_id""")) { (s, dir) =>
+      GROUP BY 1 ORDER BY doc_id"""
+
+  val q178 = QueryDef(
+    "q178_dsir_weights",
+    oracle = Some(dsirOracle)) { (s, dir) =>
     Curation.dsirWeights(Tables.load(s, dir, "documents"),
         target = col("lang") === "en", dims = 4096)
+      .orderBy("doc_id")
+  }
+
+  /** Skew-safe twin of q178 (`dsirWeights(skewSafe = true)`): the per-dim
+    * model aggregates via groupBy (map-side combine kills the hot dim)
+    * and broadcasts back (≤ 65536 rows) — the probe side never
+    * re-shuffles. Same oracle as q178; see q197's rationale. */
+  val q199 = QueryDef(
+    "q199_dsir_skew_safe",
+    oracle = Some(dsirOracle)) { (s, dir) =>
+    Curation.dsirWeights(Tables.load(s, dir, "documents"),
+        target = col("lang") === "en", dims = 4096, skewSafe = true)
       .orderBy("doc_id")
   }
 }

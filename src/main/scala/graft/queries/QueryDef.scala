@@ -114,6 +114,13 @@ object Compat {
     * including exact decimal ties at every magnitude/sign (round-8
     * sweep; the tie lattice is the adversarial class). */
   def roundSql(e: String, d: Int) = {
+    // `$e` is interpolated into each CASE branch (5×), so it may be
+    // EVALUATED several times per row: `e` must be deterministic and
+    // cheap. A volatile argument (random(), now()) would make the
+    // magnitude test and the rounded branch see different values and
+    // diverge silently; an expensive subexpression should be bound to a
+    // named column/CTE at the call site first. Every current call site
+    // passes pure arithmetic over table columns.
     require(d >= 0 && d <= 11, s"roundSql scale outside the verified [0,11] window: $d")
     s"""(CASE WHEN ($e) = 0 OR ABS($e) < 1e-12 THEN CAST(0 AS DECIMAL(38,$d))
           WHEN ABS($e) < 1e7 THEN ROUND(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(38,30)), $d)

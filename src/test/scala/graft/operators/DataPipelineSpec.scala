@@ -467,13 +467,18 @@ class DataPipelineSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val rnd = new scala.util.Random(11)
-    // base signatures plus engineered near-dups at Hamming 1..3
+    // base signatures plus engineered near-dups at Hamming 1..12 — flips
+    // spread across the word so chunk boundaries at every tested radius
+    // get both clean and dirtied chunks
     val base = (1L to 40L).map(i => (i, rnd.nextLong()))
-    val tweaked = base.take(10).zipWithIndex.map { case ((i, sig), j) =>
-      (100L + i, sig ^ ((1 to (j % 3 + 1)).map(b => 1L << (b * 7 + j)).reduce(_ | _)))
+    val tweaked = base.take(12).zipWithIndex.map { case ((i, sig), j) =>
+      (100L + i, sig ^ ((1 to (j % 12 + 1)).map(b => 1L << ((b * 17 + j * 5) % 64)).reduce(_ | _)))
     }
     val sigs = (base ++ tweaked).toDF("doc_id", "sig")
-    for (h <- 0 to 3) {
+    // h > 3 exercises the generalized (h+1)-chunk partition, including
+    // radii where 64 % (h+1) != 0 (uneven chunk widths: 6, 10) and the
+    // 4-bit-key ceiling (15)
+    for (h <- (0 to 6) ++ Seq(10, 15)) {
       val banded = Dedup.signaturePairs(sigs, maxHamming = h)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       val all = (base ++ tweaked)
@@ -483,7 +488,7 @@ class DataPipelineSpec extends SparkSpec {
       } yield (a, b, d)).toSet
       assert(banded === brute, s"maxHamming=$h")
     }
-    intercept[IllegalArgumentException] { Dedup.signaturePairs(sigs, maxHamming = 4) }
+    intercept[IllegalArgumentException] { Dedup.signaturePairs(sigs, maxHamming = 16) }
   }
 
   test("imageAHashBatch: hamming tracks visual similarity; flat image hashes to 0") {

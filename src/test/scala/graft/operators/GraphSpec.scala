@@ -178,6 +178,52 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("clusteringCoefficientSampled: exact on cliques/stars, unbiased on random graphs, partitioning-stable") {
+    val s = spark
+    import s.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // K5: every wedge is closed — the estimate is EXACTLY 1.0 per vertex
+    val k5 = (for { a <- 1L to 5L; b <- 1L to 5L if a < b } yield (a, b)).toDF("a", "b")
+    rows(Graph.clusteringCoefficientSampled(k5, samplesPerVertex = 8)).foreach {
+      case (_, (d, sampled, closed, est)) =>
+        assert(d === 4L && sampled === 8L && closed === 8L && est === 1.0)
+    }
+    // star: no wedge at the center closes; leaves have degree 1 (no wedge)
+    val star = (2L to 8L).map(b => (1L, b)).toDF("a", "b")
+    val st = rows(Graph.clusteringCoefficientSampled(star, samplesPerVertex = 8))
+    assert(st(1L) === ((7L, 8L, 0L, 0.0)))
+    (2L to 8L).foreach(v => assert(st(v) === ((1L, 0L, 0L, 0.0))))
+    // random graphs: the estimate tracks the exact coefficient (k=64 ⇒
+    // se ≤ √(.25/64) ≈ 0.0625 per vertex; assert mean |err| well inside)
+    val rnd = new scala.util.Random(19)
+    for (trial <- 1 to 2) {
+      val n = 14
+      val edges = (for { a <- 1L to n; b <- 1L to n
+                         if a < b && rnd.nextDouble() < 0.4 } yield (a, b)).toSeq
+      val exact = Graph.clusteringCoefficient(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      val est = Graph.clusteringCoefficientSampled(edges.toDF("a", "b"),
+          samplesPerVertex = 64)
+        .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+      val errs = exact.map { case (v, c) => math.abs(est(v) - c) }
+      assert(errs.sum / errs.size < 0.08,
+        s"trial $trial mean abs err ${errs.sum / errs.size}: est=$est exact=$exact")
+      // deterministic hash draws: a different partitioning gives the
+      // IDENTICAL result (and so does the portable-hash twin vs itself)
+      val re = Graph.clusteringCoefficientSampled(
+          edges.toDF("a", "b").repartition(7), samplesPerVertex = 64)
+        .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+      assert(re === est)
+    }
+    // portable twin: same statistical contract, md5 draws
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val pt = rows(Graph.clusteringCoefficientSampled(tri, samplesPerVertex = 4,
+      portable = true))
+    assert(pt(2L)._4 === 1.0 && pt(3L)._4 === 1.0 && pt(4L) === ((1L, 0L, 0L, 0.0)))
+  }
+
   test("bfs: min hops on a chain, unreachable components absent") {
     // directed chain 1→2→3→4→5 plus island 9→10
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 10L))

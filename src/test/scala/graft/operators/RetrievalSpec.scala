@@ -169,6 +169,35 @@ class RetrievalSpec extends SparkSpec {
       s"held-out docs must separate by class: $byId")
   }
 
+  test("skewSafe twins are value-identical bit-for-bit, including on a one-token-everywhere fixture") {
+    val s = spark
+    import s.implicits._
+    // deliberately skewed: "the" appears in EVERY document (the hot
+    // window group the twin exists to avoid), plus empty/short edges
+    val docs = (1L to 60L).map { i =>
+      val body = if (i % 7 == 0) "" else s"the w${i % 5} the x${i % 11} the"
+      (i, body, i % 3 == 0, i % 4 != 0)
+    }.toDF("doc_id", "text", "y", "tr")
+
+    val nbWin = Retrieval.naiveBayesLlr(docs, col("y"), col("tr"))
+      .as[(Long, Long, Double)].collect().toSet
+    val nbSafe = Retrieval.naiveBayesLlr(docs, col("y"), col("tr"), skewSafe = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(nbSafe === nbWin)
+
+    val inWin = Retrieval.interpolatedBigramNll(docs, ref = col("y"))
+      .as[(Long, Long, Double)].collect().toSet
+    val inSafe = Retrieval.interpolatedBigramNll(docs, ref = col("y"), skewSafe = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inSafe === inWin)
+
+    val dsWin = Curation.dsirWeights(docs, target = col("y"), dims = 64)
+      .as[(Long, Double)].collect().toSet
+    val dsSafe = Curation.dsirWeights(docs, target = col("y"), dims = 64, skewSafe = true)
+      .as[(Long, Double)].collect().toSet
+    assert(dsSafe === dsWin)
+  }
+
   test("pii counts and redaction") {
     val rows = Seq(
       (1L, "mail a.smith@example.com or BOB@MAIL.CO today"),

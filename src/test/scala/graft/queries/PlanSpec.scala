@@ -167,7 +167,12 @@ class PlanSpec extends SparkSpec {
       "q184_nb_quality_llr",
       // q181 broadcast-crossJoins the one-row Σn^α scalar into the
       // group-width rate table — scalar shape like q89
-      "q181_temperature_sample")
+      "q181_temperature_sample",
+      // the skew-safe twins keep their originals' one-row scalar
+      // crossJoin (totals); the model attach itself is an equi-join
+      "q197_nb_llr_skew_safe",
+      "q198_interp_nll_skew_safe",
+      "q199_dsir_skew_safe")
     val offenders = Registry.all.flatMap { q =>
       val p =
         try Registry.queries(q.name)(spark, dir).queryExecution.executedPlan.toString
@@ -405,6 +410,46 @@ class PlanSpec extends SparkSpec {
       assert(!e.output.exists(_.name == "text"),
         s"document bodies ride through an exchange:\n$e")
     }
+  }
+
+  test("q197/q198/q199: skew-safe twins plan NO window operator — the model attach is a splittable join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def flatten(plan: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      plan.collect {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case s: QueryStageExec => flatten(s.plan)
+        case p => Seq(p)
+      }.flatten
+    for (name <- Seq("q197_nb_llr_skew_safe", "q198_interp_nll_skew_safe",
+                     "q199_dsir_skew_safe")) {
+      val df = Registry.queries(name)(spark, dir)
+      df.collect()
+      val ops = flatten(df.queryExecution.executedPlan)
+      // the whole point of the twin: a WindowExec group can never be
+      // split across tasks, so the hottest token serializes one task at
+      // corpus scale — the twin must attach model counts via joins only
+      assert(!ops.exists(_.isInstanceOf[WindowExec]),
+        s"$name plans a WindowExec — the skew-safe twin regressed to the window layout")
+      // still one corpus scan: model build and probe sit above the same
+      // (doc, token) aggregate exchange
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val scans = p.split("\n").count(l => l.contains("FileScan parquet") && l.contains("documents"))
+      assert(scans == 1, s"$name: expected one runtime scan of documents, saw $scans:\n$p")
+      // and text still never shuffles
+      ops.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"$name: document bodies ride through an exchange:\n$e")
+      }
+    }
+    // the dsir model is ≤ dims rows — it must come back as a BROADCAST
+    // join (probe side keeps its partitioning; the hot dim costs nothing)
+    val dsir = Registry.queries("q199_dsir_skew_safe")(spark, dir)
+    dsir.collect()
+    val dsirPlan = dsir.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(dsirPlan.contains("BroadcastHashJoin"),
+      s"q199: per-dim model is not broadcast back:\n$dsirPlan")
   }
 
   test("q182: duplicate spans scan documents once; no self-join; text never rides an exchange") {

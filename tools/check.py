@@ -57,12 +57,12 @@ for name in sorted(os.listdir(outdir)):
     # on it fails with "Failed to allocate" regardless of size. A fresh
     # connection per oracle (views re-register lazily, ~ms) isolates
     # each oracle's memory use completely.
+    d = os.path.join(outdir, name)
+    if not os.path.isdir(d):
+        continue  # only real oracle dirs pay the reconnect below
     n_run += 1
     con.close()
     con = fresh_con()
-    d = os.path.join(outdir, name)
-    if not os.path.isdir(d):
-        continue
     spark_df = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{d}/*.parquet"))])
     if name not in oracles:
         print(f"{name:32s} rows-only: {len(spark_df)} rows")
