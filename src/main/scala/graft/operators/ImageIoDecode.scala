@@ -52,6 +52,64 @@ object ImageIoDecode {
       } finally iis.close()
     } catch { case _: Throwable => None }
 
+  final case class Frame(index: Int, width: Int, height: Int,
+                         meanChannel: Array[Double])
+
+  /** Per-frame decode of a MULTI-FRAME container — real video-style
+    * frame sampling for the one container the JDK decodes natively:
+    * animated GIF (`getNumImages(true)` + indexed `read(i)`). Returns
+    * (total frame count, up to `maxFrames` evenly-spaced decoded frames)
+    * with per-frame dimensions and mean RGB. Frames are decoded as
+    * STORED (GIF inter-frame patches are not composited onto the
+    * canvas — disposal-method composition is a player concern; for
+    * feature extraction the stored rasters are the signal). Same
+    * never-throw + header-first bomb-guard contract as [[decode]]:
+    * every frame's dimensions are checked BEFORE its pixels are read. */
+  def frames(bytes: Array[Byte], maxFrames: Int,
+             maxPixels: Long = 64L * 1024 * 1024): Option[(Int, Seq[Frame])] =
+    try {
+      require(maxFrames >= 1)
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      if (iis == null) return None
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          // seekForwardOnly = false: getNumImages(true) must scan ahead
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          if (n <= 0) return None
+          val take = math.min(maxFrames, n)
+          val idxs = (0 until take).map(k => (k.toLong * n / take).toInt)
+          val out = Vector.newBuilder[Frame]
+          for (i <- idxs) {
+            val (w, h) = (reader.getWidth(i), reader.getHeight(i))
+            if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return None
+            val img = reader.read(i)
+            val sums = new Array[Long](3)
+            val row = new Array[Int](w)
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, row, 0, w)
+              var x = 0
+              while (x < w) {
+                val p = row(x)
+                sums(0) += (p >>> 16) & 0xff
+                sums(1) += (p >>> 8) & 0xff
+                sums(2) += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val nPix = (w.toLong * h).toDouble
+            out += Frame(i, w, h, sums.map(_ / nPix))
+          }
+          Some((n, out.result()))
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case _: Throwable => None }
+
   private def decodeOrNone(bytes: Array[Byte], maxPixels: Long): Option[Img] = {
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
     if (iis == null) return None

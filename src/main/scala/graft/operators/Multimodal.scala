@@ -481,8 +481,52 @@ object Multimodal {
     when(mp4Magic, mp4Struct).otherwise(parseImageDims(payload))
   }
 
-  /** Frame sampling: slice every k-th byte window as a stand-in for video
-    * frame extraction — demonstrates ragged binary→array plumbing. */
+  /** REAL multi-frame sampling through the partition decode contract —
+    * the video-style frame-extraction path for the container the JDK
+    * decodes natively (animated GIF; see [[ImageIoDecode.frames]]).
+    * Emits one row per sampled frame (up to `maxFrames`, evenly spaced
+    * across the animation) with dimensions and mean RGB; an
+    * undecodable/single-reader-rejected payload emits ONE row with
+    * `decoded = false` and null stats — the shared poison-row cue.
+    * Map-side only: payload bytes never shuffle, reader state is
+    * per-task, and the per-frame bomb guard (`maxPixels`) runs on header
+    * dimensions before any pixel read. Swapping in an MP4/H.264 frame
+    * extractor (JNI/FFI) changes only the kernel call — the schema,
+    * sampling policy, batching, and null-cue contract are this. */
+  def sampleGifFramesBatch(df: DataFrame, id: String = "doc_id",
+                           payload: String = "payload", maxFrames: Int = 8,
+                           maxPixels: Long = 64L * 1024 * 1024): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(id, LongType),
+      StructField("decoded", BooleanType),
+      StructField("n_frames", IntegerType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(id)
+    val pIdx = df.schema.fieldIndex(payload)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val docId = r.getLong(idIdx)
+        ImageIoDecode.frames(r.getAs[Array[Byte]](pIdx), maxFrames, maxPixels) match {
+          case Some((n, fs)) => fs.map(f =>
+            Row(docId, true, n, f.index, f.width, f.height,
+              f.meanChannel(0), f.meanChannel(1), f.meanChannel(2)))
+          case None =>
+            Seq(Row(docId, false, null, null, null, null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** Frame sampling over RAW BYTES: slice every k-th byte window —
+    * ragged binary→array plumbing for containers with no JVM decoder
+    * (the byte-window stand-in; [[sampleGifFramesBatch]] is the real
+    * pixel path for GIF). */
   def sampleFrames(payload: Column, frameSize: Int, stride: Int): Column =
     filter(
       transform(sequence(lit(0), floor(length(payload) / stride).cast("int")),

@@ -18,7 +18,7 @@ object DataPipeline {
     q102, q106, q108, q116, q117, q118, q118f, q119, q120, q125, q127, q139, q140, q141, q143,
     q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170, q171, q172,
     q173, q175, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
-    q188, q189, q190, q192, q193, q194, q195, q196, q197, q198, q199)
+    q188, q189, q190, q192, q193, q194, q195, q196, q197, q198, q199, q201)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -2125,7 +2125,9 @@ object DataPipeline {
       SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${k - 1} AS span_end,
              MAX(pos) + $k - MIN(pos) AS span_tokens
       FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start"""
-    }) { (s, dir) =>
+    },
+    // bench-flagged r9: span dedup's hot path (VERDICT r8 #6)
+    bench = true) { (s, dir) =>
     graft.operators.Dedup
       .duplicateSpans(Tables.load(s, dir, "documents"), k = 6)
       .orderBy("doc_id", "span_start")
@@ -2249,6 +2251,60 @@ object DataPipeline {
       .orderBy("id_a", "id_b")
   }
 
+  /** Test-fixture animated GIF: one constant-gray 8×8 frame per value,
+    * written over an explicit 256-gray IndexColorModel so the palette
+    * round-trips exactly (no quantizer — decoded means ARE the values). */
+  private def grayAnimatedGif(values: Seq[Int]): Array[Byte] = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    values.foreach { v =>
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      var i = 0
+      while (i < 64) { img.getRaster.setSample(i % 8, i / 8, 0, v); i += 1 }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  /** Video-style frame sampling END-TO-END on a real multi-frame
+    * container (`Multimodal.sampleGifFramesBatch` → `ImageIoDecode
+    * .frames`): each document becomes an animated GIF whose frame f is a
+    * constant-gray 8×8 raster of ascii(text[f]) (≤ 4 frames), decoded
+    * back per-frame through the mapPartitions seam. The oracle re-derives
+    * every frame's mean straight from `ascii(substring(text, ...))` — a
+    * fully independent second path that works because the indexed-palette
+    * GIF round-trip is exact (the q195 PNG trick, on an animation). */
+  val q201 = QueryDef(
+    "q201_gif_frames",
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, text, CAST(LEAST(len(text), 4) AS INT) AS nf
+                 FROM documents WHERE len(text) > 0)
+      SELECT doc_id, nf AS n_frames, CAST(i AS INT) AS frame_idx,
+        8 AS width, 8 AS height,
+        CAST(ascii(substring(text, CAST(i AS INT) + 1, 1)) AS DOUBLE) AS mean_r
+      FROM d, unnest(generate_series(0, nf - 1)) AS t(i)
+      ORDER BY doc_id, frame_idx""")) { (s, dir) =>
+    import s.implicits._
+    val gifs = Tables.load(s, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        (id, grayAnimatedGif((0 until math.min(t.length, 4)).map(t.charAt(_).toInt)))
+      }.toDF("doc_id", "payload")
+    Multimodal.sampleGifFramesBatch(gifs, maxFrames = 8)
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        col("width"), col("height"), col("mean_r"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Winnowing fingerprints (`Dedup.winnowFingerprints`, k=4, window=5):
     * the MOSS selection — windowed MIN over the packed
     * (h40, inverted-pos) key realizes min-by-hash-rightmost-tie in one
@@ -2280,7 +2336,9 @@ object DataPipeline {
         sel >> 20 AS fp_hash
       FROM w WHERE pos <= GREATEST(n - 5, 0)
       ORDER BY doc_id, fp_pos"""
-    }) { (s, dir) =>
+    },
+    // bench-flagged r9: fingerprint selection's hot path (VERDICT r8 #6)
+    bench = true) { (s, dir) =>
     graft.operators.Dedup
       .winnowFingerprints(Tables.load(s, dir, "documents"), k = 4, window = 5)
       .orderBy("doc_id", "fp_pos")
@@ -2615,7 +2673,9 @@ object DataPipeline {
 
   val q184 = QueryDef(
     "q184_nb_quality_llr",
-    oracle = Some(nbLlrOracle)) { (s, dir) =>
+    oracle = Some(nbLlrOracle),
+    // bench-flagged r9: the scoring family's hot path (VERDICT r8 #6)
+    bench = true) { (s, dir) =>
     graft.operators.Retrieval
       .naiveBayesLlr(Tables.load(s, dir, "documents"),
         target = col("source") === "src0",

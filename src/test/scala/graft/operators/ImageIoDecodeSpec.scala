@@ -56,6 +56,71 @@ class ImageIoDecodeSpec extends SparkSpec {
     }
   }
 
+  /** Animated GIF: one constant-gray frame per value, written through the
+    * JDK writer's sequence API over an EXPLICIT 256-gray IndexColorModel
+    * (indexed input round-trips GIF's palette exactly — no quantizer in
+    * the loop, so decoded means are the exact frame values). */
+  private def animatedGif(values: Seq[Int], w: Int = 8, h: Int = 8): Array[Byte] = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    values.foreach { v =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, cm)
+      for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, v)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  test("frames: animated GIF decodes per-frame stats; even sampling; single frame; junk cue") {
+    val vals = Seq(10, 60, 110, 160, 210, 255)
+    val bytes = animatedGif(vals)
+    // all frames when maxFrames >= n
+    val Some((n, fs)) = ImageIoDecode.frames(bytes, maxFrames = 8)
+    assert(n == 6 && fs.map(_.index) == (0 until 6))
+    fs.zip(vals).foreach { case (f, v) =>
+      assert(f.width == 8 && f.height == 8)
+      assert(f.meanChannel.toSeq == Seq(v.toDouble, v.toDouble, v.toDouble))
+    }
+    // even sampling when maxFrames < n: floor(k*6/3) = frames 0, 2, 4
+    val Some((n2, fs2)) = ImageIoDecode.frames(bytes, maxFrames = 3)
+    assert(n2 == 6 && fs2.map(_.index) == Seq(0, 2, 4))
+    assert(fs2.map(_.meanChannel(0)) == Seq(10.0, 110.0, 210.0))
+    // a plain single-frame GIF is a 1-frame animation
+    val Some((n3, fs3)) = ImageIoDecode.frames(animatedGif(Seq(42)), maxFrames = 4)
+    assert(n3 == 1 && fs3.map(_.meanChannel(2)) == Seq(42.0))
+    // junk → None; per-frame bomb guard fires on header dims
+    assert(ImageIoDecode.frames(Array[Byte](1, 2, 3), 4).isEmpty)
+    assert(ImageIoDecode.frames(animatedGif(Seq(5), w = 64, h = 64), 4,
+      maxPixels = 100).isEmpty)
+  }
+
+  test("sampleGifFramesBatch: frame rows through the partition seam, poison-row cue") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, animatedGif(Seq(20, 40, 60))),
+      (2L, animatedGif(Seq(99))),
+      (3L, "not a gif".getBytes("UTF-8")))
+    val df = rows.toDF("doc_id", "payload").repartition(3)
+    val out = Multimodal.sampleGifFramesBatch(df, maxFrames = 8)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).groupBy(_._1)
+    assert(out(1L).length == 3 && out(1L).forall(_._2))
+    assert(out(2L).length == 1 && out(2L).head._2)
+    assert(out(3L).length == 1 && !out(3L).head._2)
+    val f1 = Multimodal.sampleGifFramesBatch(df, maxFrames = 8)
+      .filter(col("doc_id") === 1L).orderBy("frame_idx")
+      .select("n_frames", "frame_idx", "width", "mean_g")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(f1.toSeq == Seq((3, 0, 8, 20.0), (3, 1, 8, 40.0), (3, 2, 8, 60.0)))
+  }
+
   test("bomb guard rejects before pixel decode; junk returns None") {
     val img = new BufferedImage(64, 64, BufferedImage.TYPE_3BYTE_BGR)
     val bytes = encode(img, "jpg")
