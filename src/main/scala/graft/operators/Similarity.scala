@@ -92,12 +92,18 @@ object Similarity {
   /** IVF-style top-k: each query searches only its own cell. `cell` is the
     * coarse-quantizer assignment column present on both sides.
     * Degenerate (NaN/null-scoring) pairs are excluded — see
-    * [[bruteForceTopK]]. */
+    * [[bruteForceTopK]], including the `scanParallelism` contract: the
+    * broadcast-probe stage otherwise inherits the SCAN's split count
+    * while doing Σ_cell |cell|·|queries in cell| cosines (caught live a
+    * second time by the round-9 sf10 run of the q193 composite — 4·10⁹
+    * cell cosines on a compact parquet corpus's handful of splits). */
   def cellTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                cell: String, qcell: String,
                id: String = "vec_id", vec: String = "embedding",
-               qid: String = "qid", qvec: String = "qvec"): DataFrame = {
-    val scored = corpus.withColumn("__nv", norm(col(vec)))
+               qid: String = "qid", qvec: String = "qvec",
+               scanParallelism: Int = 0): DataFrame = {
+    val c0 = if (scanParallelism > 0) corpus.repartition(scanParallelism) else corpus
+    val scored = c0.withColumn("__nv", norm(col(vec)))
       .join(broadcast(queries.withColumn("__nq", norm(col(qvec)))),
         col(cell) === col(qcell) && col(id) =!= col(qid))
       .select(col(qid), col(id).as("neighbor"), pairCos(qvec, vec).as("cos"))
@@ -133,8 +139,10 @@ object Similarity {
   def multiProbeTopK(corpus: DataFrame, probedQueries: DataFrame, k: Int,
                      cell: String, probes: String = "probes",
                      id: String = "vec_id", vec: String = "embedding",
-                     qid: String = "qid", qvec: String = "qvec"): DataFrame = {
-    val scored = corpus.withColumn("__nv", norm(col(vec)))
+                     qid: String = "qid", qvec: String = "qvec",
+                     scanParallelism: Int = 0): DataFrame = {
+    val c0 = if (scanParallelism > 0) corpus.repartition(scanParallelism) else corpus
+    val scored = c0.withColumn("__nv", norm(col(vec)))
       .join(broadcast(probedQueries.withColumn("__nq", norm(col(qvec)))),
         array_contains(col(probes), col(cell)) && col(id) =!= col(qid))
       .select(col(qid), col(id).as("neighbor"), pairCos(qvec, vec).as("cos"))

@@ -42,6 +42,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("neighbor")).toSeq === Seq(1L, 2L))
   }
 
+  test("cellTopK/multiProbeTopK scanParallelism: values identical, corpus repartitioned before the probe") {
+    // the r8/r9 parallelism-inheritance trap, third sighting (r9 sf10
+    // communities run): a broadcast-probe stage inherits the SCAN's
+    // split count while doing |cell|·|queries| work — the guard must
+    // re-spread the corpus WITHOUT changing any result
+    val cCorpus = corpus.withColumn("cell", lit(0))
+    val queries = Seq((100L, Seq(1.0f, 0.0f)), (101L, Seq(0.5f, 0.5f)))
+      .toDF("qid", "qvec").withColumn("qcell", lit(0))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor"), r.getAs[Double]("cos"))).toSet
+    val plain = Similarity.cellTopK(cCorpus, queries, k = 4, cell = "cell", qcell = "qcell")
+    val spread = Similarity.cellTopK(cCorpus, queries, k = 4, cell = "cell", qcell = "qcell",
+      scanParallelism = 5)
+    assert(rows(spread) === rows(plain))
+    assert(spread.queryExecution.executedPlan.toString.contains("RoundRobinPartitioning(5"),
+      "scanParallelism must insert the corpus repartition")
+    val probed = queries.withColumn("probes", array(lit(0)))
+    val mp = Similarity.multiProbeTopK(cCorpus, probed, k = 4, cell = "cell")
+    val mpS = Similarity.multiProbeTopK(cCorpus, probed, k = 4, cell = "cell",
+      scanParallelism = 5)
+    assert(rows(mpS) === rows(mp))
+  }
+
   test("sparseCosinePairs: identical docs hit 1.0, hand-computed pair, disjoint absent") {
     val s = spark
     import s.implicits._
