@@ -45,7 +45,14 @@ DATA="$WORK/data"
 # mutual+labelprop unchanged). Spark side runs and is row-checked.
 # q196: its oracle is the all-pairs Hamming ground truth over image
 # hashes (the q37 contract on images); the banded Spark side is linear.
-QUADRATIC_ORACLES="q35_jaccard_blocked,q36_minhash_lsh,q37_simhash,q92_containment_pairs,q140_fuzzy_join,q145_prefix_join,q155_sparse_cosine,q168_semantic_dedup,q40_embedding_dedup,q175_incremental_near_dup,q176_label_propagation,q187_knn_accuracy,q193_semantic_communities,q196_image_near_dup"
+# q200: the oracle is LINEAR but its constant is 16 md5 draws per sym
+# edge — 2.9e9 md5 strings over the 180M-row sf10 sym table plus two
+# list-sorts per (v, slot) group; measured 651 s for the draws stage
+# ALONE at sf10 (> the 900 s cap before the closure join even starts).
+# The q176 class: oracle infeasibility, not a defect — the Spark side
+# runs sf10 in 54.5 s (SCALE.md round-9) and sf0.01 pins the identical
+# md5 draw arithmetic bit-for-bit.
+QUADRATIC_ORACLES="q35_jaccard_blocked,q36_minhash_lsh,q37_simhash,q92_containment_pairs,q140_fuzzy_join,q145_prefix_join,q155_sparse_cosine,q168_semantic_dedup,q40_embedding_dedup,q175_incremental_near_dup,q176_label_propagation,q187_knn_accuracy,q193_semantic_communities,q196_image_near_dup,q200_clustering_sampled"
 
 mkdir -p "$WORK"
 
