@@ -568,11 +568,60 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** KEEP-FIRST variant of [[duplicateSpans]] — the Lee et al. 2022
+    * keep-one-occurrence policy at the same k-gram granularity: for each
+    * duplicated gram, its CANONICAL occurrence — the globally smallest
+    * (idCol, position) among all occurrences, a deterministic pick that
+    * no partitioning or retry can change — is left unflagged, and only
+    * the other occurrences merge into excision spans. Feeding the mask
+    * to [[exciseSpans]] then keeps duplicated content exactly once
+    * corpus-wide instead of removing it everywhere (the SlimPajama
+    * policy [[duplicateSpans]] serves).
+    *
+    * Same single-pass plan as [[duplicateSpans]] plus one more window
+    * over the same gram exchange (`min(struct(doc, pos))` — the
+    * canonical pick); the same k-gram hot-mass bound applies (at k ≥ 6
+    * the hottest gram's window group is orders below a stop-token's —
+    * the bound documented on [[duplicateSpans]]). Because flags are
+    * per-OCCURRENCE, a document may keep gram g's canonical occurrence
+    * while a neighboring duplicated gram is excised — span boundaries
+    * are occurrence-exact, not class-exact (the same granularity trade
+    * the detection side already makes vs a suffix array). */
+  def duplicateSpansKeepFirst(docs: DataFrame, k: Int = 6, minOccurrences: Int = 2,
+                              idCol: String = "doc_id", textCol: String = "text",
+                              portable: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"span gram width must be >= 2: $k")
+    require(minOccurrences >= 2, s"minOccurrences must be >= 2: $minOccurrences")
+    val g = docs
+      .select(col(idCol), posexplode(Text.shingles(col(textCol), k)).as(Seq("__pos", "__g0")))
+      .select(col(idCol), col("__pos"),
+        (if (portable) col("__g0") else xxhash64(col("__g0")).cast("string")).as("__g"))
+    val wg = Window.partitionBy("__g")
+    val flagged = g
+      .withColumn("__cnt", count(lit(1)).over(wg))
+      .withColumn("__mn", min(struct(col(idCol).as("d"), col("__pos").as("p"))).over(wg))
+      .filter(col("__cnt") >= minOccurrences &&
+        !(col("__mn.d") === col(idCol) && col("__mn.p") === col("__pos")))
+      .select(col(idCol), col("__pos"))
+    val wd = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    flagged
+      .withColumn("__prev", lag(col("__pos"), 1).over(wd))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__pos") > col("__prev") + k, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(wd))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__pos")).cast("long").as("span_start"),
+        (max(col("__pos")) + (k - 1)).cast("long").as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
   /** Apply a [[duplicateSpans]] mask: excise every duplicated span of at
     * least `minSpanTokens` tokens from every document, rebuilding the
     * text from the surviving tokens (the remove-everywhere policy —
-    * SlimPajama-style; the Lee-et-al keep-one-occurrence variant needs a
-    * global canonical pick per duplicate class, a different operator).
+    * SlimPajama-style; [[duplicateSpansKeepFirst]] produces the mask for
+    * the Lee-et-al keep-one-occurrence policy).
     * Returns every input document: (idCol, kept_text, n_tok, n_removed)
     * — unspanned documents pass through with their token stream intact.
     *

@@ -18,7 +18,7 @@ object DataPipeline {
     q102, q106, q108, q116, q117, q118, q118f, q119, q120, q125, q127, q139, q140, q141, q143,
     q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170, q171, q172,
     q173, q175, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
-    q188, q189, q190, q192, q193, q194, q195, q196, q197, q198, q199, q201)
+    q188, q189, q190, q192, q193, q194, q195, q196, q197, q198, q199, q201, q202)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -2130,6 +2130,41 @@ object DataPipeline {
     bench = true) { (s, dir) =>
     graft.operators.Dedup
       .duplicateSpans(Tables.load(s, dir, "documents"), k = 6)
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** KEEP-FIRST duplicated spans (`Dedup.duplicateSpansKeepFirst`, k=6):
+    * the Lee-et-al keep-one-occurrence policy — each duplicated gram's
+    * globally-smallest (doc, pos) occurrence stays unflagged, so excising
+    * this mask keeps duplicated content exactly once corpus-wide. The
+    * oracle adds the identical canonical-pick window (struct-min over
+    * the gram partition) to the q182 derivation. */
+  val q202 = QueryDef(
+    "q202_span_keep_first",
+    oracle = Some {
+      val k = 6
+      s"""
+      WITH t AS (SELECT doc_id, ${Text.tokensSql("text")} AS toks FROM documents),
+      g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram
+            FROM (SELECT doc_id, unnest(list_transform(
+                    generate_series(1, len(toks)-${k - 1}),
+                    i -> {'pos': i-1, 'gram': array_to_string(toks[i:i+${k - 1}], ' ')})) AS u
+                  FROM t)),
+      f AS (SELECT doc_id, pos FROM g
+            QUALIFY COUNT(*) OVER (PARTITION BY gram) >= 2
+               AND MIN(struct_pack(d := doc_id, p := pos)) OVER (PARTITION BY gram)
+                   <> struct_pack(d := doc_id, p := pos)),
+      l AS (SELECT doc_id, pos,
+              LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM f),
+      i AS (SELECT doc_id, pos,
+              SUM(CASE WHEN prev IS NULL OR pos > prev + $k THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM l)
+      SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${k - 1} AS span_end,
+             MAX(pos) + $k - MIN(pos) AS span_tokens
+      FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start"""
+    }) { (s, dir) =>
+    graft.operators.Dedup
+      .duplicateSpansKeepFirst(Tables.load(s, dir, "documents"), k = 6)
       .orderBy("doc_id", "span_start")
   }
 

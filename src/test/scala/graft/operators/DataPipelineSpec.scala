@@ -447,6 +447,29 @@ class DataPipelineSpec extends SparkSpec {
       Set((1L, 0L, 2L, 3L), (1L, 6L, 8L, 9L - 6L)))
   }
 
+  test("duplicateSpansKeepFirst: the canonical occurrence survives, all others span") {
+    val s = spark
+    import s.implicits._
+    // remove-everywhere spans docs 1, 2 AND 4; keep-first leaves doc 1
+    // (the global (min doc, min pos) occurrence of every shared gram)
+    // untouched
+    val out = Dedup.duplicateSpansKeepFirst(docs, k = 3)
+    assert(spansOf(out) === Set((2L, 0L, 7L, 8L), (4L, 0L, 8L, 9L)))
+    assert(spansOf(Dedup.duplicateSpansKeepFirst(docs.repartition(7), k = 3)) === spansOf(out))
+    assert(spansOf(Dedup.duplicateSpansKeepFirst(docs, k = 3, portable = false)) === spansOf(out))
+    // intra-document repeat: the FIRST occurrence is canonical, only the
+    // second spans
+    val d = Seq((1L, "a b c x y z a b c")).toDF("doc_id", "text")
+    assert(spansOf(Dedup.duplicateSpansKeepFirst(d, k = 3)) === Set((1L, 6L, 8L, 3L)))
+    // composed with exciseSpans: duplicated content survives EXACTLY ONCE
+    // corpus-wide (doc 1 intact; 2 keeps its unique tail token; 4 empties)
+    val kept = Dedup.exciseSpans(docs, out)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept(1L) === "the quick brown fox jumps over the lazy dog")
+    assert(kept(2L) === "cat" && kept(4L) === "")
+    assert(kept(3L) === "completely different content here now")
+  }
+
   test("exciseSpans removes qualifying spans everywhere, passes the rest through") {
     val spans = Dedup.duplicateSpans(docs, k = 3)
     val out = Dedup.exciseSpans(docs, spans)

@@ -57,7 +57,15 @@ QUADRATIC_ORACLES="q35_jaccard_blocked,q36_minhash_lsh,q37_simhash,q92_containme
 mkdir -p "$WORK"
 
 echo "== generate fixtures @ sf$SF =="
-tools/gen_sf.sh "$DATA" "$SF"
+# GRAFT_REHEARSE_SKIP_GEN=1 reuses an existing fixture dir (generation is
+# deterministic, so a re-launch after a downstream stage failure need not
+# pay the gen pass again); all ten tables must be present.
+if [ "${GRAFT_REHEARSE_SKIP_GEN:-0}" = "1" ] \
+   && [ "$(ls "$DATA"/*.parquet 2>/dev/null | wc -l)" -ge 10 ]; then
+  echo "(skipping gen: $DATA already holds $(ls "$DATA"/*.parquet | wc -l) tables)"
+else
+  tools/gen_sf.sh "$DATA" "$SF"
+fi
 
 echo "== plan dumps (sf0.1 baseline vs sf$SF) =="
 sbt -batch "runMain graft.Plans /root/testdata/sf0.1 $WORK/plans_sf01.txt" \
@@ -70,12 +78,22 @@ echo "== bench @ sf$SF =="
 # (22.26 s) was sampled while the sf1 DuckDB oracle sweep saturated the
 # other cores, and the clean number (21.27 s) lived only in prose. A
 # bench sample is only meaningful idle — gate on 1-min load average.
-LOAD=$(cut -d' ' -f1 /proc/loadavg)
 MAXLOAD="${GRAFT_BENCH_MAX_LOAD:-4.0}"
-if ! awk -v l="$LOAD" -v m="$MAXLOAD" 'BEGIN{exit !(l <= m)}'; then
-  echo "REFUSING to record bench: 1-min load $LOAD > $MAXLOAD (set GRAFT_BENCH_MAX_LOAD to override)" >&2
-  exit 1
-fi
+# WAIT for the load to settle instead of dying: the plan-dump stage just
+# ahead of this gate leaves its own load behind, and an unattended
+# rehearsal that kills itself at its own wake (r9, first launch) records
+# nothing. Cap the wait; refuse only if the box never goes idle.
+WAITED=0
+while :; do
+  LOAD=$(cut -d' ' -f1 /proc/loadavg)
+  awk -v l="$LOAD" -v m="$MAXLOAD" 'BEGIN{exit !(l <= m)}' && break
+  if [ "$WAITED" -ge "${GRAFT_BENCH_SETTLE_MAX:-900}" ]; then
+    echo "REFUSING to record bench: load $LOAD > $MAXLOAD after ${WAITED}s settle wait" >&2
+    exit 1
+  fi
+  echo "(bench gate: load $LOAD > $MAXLOAD — settling, ${WAITED}s)"
+  sleep 30; WAITED=$((WAITED + 30))
+done
 SPARK_GRAFT_SF_DIR="$DATA" sbt -batch "runMain graft.Bench" \
   | grep '{"metric"' | tee "$WORK/bench.json"
 
