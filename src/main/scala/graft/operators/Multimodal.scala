@@ -205,14 +205,16 @@ object Multimodal {
 
   /** REAL pixel decode across formats through the same partition
     * contract: PNG routes to the pure-JVM [[PngDecode]] arm (native
-    * channel view — 1-channel gray stays 1-channel); JPEG/GIF/BMP route
-    * to the JDK-ImageIO arm ([[ImageIoDecode]], sRGB view — 3 or 4
-    * channels). Together they convert the codec seam into working decode
-    * for every common raster format the JDK can read without native
-    * libraries; WebP and video stay on the declared seam
-    * (format-classified by [[parseMediaDims]], `decoded = false` here).
-    * Both arms share the never-throw null-cue contract and the
-    * header-first `maxPixels` bomb guard; decode is map-side only. */
+    * channel view — 1-channel gray stays 1-channel); lossless WebP to
+    * the pure-JVM [[WebpDecode]] VP8L arm (ARGB view — 3 or 4 channels);
+    * JPEG/GIF/BMP route to the JDK-ImageIO arm ([[ImageIoDecode]], sRGB
+    * view — 3 or 4 channels). Together they convert the codec seam into
+    * working decode for every common raster format reachable without
+    * native libraries; lossy-VP8 WebP and video frames stay on the
+    * declared seam (format-classified by [[parseMediaDims]],
+    * `decoded = false` here). All arms share the never-throw null-cue
+    * contract and the header-first `maxPixels` bomb guard; decode is
+    * map-side only. */
   def decodeImageBatch(df: DataFrame, id: String = "doc_id",
                        payload: String = "payload",
                        maxPixels: Long = 64L * 1024 * 1024): DataFrame = {
@@ -233,7 +235,28 @@ object Multimodal {
         val b = r.getAs[Array[Byte]](pIdx)
         val rid = r.getLong(idIdx)
         val isPng = b != null && b.length >= 4 && b.take(4).sameElements(pngSig)
-        if (isPng) PngDecode.decode(b, maxPixels) match {
+        val isWebp = b != null && b.length >= 12 &&
+          b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'
+        if (isWebp) WebpDecode.decode(b, maxPixels) match {
+          case Some(img) =>
+            val ch = img.channels // 4 iff any alpha < 255
+            val sums = new Array[Long](ch)
+            var i = 0
+            while (i < img.pixels.length) {
+              val p = img.pixels(i)
+              sums(0) += (p >>> 16) & 0xff
+              sums(1) += (p >>> 8) & 0xff
+              sums(2) += p & 0xff
+              if (ch == 4) sums(3) += (p >>> 24) & 0xff
+              i += 1
+            }
+            val nPix = (img.width.toLong * img.height).toDouble
+            Row(rid, true, "webp", img.width, img.height, ch,
+              sums.map(_ / nPix).toSeq)
+          // lossy VP8 / corrupt: the remaining codec-seam cue
+          case None => Row(rid, false, "webp", null, null, null, null)
+        } else if (isPng) PngDecode.decode(b, maxPixels) match {
           case Some(img) =>
             val sums = new Array[Long](img.channels)
             var i = 0
@@ -518,6 +541,71 @@ object Multimodal {
               f.meanChannel(0), f.meanChannel(1), f.meanChannel(2)))
           case None =>
             Seq(Row(docId, false, null, null, null, null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL video frame sampling — the MP4 arm. No H.264 codec exists in
+    * this environment, but frame SAMPLING at 100 TB is container work,
+    * not codec work: [[Mp4SampleTable]] resolves the `stbl` tables into
+    * per-frame (byte offset, byte size, decode time, keyframe) tuples,
+    * so each sampled frame is a RANGE READ plus the declared pixel seam
+    * — the distribution contract (map-side only, payloads never shuffle,
+    * per-task parser state, poison-row null cue) is identical to
+    * [[sampleGifFramesBatch]] and survives a JNI decoder swap unchanged.
+    * Sampling policy: up to `maxFrames` evenly spaced keyframes (sync
+    * samples; `syncOnly = false` samples the full frame list — the
+    * every-frame featurization path). `nal_type` is parsed from the
+    * sample's ACTUAL bytes (5 = IDR, 1 = non-IDR), proving the resolved
+    * offsets land on real NAL boundaries; it is null when the byte range
+    * lies outside the stored payload (no-faststart prefix ingest) or the
+    * track is not length-prefixed AVC. */
+  def sampleMp4FramesBatch(df: DataFrame, id: String = "doc_id",
+                           payload: String = "payload", maxFrames: Int = 8,
+                           syncOnly: Boolean = true): DataFrame = {
+    require(maxFrames > 0, "maxFrames must be positive")
+    val outSchema = StructType(Seq(
+      StructField(id, LongType),
+      StructField("decoded", BooleanType),
+      StructField("codec", StringType),
+      StructField("n_samples", IntegerType),
+      StructField("n_sync", IntegerType),
+      StructField("duration_s", DoubleType),
+      StructField("sample_idx", IntegerType),
+      StructField("time_s", DoubleType),
+      StructField("keyframe", BooleanType),
+      StructField("byte_offset", LongType),
+      StructField("byte_size", LongType),
+      StructField("nal_type", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(id)
+    val pIdx = df.schema.fieldIndex(payload)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val docId = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        Mp4SampleTable.parse(bytes) match {
+          case Some(t) if t.timescale > 0 =>
+            val pool = if (syncOnly) t.samples.filter(_.sync) else t.samples
+            val m = pool.length
+            val picked =
+              if (m <= maxFrames) pool
+              else (0 until maxFrames).map(k => pool((k.toLong * m / maxFrames).toInt))
+            val durS = t.durationTs.toDouble / t.timescale
+            if (picked.isEmpty)
+              Seq(Row(docId, true, t.codec, t.nSamples, t.nSync, durS,
+                null, null, null, null, null, null))
+            else picked.map { s =>
+              val nal = Mp4SampleTable.firstNalType(bytes, s.offset, s.size,
+                t.nalLengthSize)
+              Row(docId, true, t.codec, t.nSamples, t.nSync, durS,
+                s.index, s.timeTs.toDouble / t.timescale, s.sync,
+                s.offset, s.size, if (nal < 0) null else nal)
+            }
+          case _ =>
+            Seq(Row(docId, false, null, null, null, null, null, null, null,
+              null, null, null))
         }
       }
     }(enc)

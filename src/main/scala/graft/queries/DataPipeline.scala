@@ -18,7 +18,7 @@ object DataPipeline {
     q102, q106, q108, q116, q117, q118, q118f, q119, q120, q125, q127, q139, q140, q141, q143,
     q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170, q171, q172,
     q173, q175, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
-    q188, q189, q190, q192, q193, q194, q195, q196, q197, q198, q199, q201, q202)
+    q188, q189, q190, q192, q193, q194, q195, q196, q197, q198, q199, q201, q202, q203, q204)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -2338,6 +2338,118 @@ object DataPipeline {
       .select(col("doc_id"), col("n_frames"), col("frame_idx"),
         col("width"), col("height"), col("mean_r"))
       .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Lossless-WebP round-trip, the VP8L twin of q172: each document's
+    * first 200 characters become one row of ARGB pixels
+    * (r = ascii, g = ascii+7, b = 255−ascii, opaque), encoded as a real
+    * VP8L bitstream (14-bit header, code-length-coded flat-8 canonical
+    * prefix codes, RIFF wrap) by `WebpDecode.encodeLossless` and decoded
+    * back through the pure-JVM VP8L arm of `decodeImageBatch` — bit
+    * reader, canonical Huffman build, literal loop, channel means. The
+    * oracle re-derives everything from `ascii(char)` with no container
+    * anywhere: two independent decode paths agreeing exactly, same
+    * contract as the PNG/WAV/MP4 round-trips. */
+  val q204 = QueryDef(
+    "q204_webp_roundtrip",
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, substring(text, 1, 200) AS t
+                 FROM documents WHERE len(text) > 0),
+      c AS (SELECT doc_id, t, len(t) AS n,
+              unnest(generate_series(1, len(t))) AS i FROM d),
+      v AS (SELECT doc_id, n, ascii(substring(t, CAST(i AS INT), 1)) AS a FROM c)
+      SELECT doc_id, TRUE AS decoded, 'webp' AS format,
+        CAST(MIN(n) AS INT) AS width, 1 AS height, 3 AS channels,
+        CAST(SUM(a) AS DOUBLE) / MIN(n) AS mean_r,
+        CAST(SUM(a + 7) AS DOUBLE) / MIN(n) AS mean_g,
+        CAST(SUM(255 - a) AS DOUBLE) / MIN(n) AS mean_b
+      FROM v GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val webps = Tables.load(s, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t0) =>
+        val t = t0.take(200)
+        val px = Array.tabulate(t.length) { i =>
+          val a = t.charAt(i).toInt
+          (0xff << 24) | (a << 16) | ((a + 7) << 8) | (255 - a)
+        }
+        (id, graft.operators.WebpDecode.encodeLossless(t.length, 1, px))
+      }.toDF("doc_id", "payload")
+    Multimodal.decodeImageBatch(webps)
+      .select(col("doc_id"), col("decoded"), col("format"), col("width"),
+        col("height"), col("channels"),
+        element_at(col("mean_channel"), 1).as("mean_r"),
+        element_at(col("mean_channel"), 2).as("mean_g"),
+        element_at(col("mean_channel"), 3).as("mean_b"))
+      .orderBy("doc_id")
+  }
+
+  /** MP4 frame-sampling round-trip (`Mp4SampleTable` +
+    * `Multimodal.sampleMp4FramesBatch`): each document deterministically
+    * becomes a structurally real AVC MP4 — (len mod 6)+3 samples whose
+    * byte sizes are the document's own character codes, a two-run stts
+    * (128-tick first half, 256 rest, timescale 512 so every time is an
+    * exact binary fraction), 2-sample chunks, keyframes every 3rd sample
+    * — and the engine SAMPLES its keyframes by resolving the
+    * stsz/stts/stsc/stco/stss tables back out of the bytes, extracting
+    * each keyframe's NAL type from the mdat bytes at the resolved
+    * offsets. The oracle never sees a container: it recomputes offsets
+    * (24 + prefix-sum of character codes), decode times, and sync
+    * positions straight from `ascii(char)` arithmetic — the independent
+    * second path proving the box walk, the chunk flattening, and the
+    * range extraction are all byte-exact. The pixel step past the NAL
+    * boundary stays on the declared codec seam. */
+  val q203 = QueryDef(
+    "q203_mp4_frames",
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, text, len(text) AS L, (len(text) % 6) + 3 AS n
+                 FROM documents WHERE len(text) > 0),
+      s AS (SELECT doc_id, text, L, n, unnest(generate_series(1, n)) AS i FROM d),
+      z AS (SELECT doc_id, n, i,
+              CAST(GREATEST(6, ascii(substring(text, CAST(((i-1) % L) + 1 AS INT), 1))) AS BIGINT) AS sz,
+              CASE WHEN i <= (n + 1) // 2 THEN 128 ELSE 256 END AS delta
+            FROM s),
+      w AS (SELECT doc_id, n, i, sz,
+              24 + COALESCE(SUM(sz) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+              COALESCE(SUM(delta) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t,
+              SUM(delta) OVER (PARTITION BY doc_id) AS dur,
+              SUM(CASE WHEN (i-1) % 3 = 0 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id) AS nsync
+            FROM z)
+      SELECT doc_id, 'avc1' AS codec, CAST(n AS INT) AS n_samples,
+        CAST(nsync AS INT) AS n_sync,
+        CAST(dur AS DOUBLE) / 512 AS duration_s,
+        CAST(i AS INT) AS sample_idx,
+        CAST(t AS DOUBLE) / 512 AS time_s,
+        TRUE AS keyframe,
+        CAST(off AS BIGINT) AS byte_offset,
+        sz AS byte_size,
+        5 AS nal_type
+      FROM w WHERE (i - 1) % 3 = 0
+      ORDER BY doc_id, sample_idx""")) { (s, dir) =>
+    import s.implicits._
+    val mp4s = Tables.load(s, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val n = (t.length % 6) + 3
+        // clamp at the 6-byte structural minimum (4B NAL length + header
+        // + filler) — mirrored by the oracle's GREATEST(6, ascii(...))
+        val sizes = Array.tabulate(n)(i => math.max(6L, t.charAt(i % t.length).toLong))
+        val deltas = Array.tabulate(n)(i => if (i + 1 <= (n + 1) / 2) 128L else 256L)
+        val syncs = (1 to n).filter(i => (i - 1) % 3 == 0).toArray
+        (id, graft.operators.Mp4SampleTable.encodeAvcSkeleton(
+          timescale = 512, sampleSizes = sizes, deltas = deltas,
+          syncSamples = syncs, samplesPerChunk = 2))
+      }.toDF("doc_id", "payload")
+    Multimodal.sampleMp4FramesBatch(mp4s, maxFrames = 8)
+      .select(col("doc_id"), col("codec"), col("n_samples"), col("n_sync"),
+        col("duration_s"), col("sample_idx"), col("time_s"), col("keyframe"),
+        col("byte_offset"), col("byte_size"), col("nal_type"))
+      .orderBy("doc_id", "sample_idx")
   }
 
   /** Winnowing fingerprints (`Dedup.winnowFingerprints`, k=4, window=5):
