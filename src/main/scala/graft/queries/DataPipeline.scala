@@ -18,7 +18,8 @@ object DataPipeline {
     q102, q106, q108, q116, q117, q118, q118f, q119, q120, q125, q127, q139, q140, q141, q143,
     q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170, q171, q172,
     q173, q175, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
-    q188, q189, q190, q192, q193, q194, q195, q196, q197, q198, q199, q201, q202, q203, q204)
+    q188, q189, q190, q192, q193, q194, q195, q196, q197, q198, q199, q201, q202, q203, q204,
+    q205)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -2338,6 +2339,47 @@ object DataPipeline {
       .select(col("doc_id"), col("n_frames"), col("frame_idx"),
         col("width"), col("height"), col("mean_r"))
       .orderBy("doc_id", "frame_idx")
+  }
+
+  /** WARC ingest round-trip (`Warc.explodeWarcBatch`): each document
+    * becomes a two-record WARC file — warcinfo + an HTTP response whose
+    * body is the document text — written with exact Content-Length
+    * framing, and EVEN doc_ids ship as concatenated per-record gzip
+    * members (the Common Crawl layout), so half the corpus exercises the
+    * multi-member gunzip path; any asymmetry between the raw and gzip
+    * arms would break the hash. The oracle re-derives every field from
+    * arithmetic: the response record's Content-Length is
+    * 63 + len(str(L)) + L octets (fixed HTTP header skeleton + the
+    * length digits + the body), no container parsing anywhere. */
+  val q205 = QueryDef(
+    "q205_warc_ingest",
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, text, strlen(text) AS L FROM documents),
+      r0 AS (SELECT doc_id, FALSE AS truncated, 0 AS rec_idx,
+              'warcinfo' AS warc_type, '' AS target_uri,
+              '2026-01-02T03:04:05Z' AS warc_date,
+              CAST(17 AS BIGINT) AS content_length,
+              CAST(NULL AS INT) AS http_status,
+              CAST(NULL AS VARCHAR) AS http_content_type,
+              'software: graft' || chr(13) || chr(10) AS body_text FROM d),
+      r1 AS (SELECT doc_id, FALSE, 1, 'response',
+              'http://corpus.test/doc/' || doc_id, '2026-01-02T03:04:05Z',
+              CAST(63 + len(CAST(L AS VARCHAR)) + L AS BIGINT),
+              200, 'text/plain', text FROM d)
+      SELECT * FROM r0 UNION ALL SELECT * FROM r1
+      ORDER BY doc_id, rec_idx""")) { (s, dir) =>
+    import s.implicits._
+    val date = "2026-01-02T03:04:05Z"
+    val files = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val recs = Seq(
+          graft.operators.Warc.encodeWarcinfo(date, "software: graft\r\n"),
+          graft.operators.Warc.encodeResponse(s"http://corpus.test/doc/$id",
+            date, t.getBytes("UTF-8")))
+        (id, graft.operators.Warc.encodeFile(recs, gzipPerRecord = id % 2 == 0))
+      }.toDF("doc_id", "payload")
+    graft.operators.Warc.explodeWarcBatch(files).orderBy("doc_id", "rec_idx")
   }
 
   /** Lossless-WebP round-trip, the VP8L twin of q172: each document's
