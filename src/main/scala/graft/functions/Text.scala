@@ -295,4 +295,80 @@ object Text {
     s"trim(regexp_extract($e, '$HtmlTitleRe', 1))"
   def htmlLinkCountSql(e: String): String =
     s"len(regexp_extract_all($e, '$HtmlAnchorRe'))"
+
+  // --- URL canonicalization (web-corpus curation) ---
+  // Crawl pipelines key per-domain caps, URL dedup, and source mixing on
+  // a canonical URL form; these stay in the Java∩RE2 regex subset so the
+  // Spark columns and the DuckDB oracle mirrors are character-identical.
+  // All pure codegen'd column work — a 100 TB URL scan is a map.
+
+  /** `scheme://` prefix regex (lowercased input). */
+  private val SchemeRe = "^([a-z][a-z0-9+.-]*)://"
+  /** Authority (host[:port], userinfo stripped) of a lowercased URL. */
+  private val HostRe = "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+  /** Path+query (fragment excluded) — group 1 starts at the first `/`. */
+  private val PathQueryRe = "^[a-z][a-z0-9+.-]*://[^/?#]*([^#]*)"
+
+  /** Lowercased host with userinfo/port dropped and a leading `www.`
+    * stripped — the per-domain-cap grouping key. Empty when not a URL. */
+  def urlHost(url: Column): Column =
+    regexp_replace(regexp_extract(lower(url), HostRe, 1), "^www\\.", "")
+
+  /** Heuristic registrable domain: the last two host labels, or the last
+    * three when the middle one is a common second-level registry label
+    * (`co/com/net/org/gov/ac/edu`) under a 2-letter ccTLD — example.co.uk
+    * stays whole. A full public-suffix list is a broadcast lookup table
+    * in production; the heuristic covers the dominant crawl mass. */
+  val CcSldLabels = Seq("co", "com", "net", "org", "gov", "ac", "edu")
+  def registrableDomain(host: Column): Column = {
+    val ls = split(host, "\\.")
+    val n = size(ls)
+    val takeThree = n >= 3 &&
+      element_at(ls, -2).isin(CcSldLabels: _*) && length(element_at(ls, -1)) === 2
+    when(n <= 2, host)
+      .otherwise(array_join(
+        slice(ls, n - when(takeThree, 2).otherwise(1), lit(3)), "."))
+  }
+
+  /** Canonical URL as a DEDUP KEY: the whole URL is lowercased (a
+    * corpus-key convention — RFC 3986 keeps path case, but mixed-case
+    * duplicates dominate crawl dup mass), default ports (`:80` http,
+    * `:443` https) dropped, fragment dropped, empty path → `/`. Query
+    * strings are kept (semantics differ per site; parameter-level
+    * stripping composes on top). Non-URLs → empty. */
+  def normalizeUrl(url: Column): Column = {
+    val lower0 = lower(url)
+    val scheme = regexp_extract(lower0, SchemeRe, 1)
+    val pathq0 = regexp_extract(lower0, PathQueryRe, 1)
+    val port = regexp_extract(regexp_extract(lower0, HostRe + "(:[0-9]+)?", 2),
+      "^:([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") || (scheme === "https" && port === "443"))
+    val pathq = when(pathq0 === "", "/").otherwise(pathq0)
+    when(scheme === "", "").otherwise(
+      concat(scheme, lit("://"), urlHost(url),
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")), pathq))
+  }
+
+  def urlHostSql(e: String): String =
+    s"regexp_replace(regexp_extract(lower($e), '$HostRe', 1), '^www\\.', '')"
+  def registrableDomainSql(host: String): String = {
+    val set = CcSldLabels.map(l => s"'$l'").mkString(", ")
+    s"""CASE WHEN len(string_split($host, '.')) <= 2 THEN $host
+        WHEN string_split($host, '.')[-2] IN ($set)
+             AND len(string_split($host, '.')[-1]) = 2
+        THEN array_to_string(string_split($host, '.')[-3:], '.')
+        ELSE array_to_string(string_split($host, '.')[-2:], '.') END"""
+  }
+  def normalizeUrlSql(e: String): String = {
+    val scheme = s"regexp_extract(lower($e), '$SchemeRe', 1)"
+    val pathq0 = s"regexp_extract(lower($e), '$PathQueryRe', 1)"
+    val port = s"regexp_extract(regexp_extract(lower($e), '$HostRe(:[0-9]+)?', 2), '^:([0-9]+)$$', 1)"
+    s"""CASE WHEN $scheme = '' THEN '' ELSE
+        $scheme || '://' || ${urlHostSql(e)} ||
+        CASE WHEN $port <> '' AND NOT (($scheme = 'http' AND $port = '80')
+               OR ($scheme = 'https' AND $port = '443'))
+             THEN ':' || $port ELSE '' END ||
+        CASE WHEN $pathq0 = '' THEN '/' ELSE $pathq0 END END"""
+  }
 }

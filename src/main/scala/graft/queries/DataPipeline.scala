@@ -19,7 +19,7 @@ object DataPipeline {
     q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170, q171, q172,
     q173, q175, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q192, q193, q194, q195, q196, q197, q198, q199, q201, q202, q203, q204,
-    q205)
+    q205, q206)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -2339,6 +2339,63 @@ object DataPipeline {
       .select(col("doc_id"), col("n_frames"), col("frame_idx"),
         col("width"), col("height"), col("mean_r"))
       .orderBy("doc_id", "frame_idx")
+  }
+
+  /** URL canonicalization + per-domain rollup (`Text.urlHost` /
+    * `registrableDomain` / `normalizeUrl`): every document gets a
+    * deliberately messy synthetic URL — mixed-case scheme/host, optional
+    * `WWW.`, userinfo-free authority with default (`:443`) and
+    * non-default (`:8080`) ports, query, fragment — canonicalized into
+    * the crawl dedup key and rolled up by registrable domain (the
+    * ccTLD-aware heuristic keeps `shop.co.uk` whole while
+    * `pages.example.com` collapses to `example.com`). Pure codegen'd
+    * regex/string work: a 100 TB URL scan is a map, the rollup is one
+    * two-row aggregate. Oracle mirrors the construction and the
+    * canonicalization character-for-character in the RE2∩Java subset. */
+  val q206 = QueryDef(
+    "q206_url_domains",
+    oracle = Some {
+      val tok = s"COALESCE(${Text.tokensSql("text")}[1], 'host')"
+      val url =
+        s"""(CASE WHEN doc_id % 2 = 0 THEN 'HtTpS' ELSE 'hTtP' END || '://' ||
+            CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END || $tok ||
+            CASE WHEN doc_id % 3 = 0 THEN '.Shop.Co.Uk' ELSE '.Pages.Example.Com' END ||
+            CASE WHEN doc_id % 5 = 0 THEN ':8080'
+                 WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+            '/Doc/' || doc_id ||
+            CASE WHEN doc_id % 4 = 0 THEN '?Ref=RSS' ELSE '' END || '#Sec2')"""
+      s"""
+      WITH u AS (SELECT doc_id, $url AS url FROM documents),
+      c AS (SELECT doc_id, url, ${Text.urlHostSql("url")} AS host,
+              ${Text.normalizeUrlSql("url")} AS norm FROM u)
+      SELECT ${Text.registrableDomainSql("host")} AS domain,
+        COUNT(*) AS n_docs,
+        CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+        CAST(SUM(CASE WHEN norm LIKE '%:8080/%' THEN 1 ELSE 0 END) AS BIGINT) AS n_port_kept,
+        CAST(COUNT(DISTINCT norm) AS BIGINT) AS n_norm,
+        MIN(norm) AS sample_url
+      FROM c GROUP BY 1 ORDER BY domain"""
+    }) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val tok = coalesce(element_at(Text.tokens(col("text")), 1), lit("host"))
+    val url = concat(
+      when(pmod(col("doc_id"), lit(2)) === 0, "HtTpS").otherwise("hTtP"), lit("://"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "WWW.").otherwise(""), tok,
+      when(pmod(col("doc_id"), lit(3)) === 0, ".Shop.Co.Uk").otherwise(".Pages.Example.Com"),
+      when(pmod(col("doc_id"), lit(5)) === 0, ":8080")
+        .when(pmod(col("doc_id"), lit(2)) === 0, ":443").otherwise(""),
+      lit("/Doc/"), col("doc_id"),
+      when(pmod(col("doc_id"), lit(4)) === 0, "?Ref=RSS").otherwise(""), lit("#Sec2"))
+    docs.select(col("doc_id"), url.as("url"))
+      .select(col("url"), Text.urlHost(col("url")).as("host"),
+        Text.normalizeUrl(col("url")).as("norm"))
+      .groupBy(Text.registrableDomain(col("host")).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        sum(when(col("norm").contains(":8080/"), 1L).otherwise(0L)).as("n_port_kept"),
+        countDistinct(col("norm")).as("n_norm"),
+        min(col("norm")).as("sample_url"))
+      .orderBy("domain")
   }
 
   /** WARC ingest round-trip (`Warc.explodeWarcBatch`): each document
