@@ -371,4 +371,62 @@ object Eval {
         sum(when(col("__pred") === col("__qlabel").cast("long"), 1L)
           .otherwise(0L)).as("n_correct"))
   }
+
+  /** ROUGE-N per (candidate, reference) text pair — the n-gram-overlap
+    * generation metric (Lin 2004, "ROUGE: A Package for Automatic
+    * Evaluation of Summaries"), with the standard CLIPPED counts: each
+    * n-gram contributes min(count in candidate, count in reference).
+    *
+    *   recall    = overlap / |reference n-grams|      (ROUGE-N proper)
+    *   precision = overlap / |candidate n-grams|
+    *   f1        = 2·overlap / (|cand| + |ref|)       (≡ 2PR/(P+R))
+    *
+    * The f1 identity avoids composing two quotients — ONE division of
+    * exact integers per row, so all three scores are single correctly-
+    * rounded IEEE divides, bit-identical across engines with no rounding
+    * grid. Zero-gram sides yield null for the affected score, not ÷0.
+    *
+    * Scale shape: both texts tokenize map-side into (pair, gram, count)
+    * partial aggregates; the one exchange carries gram rows keyed by
+    * (pair_id, gram) — every group is bounded by a single PAIR's grams,
+    * so there is no corpus-wide hot key (contrast the model-attach
+    * family, which keys by token across the corpus and needs the
+    * skew-safe twin). The full-outer gram join is per-pair co-partitioned
+    * by the same key. Pairs where BOTH sides have < n tokens produce the
+    * (0, 0, 0, null, null, null) row via the left join back to the pair
+    * universe — they must not silently vanish from an eval report.
+    *
+    * @param pairs  one row per evaluation pair
+    * @param idCol  pair key column name
+    * @param n      n-gram order (1 = unigram ROUGE-1, 2 = ROUGE-2, ...)
+    */
+  def rougeN(pairs: DataFrame, idCol: String, candCol: String, refCol: String,
+             n: Int): DataFrame = {
+    require(n >= 1 && n <= 8, s"n-gram order outside [1,8]: $n")
+    def gramCounts(textCol: String, cntName: String): DataFrame =
+      pairs.select(col(idCol), explode(graft.functions.Text.shingles(col(textCol), n)).as("__g"))
+        .groupBy(col(idCol), col("__g"))
+        .agg(count(lit(1)).as(cntName))
+    val cg = gramCounts(candCol, "__cc")
+    val rg = gramCounts(refCol, "__rc")
+    val overlap = cg.join(rg, Seq(idCol, "__g"), "full_outer")
+      .groupBy(col(idCol))
+      .agg(
+        sum(least(coalesce(col("__cc"), lit(0L)), coalesce(col("__rc"), lit(0L)))).as("n_overlap"),
+        sum(coalesce(col("__cc"), lit(0L))).as("n_cand"),
+        sum(coalesce(col("__rc"), lit(0L))).as("n_ref"))
+    pairs.select(col(idCol)).join(overlap, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"))
+      .withColumn("precision",
+        when(col("n_cand") > 0, col("n_overlap").cast("double") / col("n_cand")))
+      .withColumn("recall",
+        when(col("n_ref") > 0, col("n_overlap").cast("double") / col("n_ref")))
+      .withColumn("f1",
+        when(col("n_cand") + col("n_ref") > 0,
+          lit(2.0) * col("n_overlap") / (col("n_cand") + col("n_ref"))))
+  }
 }

@@ -334,4 +334,78 @@ object Similarity {
       .select(col(idCol), col(cellCol), col("keep_rank"),
         round(col("__cos"), 6).as("cos6"))
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings" —
+    * the LASER/CCMatrix pair-mining criterion, ratio margin):
+    *
+    *   margin(x, y) = cos(x, y) / ((avgK(x) + avgK(y)) / 2)
+    *
+    * where avgK(v) is the mean cosine of v's k nearest neighbours on the
+    * OTHER side. Raw cosine retrieves false friends (hubs score high
+    * against everything); dividing by the local neighbourhood density
+    * cancels the hubness. For each source vector the candidate with the
+    * highest margin is kept iff margin > threshold ("max" strategy).
+    *
+    * Determinism: cosines are the fixed-fold kernel doubles (the q38
+    * cross-engine contract); avgK rounds each cosine to the 1e-9 grid and
+    * sums as exact decimal (order-free), one double divide at the end;
+    * the margin is then per-row IEEE arithmetic on identical inputs, and
+    * the argmax breaks margin ties toward the smaller target id.
+    *
+    * Plan shape: two [[bruteForceTopK]] passes (each side's queries
+    * broadcast into the other side's scan — the brute scorer; at corpus
+    * scale swap [[cellTopK]]/[[multiProbeTopK]] per the q193 precedent,
+    * the margin/argmax tail is scorer-agnostic). Everything downstream
+    * joins k·n-row TOP TABLES keyed by vector id — never vectors, never
+    * all-pairs. The argmax is the bounded-TopK aggregate, not a window.
+    *
+    * Degenerate vectors (zero-norm → null cosine) drop out of rankings;
+    * a source with no scoreable candidate yields no row.
+    *
+    * `scanParallelism` defaults to the session's default parallelism
+    * (NOT the scan's split count): unlike the few-query [[bruteForceTopK]]
+    * call sites, mining's query side is an entire corpus half by
+    * construction, so the scoring stage always does |src|·|tgt| cosines —
+    * inheriting a compact parquet scan's handful of splits is the q140
+    * collapse class (three prior live sightings; see [[bruteForceTopK]]).
+    *
+    * @param src  mining side (one row per vector)
+    * @param tgt  candidate side
+    * @param k    neighbourhood size for the density normalizer
+    * @return (src_id, tgt_id, margin) — at most one row per src vector
+    */
+  def marginMining(src: DataFrame, tgt: DataFrame, k: Int, threshold: Double,
+                   id: String = "vec_id", vec: String = "embedding",
+                   scanParallelism: Int = 0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 1, s"k must be positive: $k")
+    val par = if (scanParallelism > 0) scanParallelism
+      else src.sparkSession.sparkContext.defaultParallelism
+    def queriesOf(side: DataFrame) =
+      side.select(col(id).as("qid"), col(vec).as("qvec"))
+    val fwd = bruteForceTopK(tgt, queriesOf(src), k, id = id, vec = vec,
+      scanParallelism = par)
+    val bwd = bruteForceTopK(src, queriesOf(tgt), k, id = id, vec = vec,
+      scanParallelism = par)
+    // mean of the k neighbour cosines: 1e-9-grid round, exact decimal sum
+    // (order-free across partitionings), one double divide
+    def avgK(top: DataFrame, outId: String, outAvg: String) =
+      top.groupBy(col("qid"))
+        .agg((sum(round(col("cos"), 9).cast(DecimalType(18, 9))).cast("double")
+          / count(lit(1))).as(outAvg))
+        .withColumnRenamed("qid", outId)
+    val scored = fwd
+      .select(col("qid").as("src_id"), col("neighbor").as("tgt_id"), col("cos"))
+      .join(avgK(fwd, "src_id", "__a_src"), "src_id")
+      .join(avgK(bwd, "tgt_id", "__a_tgt"), "tgt_id")
+      .withColumn("__margin",
+        col("cos") / ((col("__a_src") + col("__a_tgt")) / 2))
+    scored.groupBy(col("src_id"))
+      .agg(graft.functions.TopK.topK(col("__margin"), col("tgt_id"), 1).as("__top"))
+      .select(col("src_id"), explode(col("__top")).as("__e"))
+      .select(col("src_id"), col("__e.id").as("tgt_id"),
+        col("__e.key").as("margin"))
+      .filter(col("margin") > threshold)
+  }
 }

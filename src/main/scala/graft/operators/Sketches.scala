@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Seeds, TopK}
+import graft.functions.{MisraGries, Seeds, TopK}
 
 /** Mergeable cardinality / frequency sketches for 100 TB-scale profiling.
   *
@@ -252,4 +252,50 @@ object Sketches {
     * exact-decimal denominator column reference. */
   def hllEstimateSql(s: String, m: Int): String =
     s"${hllNumerator(m)} / CAST($s AS DOUBLE)"
+
+  // --- exact heavy hitters (two-pass Misra–Gries) ---
+
+  /** EXACT heavy hitters over a corpus-sized key domain in two bounded
+    * passes: every `value` with frequency STRICTLY ABOVE n/(k+1) (n =
+    * non-null items), with its exact count.
+    *
+    * Pass 1 reduces the stream to ONE ≤ k-entry Misra–Gries summary
+    * ([[graft.functions.MisraGries]]): map-side partial aggregation keeps
+    * k counters per task, the exchange carries at most k counters per
+    * task — sketch-width. The MG guarantee (undercount ≤ n/(k+1) under
+    * any merge tree) makes the candidate set a SUPERSET of the true heavy
+    * hitters, so pass 2 — an exact recount of candidates only — yields a
+    * result that is deterministic and partitioning-independent even
+    * though the sketch's marginal entries are not: the threshold filter
+    * discards exactly the noise.
+    *
+    * Pass 2's plan: the ≤ k candidates (with n riding along) BROADCAST
+    * into the item scan, the join filters map-side, and the recount
+    * groupBy partial-aggregates ≤ k+1 keys per task. Neither pass ever
+    * shuffles vocabulary-width — the contrast is `groupBy(value).count()
+    * .filter(...)`, whose exchange carries one row per DISTINCT key (for
+    * n-gram or URL domains, the corpus itself).
+    *
+    * Cost of exactness: two scans of `items`. The single-scan alternative
+    * returns sketch ESTIMATES whose sub-threshold tail depends on
+    * partitioning — unusable as a deterministic operator contract.
+    *
+    * @param items one row per item (pre-explode tokens upstream)
+    * @param value string-typed item expression; nulls are not items
+    * @param k     sketch width; output threshold is n/(k+1)
+    * @return (token string, cnt long) — exact counts, cnt·(k+1) > n
+    */
+  def heavyHitters(items: DataFrame, value: Column, k: Int): DataFrame = {
+    val sk = items.agg(
+      count(value).as("__n"),
+      MisraGries.sketch(value, k).as("__mg"))
+    val cands = sk.select(col("__n"), explode(col("__mg")).as("__e"))
+      .select(col("__n"), col("__e.token").as("token"))
+    items.select(value.cast("string").as("token"))
+      .join(broadcast(cands), "token")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"), first(col("__n")).as("__n"))
+      .filter(col("cnt") * (k + 1) > col("__n"))
+      .drop("__n")
+  }
 }

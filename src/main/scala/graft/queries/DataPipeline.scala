@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{Rand, Text, TextKernels}
-import graft.operators.{Curation, Dedup, Drift, Linkage, Multimodal, Quantize, Similarity, Sketches}
+import graft.operators.{Curation, Dedup, Drift, Eval, Linkage, Multimodal, Quantize, Similarity, Sketches}
 
 /** LLM-training-data pipeline family over `documents` and `embeddings`:
   * text analysis, deduplication (exact / MinHash-LSH / SimHash / blocked
@@ -19,7 +19,7 @@ object DataPipeline {
     q145, q150, q153, q155, q161, q162, q164, q165, q166, q167, q168, q170, q171, q172,
     q173, q175, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q192, q193, q194, q195, q196, q197, q198, q199, q201, q202, q203, q204,
-    q205, q206)
+    q205, q206, q207, q208, q209)
 
   /** Dedup clusters from pairs: `Dedup.components` (iterative min-label
     * propagation) run over prefix-duplicate edges (the testdata has no
@@ -3148,5 +3148,122 @@ object DataPipeline {
     Curation.dsirWeights(Tables.load(s, dir, "documents"),
         target = col("lang") === "en", dims = 4096, skewSafe = true)
       .orderBy("doc_id")
+  }
+
+  /** EXACT heavy hitters via the two-pass Misra–Gries sketch
+    * (`Sketches.heavyHitters`, k=30): every token with frequency
+    * strictly above n/31, with its exact count. The sketch pass reduces
+    * the token stream to ONE ≤30-entry summary (sketch-width exchange,
+    * never vocab-width — for n-gram/URL domains the vocabulary is the
+    * corpus); the MG guarantee makes the candidate set a superset of the
+    * truth, and the exact recount + threshold make the OUTPUT
+    * deterministic even though the sketch's marginal entries are not.
+    * k=30 sits under the fixture's 31-token vocabulary, so the sketch's
+    * decrement path actually runs here. The oracle is the direct
+    * full-groupBy HAVING — the hash match proves the two-pass plan loses
+    * nothing. */
+  val q207 = QueryDef(
+    "q207_heavy_hitters",
+    oracle = Some(s"""
+      WITH tok AS (SELECT unnest(${Text.tokensSql("text")}) AS t FROM documents),
+      tot AS (SELECT COUNT(*) AS n FROM tok)
+      SELECT t AS token, COUNT(*) AS cnt
+      FROM tok CROSS JOIN tot
+      GROUP BY t, n
+      HAVING COUNT(*) * 31 > n
+      ORDER BY token""")) { (s, dir) =>
+    val toks = Tables.load(s, dir, "documents")
+      .select(explode(Text.tokens(col("text"))).as("token"))
+    Sketches.heavyHitters(toks, col("token"), k = 30).orderBy("token")
+  }
+
+  /** ROUGE-2 per (candidate, reference) pair (`Eval.rougeN`): clipped
+    * bigram overlap with precision / recall / F1, consecutive documents
+    * paired (doc 2i is the candidate, 2i+1 the reference). Every score
+    * is ONE division of exact integers — no rounding grid anywhere. */
+  val q208 = QueryDef(
+    "q208_rouge2",
+    oracle = Some(s"""
+      WITH cand AS (SELECT doc_id // 2 AS pair_id, text AS ct
+                    FROM documents WHERE doc_id % 2 = 0),
+      ref AS (SELECT doc_id // 2 AS pair_id, text AS rt
+              FROM documents WHERE doc_id % 2 = 1),
+      pairs AS (SELECT cand.pair_id, ct, rt FROM cand JOIN ref USING (pair_id)),
+      cg AS (SELECT pair_id, g, COUNT(*) AS cc
+             FROM (SELECT pair_id, unnest(${Text.ngramsSql("ct", 2)}) AS g FROM pairs)
+             GROUP BY 1, 2),
+      rg AS (SELECT pair_id, g, COUNT(*) AS rc
+             FROM (SELECT pair_id, unnest(${Text.ngramsSql("rt", 2)}) AS g FROM pairs)
+             GROUP BY 1, 2),
+      ov AS (SELECT COALESCE(cg.pair_id, rg.pair_id) AS pair_id,
+               SUM(LEAST(COALESCE(cc, 0), COALESCE(rc, 0))) AS n_overlap,
+               SUM(COALESCE(cc, 0)) AS n_cand,
+               SUM(COALESCE(rc, 0)) AS n_ref
+             FROM cg FULL JOIN rg ON cg.pair_id = rg.pair_id AND cg.g = rg.g
+             GROUP BY 1)
+      SELECT p.pair_id,
+        CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+        CAST(COALESCE(n_cand, 0) AS BIGINT) AS n_cand,
+        CAST(COALESCE(n_ref, 0) AS BIGINT) AS n_ref,
+        CASE WHEN COALESCE(n_cand, 0) > 0
+          THEN CAST(COALESCE(n_overlap, 0) AS DOUBLE) / n_cand END AS prec,
+        CASE WHEN COALESCE(n_ref, 0) > 0
+          THEN CAST(COALESCE(n_overlap, 0) AS DOUBLE) / n_ref END AS recall,
+        CASE WHEN COALESCE(n_cand, 0) + COALESCE(n_ref, 0) > 0
+          THEN 2.0 * COALESCE(n_overlap, 0) / (COALESCE(n_cand, 0) + COALESCE(n_ref, 0)) END AS f1
+      FROM pairs p LEFT JOIN ov USING (pair_id)
+      ORDER BY pair_id""")) { (s, dir) =>
+    val d = Tables.load(s, dir, "documents")
+    val cand = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(shiftright(col("doc_id"), 1).as("pair_id"), col("text").as("ct"))
+    val ref = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(shiftright(col("doc_id"), 1).as("pair_id"), col("text").as("rt"))
+    Eval.rougeN(cand.join(ref, "pair_id"), "pair_id", "ct", "rt", n = 2)
+      .withColumnRenamed("precision", "prec")
+      .orderBy("pair_id")
+  }
+
+  /** Margin-based bitext mining (`Similarity.marginMining`, ratio margin,
+    * k=4, τ=1.05): even vec_ids mine against odd vec_ids — for each
+    * source the highest-margin candidate survives iff its cosine beats
+    * the average of both local neighbourhoods. The oracle re-derives
+    * both top-k passes, both density normalizers, the margin, and the
+    * argmax from the all-pairs ground truth (q38 class: the per-row
+    * fold cosines are bit-identical cross-engine; avgK rounds to 1e-9
+    * and sums as exact decimal, so it is order-free). */
+  val q209 = QueryDef(
+    "q209_margin_mining",
+    oracle = Some(s"""
+      WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+      t AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+      scored AS (
+        SELECT s.vec_id AS sid, t.vec_id AS tid,
+          list_sum(list_transform(list_zip(s.embedding, t.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(s.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+           * sqrt(list_sum(list_transform(t.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS c
+        FROM s CROSS JOIN t),
+      fwd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY sid ORDER BY c DESC, tid) AS rnk FROM scored),
+      bwd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY tid ORDER BY c DESC, sid) AS rnk FROM scored),
+      asrc AS (SELECT sid, CAST(SUM(CAST(ROUND(c, 9) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS a
+               FROM fwd WHERE rnk <= 4 GROUP BY sid),
+      atgt AS (SELECT tid, CAST(SUM(CAST(ROUND(c, 9) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS a
+               FROM bwd WHERE rnk <= 4 GROUP BY tid),
+      m AS (SELECT f.sid, f.tid, f.c / ((asrc.a + atgt.a) / 2) AS mg
+            FROM fwd f JOIN asrc USING (sid) JOIN atgt USING (tid)
+            WHERE f.rnk <= 4),
+      best AS (SELECT sid, tid, mg,
+                 ROW_NUMBER() OVER (PARTITION BY sid ORDER BY mg DESC, tid) AS r
+               FROM m)
+      SELECT sid AS src_id, tid AS tgt_id, ROUND(mg, 6) AS margin6
+      FROM best WHERE r = 1 AND mg > 1.05
+      ORDER BY src_id""")) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    Similarity.marginMining(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+        k = 4, threshold = 1.05)
+      .select(col("src_id"), col("tgt_id"), round(col("margin"), 6).as("margin6"))
+      .orderBy("src_id")
   }
 }

@@ -296,4 +296,47 @@ class EvalSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
     assert(tieOut === Seq((9, 1L, 0L))) // predicted 2 (smallest), wrong
   }
+
+  // --- ROUGE-N ---
+
+  private def rougeRows(pairs: Seq[(Long, String, String)], n: Int) = {
+    val s = spark
+    import s.implicits._
+    Eval.rougeN(pairs.toDF("pair_id", "cand", "ref"), "pair_id", "cand", "ref", n)
+      .orderBy("pair_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double]),
+        Option(r.get(6)).map(_.asInstanceOf[Double])))
+      .toSeq
+  }
+
+  test("rougeN: identical, partial, and hand-computed clipped overlap") {
+    val out = rougeRows(Seq(
+      (1L, "the cat sat", "the cat sat"), // identical: P=R=F1=1
+      (2L, "the cat sat", "the cat ran"), // share 1 of 2 bigrams each side
+      (3L, "a b c", "x y z")), n = 2)     // disjoint
+    assert(out(0) === ((1L, 2L, 2L, 2L, Some(1.0), Some(1.0), Some(1.0))))
+    assert(out(1) === ((2L, 1L, 2L, 2L, Some(0.5), Some(0.5), Some(0.5))))
+    assert(out(2) === ((3L, 0L, 2L, 2L, Some(0.0), Some(0.0), Some(0.0))))
+  }
+
+  test("rougeN: counts are CLIPPED — a repeated candidate gram scores min(c_cand, c_ref)") {
+    // cand bigrams: "a b"×3, "b a"×2 (5 total); ref: "a b"×1
+    // overlap = min(3,1) = 1 → recall 1.0 (ROUGE-N proper), precision 0.2
+    val out = rougeRows(Seq((1L, "a b a b a b", "a b")), n = 2)
+    assert(out.head === ((1L, 1L, 5L, 1L, Some(0.2), Some(1.0), Some(1.0 / 3))))
+  }
+
+  test("rougeN: pairs with no n-grams on either side survive with null scores") {
+    val out = rougeRows(Seq(
+      (1L, "", ""),              // no tokens at all
+      (2L, "single", "single"),  // 1 token < bigram order
+      (3L, "two words", "")),    // candidate grams only
+      n = 2)
+    assert(out(0) === ((1L, 0L, 0L, 0L, None, None, None)))
+    assert(out(1) === ((2L, 0L, 0L, 0L, None, None, None)))
+    assert(out(2) === ((3L, 0L, 1L, 0L, Some(0.0), None, Some(0.0))))
+  }
 }

@@ -208,4 +208,61 @@ class SimilaritySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"centroid join is not a broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"vectors shuffled for the centroid join:\n$p")
   }
+
+  // --- margin-based bitext mining ---
+
+  test("marginMining equals the window-formulated reference, bit-for-bit, any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextFloat())))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val src = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val tgt = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val k = 3; val tau = 1.0
+
+    // reference: all-pairs scores + row_number windows + the same avg law
+    val scored = src.select(col("vec_id").as("sid"), col("embedding").as("sv"))
+      .crossJoin(tgt.select(col("vec_id").as("tid"), col("embedding").as("tv")))
+      .withColumn("c", Similarity.cosine(col("sv"), col("tv")))
+      .select("sid", "tid", "c")
+    val fwd = scored.withColumn("rnk",
+      row_number().over(Window.partitionBy("sid").orderBy(col("c").desc, col("tid"))))
+      .filter(col("rnk") <= k)
+    val bwd = scored.withColumn("rnk",
+      row_number().over(Window.partitionBy("tid").orderBy(col("c").desc, col("sid"))))
+      .filter(col("rnk") <= k)
+    def avgOf(df: org.apache.spark.sql.DataFrame, key: String, out: String) =
+      df.groupBy(key).agg(
+        (sum(round(col("c"), 9).cast(DecimalType(18, 9))).cast("double")
+          / count(lit(1))).as(out))
+    val ref = fwd
+      .join(avgOf(fwd, "sid", "aS"), "sid")
+      .join(avgOf(bwd, "tid", "aT"), "tid")
+      .withColumn("mg", col("c") / ((col("aS") + col("aT")) / 2))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("sid").orderBy(col("mg").desc, col("tid"))))
+      .filter(col("r") === 1 && col("mg") > tau)
+      .select(col("sid"), col("tid"), col("mg"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(ref.nonEmpty, "fixture sanity: some pair must clear the threshold")
+
+    for (parts <- Seq(1, 13)) {
+      val got = Similarity.marginMining(
+          src.repartition(parts), tgt.repartition(parts), k, tau)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === ref, s"parts=$parts")
+    }
+  }
+
+  test("marginMining: zero-norm vectors never surface; no WindowExec in the plan") {
+    val src = Seq((0L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val tgt = Seq((1L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val df = Similarity.marginMining(src, tgt, k = 2, threshold = 0.0)
+    val out = df.as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSet === Set(0L)) // the zero-norm source mines nothing
+    assert(out.head._2 === 1L)              // and nothing mines the zero-norm target
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Window"), s"margin argmax must be the bounded-TopK aggregate:\n$p")
+  }
 }

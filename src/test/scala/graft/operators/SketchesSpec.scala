@@ -184,4 +184,83 @@ class SketchesSpec extends SparkSpec {
       assert(r === expect, s"value $v hash $h")
     }
   }
+
+  // --- Misra–Gries / two-pass heavy hitters ---
+
+  /** Zipf-ish stream: token i drawn with weight ∝ 1/(i+1), vocab ≫ k so
+    * the sketch's decrement/merge-reduction paths actually run. */
+  private def zipfStream(n: Int, vocab: Int, seed: Long): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    val weights = (0 until vocab).map(i => 1.0 / (i + 1))
+    val total = weights.sum
+    val cum = weights.scanLeft(0.0)(_ + _).tail.map(_ / total)
+    (0 until n).map { _ =>
+      val u = rnd.nextDouble()
+      val i = cum.indexWhere(u <= _)
+      s"tok${if (i < 0) vocab - 1 else i}"
+    }
+  }
+
+  test("heavyHitters: two-pass result equals the exact groupBy+HAVING, any partitioning") {
+    val items = zipfStream(n = 20000, vocab = 300, seed = 42)
+    val n = items.size.toLong
+    val k = 20
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter { case (_, c) => c * (k + 1) > n }
+    assert(exact.nonEmpty && exact.size < k, s"fixture sanity: ${exact.size} heavy")
+    for (parts <- Seq(1, 7, 32)) {
+      val df = items.toDF("token").repartition(parts)
+      val got = Sketches.heavyHitters(df, col("token"), k)
+        .as[(String, Long)].collect().toMap
+      assert(got === exact, s"parts=$parts")
+    }
+  }
+
+  test("MisraGries sketch: recall + error guarantee under every partitioning") {
+    val items = zipfStream(n = 15000, vocab = 200, seed = 7)
+    val n = items.size.toLong
+    val k = 16
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 5, 17)) {
+      val sk = items.toDF("token").repartition(parts)
+        .agg(graft.functions.MisraGries.sketch(col("token"), k).as("mg"))
+        .select(explode(col("mg")).as("e"))
+        .select(col("e.token"), col("e.est")).as[(String, Long)].collect().toMap
+      assert(sk.size <= k)
+      sk.foreach { case (t, est) =>
+        val tru = exact.getOrElse(t, 0L)
+        assert(est <= tru, s"overestimate for $t: $est > $tru (parts=$parts)")
+        assert(tru - est <= n / (k + 1),
+          s"undercount bound broken for $t: $tru - $est > ${n / (k + 1)} (parts=$parts)")
+      }
+      // every token with true count strictly above n/(k+1) must be present
+      exact.foreach { case (t, c) =>
+        if (c * (k + 1) > n)
+          assert(sk.contains(t), s"guaranteed-heavy $t missing (parts=$parts)")
+      }
+    }
+  }
+
+  test("heavyHitters: the recount joins the ≤k candidates as the BROADCAST side") {
+    val df = zipfStream(n = 3000, vocab = 100, seed = 3).toDF("token")
+    val hh = Sketches.heavyHitters(df, col("token"), k = 12)
+    hh.collect()
+    val p = hh.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), s"candidate join is not a broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the item stream shuffled for the recount:\n$p")
+  }
+
+  test("MisraGries: vocab ≤ k means exact counts; nulls are not items") {
+    val df = (Seq.fill(30)("a") ++ Seq.fill(20)("b") ++ Seq.fill(10)("c") ++
+      Seq[String](null, null)).toDF("token").repartition(3)
+    val sk = df.agg(graft.functions.MisraGries.sketch(col("token"), 10).as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.token"), col("e.est")).as[(String, Long)].collect().toMap
+    assert(sk === Map("a" -> 30L, "b" -> 20L, "c" -> 10L))
+    // eval order: est DESC, token ASC — deterministic presentation
+    val ordered = df.agg(graft.functions.MisraGries.sketch(col("token"), 10).as("mg"))
+      .select(transform(col("mg"), e => e.getField("token")).as("t"))
+      .as[Seq[String]].head()
+    assert(ordered === Seq("a", "b", "c"))
+  }
 }

@@ -52,7 +52,11 @@ DATA="$WORK/data"
 # The q176 class: oracle infeasibility, not a defect — the Spark side
 # runs sf10 in 54.5 s (SCALE.md round-9) and sf0.01 pins the identical
 # md5 draw arithmetic bit-for-bit.
-QUADRATIC_ORACLES="q35_jaccard_blocked,q36_minhash_lsh,q37_simhash,q92_containment_pairs,q140_fuzzy_join,q145_prefix_join,q155_sparse_cosine,q168_semantic_dedup,q40_embedding_dedup,q175_incremental_near_dup,q176_label_propagation,q187_knn_accuracy,q193_semantic_communities,q196_image_near_dup,q200_clustering_sampled"
+# q209: its oracle re-derives the margin from the ALL-PAIRS even×odd
+# cosine ground truth (the q38/q187 class — 1e10 cosines at sf10 in
+# DuckDB). The Spark side (two broadcast-probe top-k passes, bounded
+# TopK argmax, scanParallelism-guarded) runs and is row-checked.
+QUADRATIC_ORACLES="q35_jaccard_blocked,q36_minhash_lsh,q37_simhash,q92_containment_pairs,q140_fuzzy_join,q145_prefix_join,q155_sparse_cosine,q168_semantic_dedup,q40_embedding_dedup,q175_incremental_near_dup,q176_label_propagation,q187_knn_accuracy,q193_semantic_communities,q196_image_near_dup,q200_clustering_sampled,q209_margin_mining"
 
 mkdir -p "$WORK"
 
