@@ -146,6 +146,7 @@ class PlanSpec extends SparkSpec {
       "q93_ann_recall", // composes q38's broadcast-NLJ exact ranking
       "q187_knn_accuracy", // composes q38's broadcast-NLJ brute scorer
       "q193_semantic_communities", // composes the same brute scorer
+      "q209_margin_mining", // two bruteForceTopK passes (fwd+bwd), same shape
       "q97_bm25", "q98_unigram_nll", "q143_psi_drift",
       // q164 cross-joins the tiny row-total × col-total tables to build
       // the full contingency grid (ka×kb cells, fail-fast bounded by
