@@ -88,11 +88,20 @@ object Graph {
     for (i <- 1 to iterations) {
       // `div` (not `/`): Spark's `/` on longs is DOUBLE division, whose
       // rounding could differ from the oracle's integer `//` near ties —
-      // integral div is exact and both engines floor positives identically
+      // integral div is exact and both engines floor positives identically.
+      // Join order (guide §3): ranks⋈deg FIRST — both node-width, and the
+      // per-source contribution is divided ONCE per source instead of once
+      // per edge — then one edge-width join attaches it to dst. The
+      // previous order (e⋈ranks, then ⋈deg on src) pushed EDGE-width rows
+      // through the second join, paying an extra |E|-row SMJ sort per
+      // iteration. Inner-join semantics identical: every edge's src has a
+      // deg row by construction (deg is derived from e), and rank rows
+      // without out-edges drop in both orders.
+      val perSrc = ranks.join(deg, ranks("node") === deg("src"))
+        .select(col("src"), expr("rank_scaled div deg").as("__c"))
       val contrib = e
-        .join(ranks, e("src") === ranks("node"))
-        .join(deg, "src")
-        .select(col("dst").as("node"), expr("rank_scaled div deg").as("c"))
+        .join(perSrc, "src")
+        .select(col("dst").as("node"), col("__c").as("c"))
         .groupBy("node")
         .agg(sum("c").as("s"))
       val gathered = nodes.join(contrib, Seq("node"), "left")

@@ -761,12 +761,22 @@ object DataPipeline {
     val sess = s
     import sess.implicits._
     val qdf = queries.toDF("qid", "luts")
+    // top-3 via the bounded TopK aggregate, not a ranking window: the
+    // window form shuffles EVERY (qid, neighbor, d) row to sort whole
+    // per-query groups — |corpus| rows per query at scale, the
+    // unsplittable-window-group straggler class — while the aggregate
+    // keeps a 3-slot buffer per (task, qid) and partial-aggregates
+    // map-side, so the exchange carries ≤ 3 rows per task per query.
+    // Ordering is identical (key asc, ties id asc — TopKAggSpec pins the
+    // window equivalence) and ADC distances are never NaN/null, so the
+    // two forms are value-identical here.
     codes.join(broadcast(qdf), col("neighbor") =!= col("qid"))
       .withColumn("d", Quantize.adcScore(col("codes"), col("luts"), m = 4))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("d"), col("neighbor"))))
-      .filter(col("rnk") <= 3)
-      .select(col("qid"), col("rnk"), col("neighbor"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.topK(col("d"), col("neighbor"), 3, largest = false).as("__top"))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col("qid"), (col("__i") + 1).cast("int").as("rnk"),
+        col("__e.id").as("neighbor"))
       .orderBy("qid", "rnk")
   }
 

@@ -44,10 +44,14 @@ object Physics {
     // only orders WITH items, so nestedOrders' left join against orders
     // (which exists to surface empty events, q20's semantics) would be
     // joined-then-filtered-away — pure exchange cost at scale
+    // no sort_array on the collection: every consumer below is an exact
+    // decimal SUM over the items (order-free by construction), so the
+    // per-order O(n log n) struct sort would be pure CPU waste — q20/q21
+    // keep sort_array because their outputs read positional slices
     val ev = Tables.load(s, dir, "lineitem")
       .groupBy(col("l_orderkey").as("o_orderkey"))
-      .agg(sort_array(collect_list(struct(
-        col("l_extendedprice"), col("l_discount"), col("l_tax")))).as("items"))
+      .agg(collect_list(struct(
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))).as("items"))
     // calibrator: nominal + up/down variations per object
     val calibrated = SchemaOps.mapCollection(ev, "items", it => {
       val nominal = it.getField("l_extendedprice") * (lit(1) - it.getField("l_discount"))
@@ -71,13 +75,22 @@ object Physics {
     // identical: sum(cast(18,6)) widens to decimal(28,6) exactly like
     // the fold's running cast chain.
     val flat = calibrated.select(col("o_orderkey"), explode(col("items")).as("it"))
+    // q62's unscaled-long aggregation: the per-item DECIMAL(18,6) cast
+    // fixes the oracle's rounding, then the value rides as its unscaled
+    // long (×1e6) so the three sums are long additions inside whole-stage
+    // codegen instead of Decimal(28,6) box arithmetic (q62 measured 2.3×
+    // on the agg alone). Safe per q62's bound: groups are per-ORDER
+    // (≤7 items × ~1e11 unscaled ≪ 2^63) and the final long→double/1e6 is
+    // correctly rounded because the unscaled sum < 2^53. Corpus-wide
+    // groups (q1/q3/q4) must NOT use this — their sums outgrow 2^53.
     val sums = shifts.map { sh =>
       val src = sh.aliases.collectFirst { case (s0, `target`) => s0 }.getOrElse(target)
       val field = src.toString.stripPrefix("items.")
-      sum(col("it").getField(field).cast("decimal(18,6)"))
-        .cast("double").as(sh.name)
+      sum((col("it").getField(field).cast("decimal(18,6)") * lit(1000000))
+        .cast("long")).as(sh.name)
     }
-    val entries = shifts.flatMap(sh => Seq(lit(sh.name), col(sh.name)))
+    val entries = shifts.flatMap(sh =>
+      Seq(lit(sh.name), col(sh.name).cast("double") / 1e6))
     // localCheckpoint before the global sort: range partitioning samples
     // its input and would otherwise execute the nested build twice —
     // materializing the (tiny) unpivoted sums makes both passes read it
