@@ -122,6 +122,133 @@ case class TopK(
   override def prettyName: String = "graft_topk"
 }
 
+/** [[TopK]] with STRING ids — the same bounded-buffer top-k aggregate for
+  * rankings whose tie-break is a string column (q89's `score DESC, term`).
+  * Ordering: key desc (largest) / asc (smallest), ties broken by id
+  * ascending in BINARY order — `UTF8String.compareTo` is byte-wise
+  * unsigned lexicographic, exactly the order Spark's `SortOrder` uses for
+  * default-collated strings, so the result is identical to the
+  * `row_number()` window form (TopKAggSpec pins it). Null keys/ids and
+  * NaN keys are skipped, as in [[TopK]]. */
+case class TopKStr(
+    child: Expression,
+    k: Int,
+    largest: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKStr.Buffer] with UnaryLike[Expression] {
+
+  import TopKStr.Buffer
+  import org.apache.spark.unsafe.types.UTF8String
+  require(k >= 1 && k <= 4096, "k must be in [1, 4096]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StructType(Array(a, b)) if a.dataType == DoubleType && b.dataType == StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_topk_str needs struct<key:double, id:string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("key", DoubleType), StructField("id", StringType))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  /** a strictly better than b? (largest: key desc; ties id asc binary) */
+  private def better(ka: Double, ia: UTF8String, kb: Double, ib: UTF8String): Boolean =
+    if (ka != kb) { if (largest) ka > kb else ka < kb } else ia.compareTo(ib) < 0
+
+  override def createAggregationBuffer(): Buffer =
+    new Buffer(0, new Array[Double](k), new Array[UTF8String](k))
+
+  private def insert(buf: Buffer, key: Double, id: UTF8String): Unit = {
+    if (key.isNaN) return
+    if (buf.n == k && !better(key, id, buf.keys(k - 1), buf.ids(k - 1))) return
+    var pos = if (buf.n == k) k - 1 else buf.n
+    while (pos > 0 && better(key, id, buf.keys(pos - 1), buf.ids(pos - 1))) pos -= 1
+    var i = math.min(buf.n, k - 1)
+    while (i > pos) { buf.keys(i) = buf.keys(i - 1); buf.ids(i) = buf.ids(i - 1); i -= 1 }
+    buf.keys(pos) = key
+    // the input UTF8String may be backed by the operator's reused row
+    // buffer — copy on store, and only for rows that actually enter
+    buf.ids(pos) = id.clone()
+    if (buf.n < k) buf.n += 1
+  }
+
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val row = v.asInstanceOf[InternalRow]
+    if (row.isNullAt(0) || row.isNullAt(1)) return buf
+    insert(buf, row.getDouble(0), row.getUTF8String(1))
+    buf
+  }
+
+  override def merge(buf: Buffer, other: Buffer): Buffer = {
+    var i = 0
+    while (i < other.n) { insert(buf, other.keys(i), other.ids(i)); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Buffer): Any =
+    new GenericArrayData((0 until buf.n).map { i =>
+      new GenericInternalRow(Array[Any](buf.keys(i), buf.ids(i)))
+    }.toArray[Any])
+
+  override def serialize(buf: Buffer): Array[Byte] = {
+    val byteLens = (0 until buf.n).map(i => buf.ids(i).numBytes())
+    val bb = ByteBuffer.allocate(4 + buf.n * 12 + byteLens.sum)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) {
+      bb.putDouble(buf.keys(i))
+      bb.putInt(byteLens(i))
+      bb.put(buf.ids(i).getBytes)
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      buf.keys(i) = bb.getDouble
+      val len = bb.getInt
+      val arr = new Array[Byte](len)
+      bb.get(arr)
+      buf.ids(i) = UTF8String.fromBytes(arr)
+      i += 1
+    }
+    buf.n = n
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKStr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKStr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TopKStr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_topk_str"
+}
+
+object TopKStr {
+  import org.apache.spark.unsafe.types.UTF8String
+  final class Buffer(var n: Int, val keys: Array[Double], val ids: Array[UTF8String])
+
+  /** Column wrapper: top-k (id, key) per group, sorted best-first
+    * (largest: key desc, ties id asc binary). */
+  def topKStr(order: Column, id: Column, k: Int, largest: Boolean = true): Column =
+    ColumnBridge.column(
+      TopKStr(
+        ColumnBridge.expression(
+          struct(order.cast("double").as("key"), id.cast("string").as("id"))),
+        k, largest).toAggregateExpression())
+}
+
 object TopK {
   final class Buffer(var n: Int, val keys: Array[Double], val ids: Array[Long])
 

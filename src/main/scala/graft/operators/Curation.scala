@@ -479,8 +479,16 @@ object Curation {
     *
     * Plan: one (doc, term) count aggregation; df piggybacks as a window
     * over the term partition of the SAME pass (no second corpus scan) and
-    * the scalar N broadcast-joins. Two keyed exchanges (term, then doc) of
-    * count-sized rows — never of document text. */
+    * the scalar N broadcast-joins. The per-document ranking is the
+    * bounded [[graft.functions.TopKStr]] aggregate, not a `row_number`
+    * window (the q88/q165 pattern, guide §2.5): the window form shuffled
+    * the FULL (doc, term, score) mass by doc and sorted every group,
+    * while the aggregate keeps a k-slot buffer per (task, doc) and
+    * partial-aggregates map-side — the doc exchange now carries ≤ k rows
+    * per task per document and the per-group sort is gone. Ordering is
+    * identical (score desc, ties term asc — binary string order in both
+    * forms; scores are finite, terms non-null). Two keyed exchanges
+    * (term, then doc) of count-sized rows — never of document text. */
   def tfIdfTopK(docs: DataFrame, k: Int,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -495,10 +503,12 @@ object Curation {
       .withColumn("idf", round(log(col("__n").cast("double") / col("df")), 9))
       .withColumn("score", col("tf").cast("double") * col("idf"))
     scored
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(idCol).orderBy(col("score").desc, col("term"))))
-      .filter(col("rnk") <= k)
-      .select(col(idCol), col("rnk"), col("term"), col("score"))
+      .groupBy(col(idCol))
+      .agg(graft.functions.TopKStr.topKStr(
+        col("score"), col("term"), k, largest = true).as("__top"))
+      .select(col(idCol), posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col(idCol), (col("__i") + 1).cast("int").as("rnk"),
+        col("__e.id").as("term"), col("__e.key").as("score"))
   }
 
   /** Concat-and-chunk sequence packing (the GPT-style training-sequence

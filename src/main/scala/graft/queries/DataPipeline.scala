@@ -864,7 +864,6 @@ object DataPipeline {
         q AS rep_quality
       FROM m WHERE rn = 1
       ORDER BY component""")) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(s, dir, "documents")
     val withH = docs.select(col("doc_id"), substring(col("text"), 1, 12).as("h"),
       Text.qualityScore(col("text")).as("q"))
@@ -872,13 +871,20 @@ object DataPipeline {
     val b = withH.select(col("h").as("hb"), col("doc_id").as("id_b"))
     val pairs = a.join(b, col("ha") === col("hb") && col("id_a") < col("id_b"))
     val comps = Dedup.components(pairs) // (id, component)
+    // representative pick via the bounded TopK aggregate, not a pair of
+    // component-partitioned windows (the q88/q165 pattern, guide §2.5):
+    // a near-dup component is a boilerplate CLUSTER — corpus-scale at
+    // 100 TB — and a window group can never split across tasks, while
+    // the aggregate keeps a 1-slot buffer per (task, component) and
+    // partial-aggregates map-side (n_members rides the same aggregate).
+    // Ordering is identical (q desc, ties doc_id asc; q is a finite
+    // non-null composite score — the window twin would rank the same).
     comps.join(withH, comps("id") === withH("doc_id"))
-      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("component")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("component").orderBy(col("q").desc, col("doc_id"))))
-      .filter(col("rn") === 1)
-      .select(col("component"), col("doc_id").as("rep_id"),
-        col("n_members"), col("q").as("rep_quality"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        graft.functions.TopK.topK(col("q"), col("doc_id"), 1, largest = true).as("__top"))
+      .select(col("component"), col("__top").getItem(0).getField("id").as("rep_id"),
+        col("n_members"), col("__top").getItem(0).getField("key").as("rep_quality"))
       .orderBy("component")
   }
 

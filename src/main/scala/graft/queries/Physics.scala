@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Route, SchemaOps, Tables}
+import graft.core.{Route, Tables}
 import graft.functions.{Rand, Seeds}
 import graft.pipeline.Shift
 import Compat._
@@ -24,6 +24,55 @@ object Physics {
     * machinery re-pointing each variation onto the nominal name
     * (reference jec up/down columns: columnflow/calibration/cms/jets.py
     * :436-445; alias application columnflow/tasks/selection.py:212-217). */
+  /** q42's pre-checkpoint inner frame, exposed so plan evidence can dump
+    * the build the localCheckpoint otherwise hides (VERDICT r9 #2/#6). */
+  def q42Inner(s: SparkSession, dir: String): DataFrame = {
+    // q42 keeps only orders WITH items, so nestedOrders' left join against
+    // orders (which exists to surface empty events, q20's semantics) would
+    // be joined-then-filtered-away — pure exchange cost at scale
+    // calibrator: nominal + up/down variations per object. The shifted
+    // family evaluates directly on the flat object table — every consumer
+    // is a per-order SUM, so the r9 collect_list→mapCollection→explode
+    // round-trip built (and shuffled) a per-order struct array only to
+    // flatten it again: the array build was pure exchange+memory cost
+    // (guide §2.3 aggregate before you shuffle / §5). q20/q21 keep the
+    // nested build — their outputs read positional slices of the array.
+    val it = Tables.load(s, dir, "lineitem")
+    val nominal = it("l_extendedprice") * (lit(1) - it("l_discount"))
+    val calibrated = it.select(col("l_orderkey").as("o_orderkey"),
+      nominal.as("price_cal"),
+      (nominal * (lit(1) + it("l_tax"))).as("price_cal_tax_up"),
+      (nominal * (lit(1) - it("l_tax"))).as("price_cal_tax_down"))
+    // All shifts evaluate in ONE pass over the shared calibration build:
+    // each shift's alias map names the source column it would read under
+    // the nominal name — resolve that route, aggregate every shift as a
+    // sibling expression (one scan, one shuffle), then unpivot. N
+    // systematics cost N columns, never N passes over the data.
+    val target = Route("items.price_cal")
+    val shifts = Shift.Nominal +: Shift.pair("tax", "items.price_cal")
+    // q62's unscaled-long aggregation: the per-item DECIMAL(18,6) cast
+    // fixes the oracle's rounding, then the value rides as its unscaled
+    // long (×1e6) so the three sums are long additions inside whole-stage
+    // codegen instead of Decimal(28,6) box arithmetic (q62 measured 2.3×
+    // on the agg alone). Safe per q62's bound: groups are per-ORDER
+    // (≤13 items measured × ~1e11 unscaled ≪ 2^53) and the final
+    // long→double/1e6 is correctly rounded because the unscaled sum
+    // < 2^53 — Q42BoundSpec asserts the envelope with 1024× headroom.
+    // Corpus-wide groups (q1/q3/q4) must NOT use this — their sums
+    // outgrow 2^53.
+    val sums = shifts.map { sh =>
+      val src = sh.aliases.collectFirst { case (s0, `target`) => s0 }.getOrElse(target)
+      val field = src.toString.stripPrefix("items.")
+      sum((col(field).cast("decimal(18,6)") * lit(1000000))
+        .cast("long")).as(sh.name)
+    }
+    val entries = shifts.flatMap(sh =>
+      Seq(lit(sh.name), col(sh.name).cast("double") / 1e6))
+    calibrated.groupBy("o_orderkey").agg(sums.head, sums.tail: _*)
+      .select(col("o_orderkey"), explode(map(entries: _*)))
+      .select(col("key").as("shift"), col("o_orderkey"), col("value").as("sum_cal"))
+  }
+
   val q42 = QueryDef(
     "q42_calibrator_shifts",
     oracle = Some("""
@@ -40,63 +89,10 @@ object Physics {
       FROM lineitem GROUP BY 2
       ORDER BY shift, o_orderkey"""),
     bench = true) { (s, dir) =>
-    // build the nested event directly from the object table: q42 keeps
-    // only orders WITH items, so nestedOrders' left join against orders
-    // (which exists to surface empty events, q20's semantics) would be
-    // joined-then-filtered-away — pure exchange cost at scale
-    // no sort_array on the collection: every consumer below is an exact
-    // decimal SUM over the items (order-free by construction), so the
-    // per-order O(n log n) struct sort would be pure CPU waste — q20/q21
-    // keep sort_array because their outputs read positional slices
-    val ev = Tables.load(s, dir, "lineitem")
-      .groupBy(col("l_orderkey").as("o_orderkey"))
-      .agg(collect_list(struct(
-        col("l_extendedprice"), col("l_discount"), col("l_tax"))).as("items"))
-    // calibrator: nominal + up/down variations per object
-    val calibrated = SchemaOps.mapCollection(ev, "items", it => {
-      val nominal = it.getField("l_extendedprice") * (lit(1) - it.getField("l_discount"))
-      Map(
-        "price_cal" -> nominal,
-        "price_cal_tax_up" -> nominal * (lit(1) + it.getField("l_tax")),
-        "price_cal_tax_down" -> nominal * (lit(1) - it.getField("l_tax")))
-    })
-    // All shifts evaluate in ONE pass over the shared calibration build:
-    // each shift's alias map names the source column it would read under
-    // the nominal name — resolve that route, aggregate every shift as a
-    // sibling expression (one scan, one shuffle), then unpivot. N
-    // systematics cost N columns, never N passes over the data.
-    val target = Route("items.price_cal")
-    val shifts = Shift.Nominal +: Shift.pair("tax", "items.price_cal")
-    // Aggregate each shift as a NATIVE decimal sum over the exploded
-    // items (codegen'd partial hash agg) rather than a per-row HOF fold:
-    // the interpreted `aggregate` lambda allocates a Decimal per element
-    // and runs outside whole-stage codegen — measurably slower per row
-    // and single-threaded within each (huge) order at scale. Values are
-    // identical: sum(cast(18,6)) widens to decimal(28,6) exactly like
-    // the fold's running cast chain.
-    val flat = calibrated.select(col("o_orderkey"), explode(col("items")).as("it"))
-    // q62's unscaled-long aggregation: the per-item DECIMAL(18,6) cast
-    // fixes the oracle's rounding, then the value rides as its unscaled
-    // long (×1e6) so the three sums are long additions inside whole-stage
-    // codegen instead of Decimal(28,6) box arithmetic (q62 measured 2.3×
-    // on the agg alone). Safe per q62's bound: groups are per-ORDER
-    // (≤7 items × ~1e11 unscaled ≪ 2^63) and the final long→double/1e6 is
-    // correctly rounded because the unscaled sum < 2^53. Corpus-wide
-    // groups (q1/q3/q4) must NOT use this — their sums outgrow 2^53.
-    val sums = shifts.map { sh =>
-      val src = sh.aliases.collectFirst { case (s0, `target`) => s0 }.getOrElse(target)
-      val field = src.toString.stripPrefix("items.")
-      sum((col("it").getField(field).cast("decimal(18,6)") * lit(1000000))
-        .cast("long")).as(sh.name)
-    }
-    val entries = shifts.flatMap(sh =>
-      Seq(lit(sh.name), col(sh.name).cast("double") / 1e6))
     // localCheckpoint before the global sort: range partitioning samples
-    // its input and would otherwise execute the nested build twice —
+    // its input and would otherwise execute the aggregate twice —
     // materializing the (tiny) unpivoted sums makes both passes read it
-    flat.groupBy("o_orderkey").agg(sums.head, sums.tail: _*)
-      .select(col("o_orderkey"), explode(map(entries: _*)))
-      .select(col("key").as("shift"), col("o_orderkey"), col("value").as("sum_cal"))
+    q42Inner(s, dir)
       .localCheckpoint()
       .orderBy("shift", "o_orderkey")
   }

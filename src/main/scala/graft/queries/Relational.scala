@@ -196,13 +196,27 @@ object Relational {
         FROM lineitem)
       WHERE rnk <= 3
       ORDER BY l_returnflag, rnk""")) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("l_returnflag")
-      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    // bounded TopK aggregate, not a ranking window (the q88/q165 pattern,
+    // guide §2.5): partition by l_returnflag means THREE window groups of
+    // corpus/3 rows each — the window form shuffles and sorts the whole
+    // table into three unsplittable tasks at any scale, while the
+    // aggregate keeps a 3-slot buffer per (task, flag) and partial-
+    // aggregates map-side, so the exchange carries ≤ 3 rows per task per
+    // flag. The (l_orderkey asc, l_linenumber asc) tie-break packs into
+    // one long — l_linenumber ∈ [1,7] < 8, so orderkey*8+linenumber is
+    // order-isomorphic to the pair and exactly invertible. Ordering is
+    // identical to the window form (key desc, ties packed-id asc;
+    // l_extendedprice is a non-null 2dp double — exact in the double key).
     Tables.load(s, dir, "lineitem")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
-      .select("l_returnflag", "rnk", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .groupBy("l_returnflag")
+      .agg(graft.functions.TopK.topK(
+        col("l_extendedprice"),
+        col("l_orderkey") * 8 + col("l_linenumber"), 3, largest = true).as("__top"))
+      .select(col("l_returnflag"), posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col("l_returnflag"), (col("__i") + 1).cast("int").as("rnk"),
+        expr("__e.id div 8").as("l_orderkey"),
+        pmod(col("__e.id"), lit(8L)).cast("int").as("l_linenumber"),
+        col("__e.key").as("l_extendedprice"))
       .orderBy("l_returnflag", "rnk")
   }
 

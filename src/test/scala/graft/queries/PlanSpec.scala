@@ -270,6 +270,45 @@ class PlanSpec extends SparkSpec {
       s"cap aggregate is not map-side partial:\n$p")
   }
 
+  test("q8/q91: top-k and representative picks are bounded aggregates — no rank window, partial map-side") {
+    // q8 partitions by l_returnflag (3 corpus-third groups), q91 by
+    // near-dup component (boilerplate clusters): both window groups grow
+    // with the corpus and can never split across tasks — the r10 TopK
+    // rewrite must not regress to the window layout
+    for (name <- Seq("q8_topk_per_group", "q91_dedup_representatives")) {
+      val p = plan(name)
+      assert(!p.contains("Window"),
+        s"$name fell back to a rank window over corpus-scale groups:\n$p")
+      assert(p.contains("partial_graft_topk"),
+        s"$name: TopK aggregate is not map-side partial:\n$p")
+    }
+  }
+
+  test("q89: per-document ranking is the bounded string-id TopK; only the df window remains") {
+    val p = plan("q89_tfidf_topk")
+    assert(p.contains("partial_graft_topk_str"),
+      s"q89: ranking regressed from the TopKStr aggregate:\n$p")
+    // exactly ONE window node: the term-partition df count that shares
+    // the tf pass (the q167 one-scan rationale); the doc-partition rank
+    // window must stay gone
+    val winNodes = p.linesIterator.count(_.matches(".*\\bWindow \\[.*"))
+    assert(winNodes == 1, s"q89: expected only the df window, saw $winNodes:\n$p")
+  }
+
+  test("q42 inner: flat shift projection + one codegen hash aggregate — no nested build") {
+    // the pre-checkpoint build (the part the executed-plan test above
+    // cannot see): three per-item shift values project map-side and sum
+    // through ONE keyed exchange of long partials — the r9
+    // collect_list→mapCollection→explode round-trip must stay gone
+    val p = Physics.q42Inner(spark, dir).queryExecution.executedPlan.toString
+    assert(!p.contains("collect_list"), s"nested build reappeared:\n$p")
+    assert(!p.contains("ObjectHashAggregate"),
+      s"q42 aggregate fell out of codegen HashAggregate:\n$p")
+    assert(p.split("Exchange").length - 1 == 1,
+      s"expected exactly one exchange (hash by o_orderkey):\n$p")
+    assert(p.split("HashAggregate").length - 1 >= 2, s"no partial aggregation:\n$p")
+  }
+
   test("q166: incremental dedup anti-joins digests only — document text never shuffles") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
