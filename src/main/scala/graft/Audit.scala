@@ -1,5 +1,6 @@
 package graft
 
+import scala.collection.mutable
 import org.apache.spark.sql.SparkSession
 
 /** Registry-wide physical-plan audit (optimization guide §7.2 applied in
@@ -26,7 +27,10 @@ object Audit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sb = new StringBuilder
-    sb.append("query\texch_hash\texch_range\texch_rr\texch_single\tbcast\tsmj\tshj\tbhj\tbnlj\tcartesian\twindows\tglobal_window\tgenerate\tscans\tsort\tno_pushdown_filter\n")
+    // (the r9 TSV carried a no_pushdown_filter column hard-coded to 0,
+    // which read as "pushdown verified clean" — dropped; per-query
+    // pushdown is pinned in PlanSpec where it matters)
+    sb.append("query\texch_hash\texch_range\texch_rr\texch_single\tbcast\tsmj\tshj\tbhj\tbnlj\tcartesian\twindows\tglobal_window\tgenerate\tscans\tsort\n")
     graft.queries.Registry.all.foreach { d =>
       val row = try {
         val plan = d.fn(spark, sfDir).queryExecution.executedPlan.toString
@@ -45,21 +49,57 @@ object Audit {
         // the serialization smell) is detectable inside each
         // windowspecdefinition(...): the args before specifiedwindowframe
         // are partition columns then ordering items (`col ASC/DESC ...`);
-        // global ⟺ no arg lacking an ASC/DESC marker.
+        // global ⟺ no arg lacking an ASC/DESC marker. The r9 regex
+        // ([^)]* — stopped at the first ')') misparsed specs whose
+        // ordering expressions contain parens; extract each spec's full
+        // argument list with balanced-paren matching instead, and split
+        // its top-level commas only (depth 0).
         val winLines = plan.linesIterator.filter(_.trim.matches("^[+\\-:* ]*Window(Group)?(Limit)? \\[.*")).toSeq
         val win = winLines.size
-        val specs = "windowspecdefinition\\(([^)]*)".r
-          .findAllMatchIn(plan).map(_.group(1)).toSeq
-        val globalWin = specs.count { s =>
-          val pre = s.split("specifiedwindowframe")(0)
-          val items = pre.split(",").map(_.trim).filter(_.nonEmpty)
-          items.forall(it => it.contains(" ASC") || it.contains(" DESC"))
+        def balancedSpecs(s: String): Seq[String] = {
+          val marker = "windowspecdefinition("
+          val out = mutable.ArrayBuffer[String]()
+          var from = s.indexOf(marker)
+          while (from >= 0) {
+            var i = from + marker.length
+            var depth = 1
+            val sb2 = new StringBuilder
+            while (depth > 0 && i < s.length) {
+              val c = s.charAt(i)
+              if (c == '(') depth += 1
+              else if (c == ')') depth -= 1
+              if (depth > 0) sb2.append(c)
+              i += 1
+            }
+            out += sb2.toString
+            from = s.indexOf(marker, i)
+          }
+          out.toSeq
+        }
+        def topLevelArgs(s: String): Seq[String] = {
+          val out = mutable.ArrayBuffer[String]()
+          var depth = 0
+          val cur = new StringBuilder
+          s.foreach {
+            case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+            case c =>
+              if (c == '(') depth += 1 else if (c == ')') depth -= 1
+              cur.append(c)
+          }
+          if (cur.nonEmpty) out += cur.toString.trim
+          out.toSeq.filter(_.nonEmpty)
+        }
+        val globalWin = balancedSpecs(plan).count { spec =>
+          val items = topLevelArgs(spec)
+            .filterNot(_.startsWith("specifiedwindowframe"))
+          items.forall(it => it.endsWith(" ASC NULLS FIRST") ||
+            it.endsWith(" ASC NULLS LAST") || it.endsWith(" DESC NULLS FIRST") ||
+            it.endsWith(" DESC NULLS LAST"))
         }
         val gen = c("Generate ")
         val scans = c("FileScan parquet") + c("Scan parquet")
         val sorts = c("Sort ")
-        val filterNoPush = 0 // detailed pushdown is pinned per-query in PlanSpec
-        s"${d.name}\t$hashEx\t$rangeEx\t$rrEx\t$singleEx\t$bcast\t$smj\t$shj\t$bhj\t$bnlj\t$cart\t$win\t$globalWin\t$gen\t$scans\t$sorts\t$filterNoPush"
+        s"${d.name}\t$hashEx\t$rangeEx\t$rrEx\t$singleEx\t$bcast\t$smj\t$shj\t$bhj\t$bnlj\t$cart\t$win\t$globalWin\t$gen\t$scans\t$sorts"
       } catch { case e: Throwable => s"${d.name}\tPLAN_FAILED: ${e.getMessage.take(80)}" }
       sb.append(row).append('\n')
       spark.catalog.clearCache()

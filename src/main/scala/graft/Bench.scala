@@ -60,7 +60,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "cpus" echoes the core count the session actually ran with, so the
+    // driver's scaling harness can confirm SPARK_GRAFT_CPUS took effect
+    // (r9 flagged suspect_cpus_ignored on flat 8-vs-32 ratios).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -25,7 +25,19 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * the layout the driver ships as of round 6 (Tables.normalizeTs adapts
   * readers to either this or the older TIMESTAMP(NANOS) layout).
   *
-  * Usage: runMain graft.GenData <outDir> <sf>   (e.g. /tmp/testdata/sf1 1.0)
+  * An optional third argument `<filesPerTable>` (default 1) writes each
+  * table as a DIRECTORY named `<table>.parquet` holding that many part
+  * files instead of one flat file — `spark.read.parquet` resolves both
+  * layouts identically. The driver's single-file sf0.1 fixtures give every
+  * scan ONE effective split, so 8-vs-32-core ratios are ≈1 by construction
+  * (r9 `suspect_cpus_ignored`); a multi-file fixture is how parallel
+  * scaling becomes measurable locally (guide §2.6/§6: scan parallelism is
+  * bounded by splittable input units). Row CONTENT is unchanged — every
+  * column is still a pure function of the row id — only the file layout
+  * differs; round-robin placement is deterministic at a fixed file count
+  * (sortBeforeRepartition, SPARK-23207).
+  *
+  * Usage: runMain graft.GenData <outDir> <sf> [filesPerTable]
   */
 object GenData {
   private def h(seed: Int, cols: org.apache.spark.sql.Column*) =
@@ -36,6 +48,8 @@ object GenData {
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val sf = args(1).toDouble
+    val filesPerTable = if (args.length > 2) args(2).toInt else 1
+    require(filesPerTable >= 1, s"filesPerTable must be >= 1: $filesPerTable")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -70,14 +84,21 @@ object GenData {
       round(u(seed, hiCents) / 100.0 + lo, 2)
 
     def write(name: String, df: DataFrame): Unit = {
-      val tmp = s"$outDir/_tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.endsWith(".parquet")).get
-      Files.move(part.toPath, Paths.get(s"$outDir/$name.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
+      if (filesPerTable > 1) {
+        // multi-file layout: a directory named <table>.parquet — same read
+        // path, but the scan gets `filesPerTable` independent splits
+        df.repartition(filesPerTable)
+          .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      } else {
+        val tmp = s"$outDir/_tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, Paths.get(s"$outDir/$name.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
       println(s"[gen] $name: done")
     }
 

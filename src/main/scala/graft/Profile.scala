@@ -1,7 +1,7 @@
 package graft
 
 import scala.collection.mutable
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Measurement tool (guide §1): run one or more registry queries with the
@@ -35,7 +35,15 @@ object Profile {
         tasks: Int, shufR: Long, shufW: Long, input: Long, spill: Long,
         maxTaskMs: Long)
     val stages = mutable.ArrayBuffer[StageRow]()
+    // per-stage max task run time, fed by onTaskEnd (the stage-page
+    // max/median skew column; StageInfo itself only carries sums)
+    val maxTask = mutable.Map[Int, Long]()
     val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) maxTask.synchronized {
+          val cur = maxTask.getOrElse(te.stageId, 0L)
+          maxTask(te.stageId) = math.max(cur, te.taskMetrics.executorRunTime)
+        }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val m = si.taskMetrics
@@ -51,7 +59,7 @@ object Profile {
             m.shuffleWriteMetrics.bytesWritten,
             m.inputMetrics.bytesRead,
             m.memoryBytesSpilled + m.diskBytesSpilled,
-            -1L)
+            maxTask.synchronized(maxTask.getOrElse(si.stageId, -1L)))
         }
       }
     }
@@ -64,6 +72,7 @@ object Profile {
       spark.catalog.clearCache()
       val walls = (1 to runs).map { i =>
         stages.synchronized(stages.clear())
+        maxTask.synchronized(maxTask.clear())
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
@@ -71,16 +80,18 @@ object Profile {
         dt
       }
       // stages of the LAST run only (cleared per run); listener events are
-      // async — a short settle keeps the tail stages from being dropped
-      Thread.sleep(300)
+      // async — drain the bus so tail stages are never dropped (the old
+      // fixed sleep was a race)
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .waitListenerBusEmpty(spark.sparkContext)
       println(s"##### $name walls=${walls.map(w => f"$w%.3f").mkString(",")}")
       val rows = stages.synchronized(stages.toVector).sortBy(_.id)
       val totTask = rows.map(_.taskMs).sum
       println(f"  stages=${rows.size} taskTimeSum=${totTask}ms")
       rows.foreach { r =>
         println(f"  stage ${r.id}%4d wall=${r.ms}%5dms task=${r.taskMs}%6dms n=${r.tasks}%3d " +
-          f"in=${r.input / 1024}%7dK sr=${r.shufR / 1024}%6dK sw=${r.shufW / 1024}%6dK " +
-          f"spill=${r.spill / 1024}%5dK  ${r.name}%s")
+          f"maxTask=${r.maxTaskMs}%6dms in=${r.input / 1024}%7dK sr=${r.shufR / 1024}%6dK " +
+          f"sw=${r.shufW / 1024}%6dK spill=${r.spill / 1024}%5dK  ${r.name}%s")
       }
     }
     spark.stop()

@@ -12,6 +12,12 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Drain the listener bus (`listenerBus` is `private[spark]`): lets
+    * measurement mains wait for async stage/task events instead of racing
+    * them with a fixed sleep. */
+  def waitListenerBusEmpty(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** Register a SQL function on an ALREADY-RUNNING session (the
     * `SparkSessionExtensions` path only applies at session build time).
     * `sessionState` is `private[sql]`, hence this bridge method. */
