@@ -20,7 +20,11 @@ object PlanDump {
   /** pre-checkpoint handles: label -> builder of the inner frame */
   val inner: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_calibrator_shifts_inner" ->
-      ((s, dir) => graft.queries.Physics.q42Inner(s, dir)))
+      ((s, dir) => graft.queries.Physics.q42Inner(s, dir)),
+    "q183_prototypicality_prune_inner" ->
+      ((s, dir) => graft.operators.Similarity.prototypicalityRanked(
+        graft.core.Tables.load(s, dir, "embeddings"), hardest = true,
+        cellCol = "label", idCol = "vec_id", vecCol = "embedding")))
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir, suffix) = (args(0), args(1), args(2))

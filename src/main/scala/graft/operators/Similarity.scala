@@ -310,29 +310,90 @@ object Similarity {
     * .GridVectorMean]] — exact, order- and partition-free) computed with
     * the cell sizes in ONE cell-width aggregate that then BROADCASTS back
     * onto the corpus (cells ≪ corpus; never a shuffle of vectors); the
-    * scoring pass is map-side on top of the scan, and the only
-    * vector-bearing exchange is the per-cell rank window's hash partition
-    * on the cell key. Per-cell `row_number` sorts whole cells — the exact
-    * general path (same class as `Curation.uniformSamplePerGroup`); when
-    * keepFrac·|cell| is small and known, the bounded-TopK aggregate
-    * (`Curation.capPerGroupAgg`) is the exchange-light twin. */
+    * scoring pass is map-side on top of the scan.
+    *
+    * Ranking is the value-bucketed two-level form (the q129 skyline /
+    * `Features.quantileTransform` pattern), NOT a per-cell `row_number`
+    * window: PARTITION BY cell ships corpus/|cells| rows through ONE
+    * unsplittable task per cell — with coarse cells (10 labels) that is
+    * a tenth of the corpus per task at any scale. Instead each row gets
+    * a deterministic cosine bucket (`floor` of the score on a 2⁻¹⁰ grid,
+    * monotone with the rank order, null scores bucketed to the window
+    * form's null end), the in-bucket `row_number` sorts only
+    * (cell, bucket) slices, and the global rank folds in a per-cell
+    * prefix table of bucket counts (≤ cells × ~2050 rows, windowed over
+    * buckets only). Rank identity: buckets are monotone in the order
+    * key and equal scores share a bucket, so prefix + in-bucket
+    * row_number ≡ the per-cell row_number exactly (SimilaritySpec pins
+    * it; q183's oracle hash-proves it per SF). Bound: a (cell, bucket)
+    * group holds only the cell's mass inside one 2⁻¹⁰-wide cosine band
+    * — the bucket-width trade q129 documents; degenerate score
+    * concentration inside one band degrades toward the window form,
+    * never below it.
+    *
+    * The ranked pass localCheckpoints before the prefix fold — the
+    * `quantileTransform` rule: the histogram and the join side must
+    * read the SAME materialization (runtime exchange reuse does not
+    * fire here — the two consumers prune to different column sets, so
+    * the exchanges never canonicalize equal, and without the pin the
+    * histogram subtree re-scans the corpus, the q167 lesson). The
+    * pinned object is the narrow (id, cell, n, cos, bucket, r, bn)
+    * frame — ~40 B/row against the vector-width input it replaces; the
+    * only vector-bearing exchange remains the single (cell, bucket)
+    * hash partition of the scoring pass. */
   def prototypicalityPrune(emb: DataFrame, keepFrac: Double, hardest: Boolean = true,
                            cellCol: String = "label", idCol: String = "vec_id",
                            vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(keepFrac > 0 && keepFrac <= 1, s"keepFrac must be in (0,1]: $keepFrac")
+    val ranked = prototypicalityRanked(emb, hardest, cellCol, idCol, vecCol)
+      .localCheckpoint()
+    // bucket histogram = distinct (cell, bucket, count) of the pinned
+    // pass, then a per-cell prefix over ≤ ~2050 bucket rows
+    val prefix = ranked.select(col(cellCol), col("__b"), col("__bn")).distinct()
+      .withColumn("__before", coalesce(sum(col("__bn")).over(
+        Window.partitionBy(col(cellCol)).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(cellCol), col("__b"), col("__before"))
+    ranked.join(prefix, Seq(cellCol, "__b"))
+      .withColumn("keep_rank", (col("__before") + col("__r")).cast("long"))
+      .filter(col("keep_rank") <= ceil(lit(keepFrac) * col("__n")))
+      .select(col(idCol), col(cellCol), col("keep_rank"),
+        round(col("__cos"), 6).as("cos6"))
+  }
+
+  /** [[prototypicalityPrune]]'s pre-checkpoint scoring+ranking pass,
+    * exposed for plan evidence and pins (the r9 lesson: dumps of a
+    * post-checkpoint plan prove nothing about the build they hide). */
+  private[graft] def prototypicalityRanked(emb: DataFrame, hardest: Boolean,
+                                           cellCol: String, idCol: String,
+                                           vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cents = emb.groupBy(col(cellCol))
       .agg(graft.functions.GridVectorMean.gridMeanVec(col(vecCol)).as("__c"),
         count(lit(1)).as("__n"))
     val cos = cosine(col(vecCol), col("__c"))
-    val w = Window.partitionBy(col(cellCol))
-      .orderBy(if (hardest) col("__cos").asc else col("__cos").desc, col(idCol))
-    emb.join(broadcast(cents), cellCol)
+    // deterministic bucket, monotone with the rank direction (cos is a
+    // pure row function — repartition/retry-stable, unlike a sampled
+    // range split); nulls map to the end the window form would rank them
+    val rawB =
+      if (hardest) floor((col("__cos") + 1) * 1024)   // cos asc
+      else floor((lit(1) - col("__cos")) * 1024)      // cos desc
+    val bucket = when(col("__cos").isNull,
+      if (hardest) lit(Long.MinValue) else lit(Long.MaxValue))
+      .otherwise(rawB.cast("long"))
+    val ord = if (hardest) col("__cos").asc else col("__cos").desc
+    val scored = emb.join(broadcast(cents), cellCol)
       .withColumn("__cos", cos)
-      .withColumn("keep_rank", row_number().over(w).cast("long"))
-      .filter(col("keep_rank") <= ceil(lit(keepFrac) * col("__n")))
-      .select(col(idCol), col(cellCol), col("keep_rank"),
-        round(col("__cos"), 6).as("cos6"))
+      .withColumn("__b", bucket)
+      .select(col(idCol), col(cellCol), col("__n"), col("__cos"), col("__b"))
+    // __bn rides as a count window over the SAME (cell, bucket)
+    // partition as the rank — one exchange, one sort serve both
+    scored
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(cellCol), col("__b")).orderBy(ord, col(idCol))))
+      .withColumn("__bn",
+        count(lit(1)).over(Window.partitionBy(col(cellCol), col("__b"))))
   }
 
   /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based

@@ -198,7 +198,7 @@ class SimilaritySpec extends SparkSpec {
     assert(out2 === out)
   }
 
-  test("prototypicalityPrune broadcasts the centroid side; vectors shuffle only for the cell window") {
+  test("prototypicalityPrune broadcasts the centroid side; the prefix join never sort-merges") {
     val emb = (1L to 40L).map(i =>
       (i, Seq((i % 7).toFloat, (i % 3).toFloat), (i % 2).toInt))
       .toDF("vec_id", "embedding", "label")
@@ -264,5 +264,37 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head._2 === 1L)              // and nothing mines the zero-norm target
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(!p.contains("Window"), s"margin argmax must be the bounded-TopK aggregate:\n$p")
+  }
+
+  test("prototypicalityPrune: bucketed two-level rank ≡ the per-cell row_number window, both directions") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    // 4 cells, 400 vectors, deliberate DUPLICATE vectors (equal cosine →
+    // id tie-breaks) and values straddling bucket boundaries
+    val rows = Seq.tabulate(400) { i =>
+      val base = rnd.nextInt(25)
+      (i.toLong, Seq((base / 10.0f), (1.0f - base / 25.0f)), i % 4)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+      .repartition(7)
+    for (hardest <- Seq(true, false); keepFrac <- Seq(0.5, 1.0)) {
+      val got = Similarity.prototypicalityPrune(emb, keepFrac, hardest)
+        .as[(Long, Int, Long, Double)].collect().toSet
+      // reference: the exact per-cell window form the rewrite replaced
+      val cents = emb.groupBy(col("label"))
+        .agg(graft.functions.GridVectorMean.gridMeanVec(col("embedding")).as("__c"),
+          count(lit(1)).as("__n"))
+      val ord = if (hardest) col("__cos").asc else col("__cos").desc
+      val want = emb.join(broadcast(cents), "label")
+        .withColumn("__cos", Similarity.cosine(col("embedding"), col("__c")))
+        .withColumn("keep_rank", row_number().over(
+          Window.partitionBy(col("label")).orderBy(ord, col("vec_id"))).cast("long"))
+        .filter(col("keep_rank") <= ceil(lit(keepFrac) * col("__n")))
+        .select(col("vec_id"), col("label"), col("keep_rank"),
+          round(col("__cos"), 6).as("cos6"))
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(got === want, s"hardest=$hardest keepFrac=$keepFrac")
+      assert(got.nonEmpty)
+    }
   }
 }

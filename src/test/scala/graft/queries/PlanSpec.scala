@@ -309,6 +309,29 @@ class PlanSpec extends SparkSpec {
     assert(p.split("HashAggregate").length - 1 >= 2, s"no partial aggregation:\n$p")
   }
 
+  test("q183: prune rank is bucket-partitioned — never PARTITION BY cell alone") {
+    // the old form ranked with PARTITION BY label alone — corpus/|cells|
+    // rows through one unsplittable task per cell; the bucketed form
+    // must keep every row-level ranking window (cell, __b)-partitioned.
+    // Asserted on the PRE-checkpoint ranked pass (the final frame's plan
+    // is truncated at the localCheckpoint and would prove nothing).
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val p = graft.operators.Similarity
+      .prototypicalityRanked(emb, hardest = true,
+        cellCol = "label", idCol = "vec_id", vecCol = "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!p.matches("(?s).*windowspecdefinition\\(label#\\d+, __cos.*"),
+      s"rank window regressed to PARTITION BY cell alone:\n$p")
+    assert(p.contains("windowspecdefinition(label#") && p.contains(", __b#"),
+      s"expected the (cell, bucket)-partitioned rank window:\n$p")
+    // exactly two hash exchanges: the cell-width centroid aggregate and
+    // the ONE (cell, bucket) row-level exchange serving both windows
+    assert(p.split("Exchange hashpartitioning").length - 1 == 2,
+      s"unexpected exchange count:\n$p")
+    assert(p.matches("(?s).*hashpartitioning\\(label#\\d+, __b#.*"),
+      s"row-level exchange is not (cell, bucket)-keyed:\n$p")
+  }
+
   test("q166: incremental dedup anti-joins digests only — document text never shuffles") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
