@@ -867,9 +867,20 @@ object DataPipeline {
     val docs = Tables.load(s, dir, "documents")
     val withH = docs.select(col("doc_id"), substring(col("text"), 1, 12).as("h"),
       Text.qualityScore(col("text")).as("q"))
-    val a = withH.select(col("h").as("ha"), col("doc_id").as("id_a"))
-    val b = withH.select(col("h").as("hb"), col("doc_id").as("id_b"))
-    val pairs = a.join(b, col("ha") === col("hb") && col("id_a") < col("id_b"))
+    // spanning-STAR edges (hub = min doc_id per duplicate group), not the
+    // all-pairs clique self-join: each doc belongs to exactly one h group,
+    // so star connectivity yields the identical components with k−1 edges
+    // per k-member group instead of k(k−1)/2 — a boilerplate cluster of
+    // 10⁶ docs is 10⁶ edges, not 5·10¹¹ pair rows (guide §3.3 explode-
+    // before-join). q67 keeps the clique build: exercising components on
+    // pair-shaped input IS that query's contract; here components is just
+    // the cluster labeler. Oracle unchanged — hash-proven per SF.
+    val hubs = withH.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("hub"), count(lit(1)).as("__k"))
+      .filter(col("__k") > 1)
+    val pairs = withH.join(hubs, Seq("h"))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("id_a"), col("doc_id").as("id_b"))
     val comps = Dedup.components(pairs) // (id, component)
     // representative pick via the bounded TopK aggregate, not a pair of
     // component-partitioned windows (the q88/q165 pattern, guide §2.5):
