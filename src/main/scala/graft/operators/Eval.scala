@@ -301,25 +301,39 @@ object Eval {
     * cumulative position, so no tie-break column is needed) reaches half
     * the group's total. Weights canonicalize to exact decimals: the
     * half-total comparison `2·cumw ≥ total` is integer-scaled decimal
-    * arithmetic — no doubles anywhere, bit-portable. One window + one
-    * argmin aggregate per group; null values or weights drop; groups
-    * with no positive weight are absent. The weighted generalization of
-    * the q59/q134 exact quantiles — lower-median convention. */
+    * arithmetic — no doubles anywhere, bit-portable. Null values or
+    * weights drop; groups with no positive weight are absent. The
+    * weighted generalization of the q59/q134 exact quantiles —
+    * lower-median convention.
+    *
+    * Plan (the q162 histogram reduction): weights pre-aggregate to the
+    * DISTINCT (group, value) histogram first — a partial hash aggregate,
+    * the only corpus-sized pass — and the running/total-weight windows
+    * run over histogram rows. The row-level window form partitioned by
+    * the group column alone (corpus/|groups| rows through ONE task per
+    * group at scale — q157's 3 return flags are corpus thirds); the
+    * histogram form's window groups are |distinct values| wide instead
+    * (50 quantity grid points here). Equivalence is exact: the original
+    * RANGE frame already gave every tied value the same cumulative
+    * weight, which is precisely the per-distinct-value running sum, and
+    * decimal sums are associative. The residual bound — a group's window
+    * is its distinct-VALUE count — is the quantileTransform contract;
+    * bucket further (q183's grid) only if values are continuous. */
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: Column,
                      weightCol: Column): DataFrame = {
     val base = df
       .select(col(groupCol), valueCol.as("__v"),
         weightCol.cast("decimal(18,6)").as("__w"))
       .filter(col("__v").isNotNull && col("__w").isNotNull && col("__w") > 0)
-    // RANGE frame: tied values share one cumulative weight (all rows
-    // with value <= current count in), so cumw is deterministic per row
-    // with no tie-break column
+    val hist = base.groupBy(col(groupCol), col("__v"))
+      .agg(sum(col("__w")).as("__wv"))
+    // ROWS frame is now exact: histogram values are distinct per group
     val w = Window.partitionBy(groupCol).orderBy(col("__v"))
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy(groupCol)
-    base
-      .withColumn("__cumw", sum(col("__w")).over(w))
-      .withColumn("__tot", sum(col("__w")).over(tot))
+    hist
+      .withColumn("__cumw", sum(col("__wv")).over(w))
+      .withColumn("__tot", sum(col("__wv")).over(tot))
       .filter(col("__cumw") * 2 >= col("__tot"))
       .groupBy(col(groupCol))
       .agg(min(col("__v")).as("weighted_median"),

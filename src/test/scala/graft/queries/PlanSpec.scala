@@ -332,6 +332,23 @@ class PlanSpec extends SparkSpec {
       s"row-level exchange is not (cell, bucket)-keyed:\n$p")
   }
 
+  test("q157: the running-weight windows see the (group, value) histogram, not row-level data") {
+    // the row-level form ran corpus-third window groups through one task
+    // each (measured 37 s vs 3 s at sf5); the histogram reduction must
+    // stay: a partial+final hash aggregate BELOW the window, so the
+    // window's input is |distinct values| rows per group
+    val p = plan("q157_weighted_median")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, s"expected the running-weight window:\n$p")
+    // plan prints top-down: a (partial+final) histogram aggregate must
+    // appear BELOW (printed after) the window that consumes it — the
+    // final min/max aggregate above the window doesn't count
+    val aggBelow = p.indexOf("HashAggregate", winIdx)
+    assert(aggBelow > winIdx, s"window runs on row-level data, not the histogram:\n$p")
+    assert(p.indexOf("HashAggregate", aggBelow + 1) > 0,
+      s"histogram aggregate is not map-side partial:\n$p")
+  }
+
   test("q166: incremental dedup anti-joins digests only — document text never shuffles") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
